@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution with a count-style noop action
+(write to nowhere would skew I/O; collect would skew driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_daily_order_volume",
+    "pricing_summary",
+    "star_join_revenue_by_nation",
+    "join_order_revenue_topk",
+    "self_join_same_day_orders",
+    "running_total_by_customer",
+    "sessionize_events",
+    "events_daily_volume",
+    "conditional_dq_aggregate",
+    "docs_quality_scores",
+    "docs_exact_dedup_canonical",
+    "minhash_near_dup_pairs",
+    "cosine_topk_bruteforce",
+    "knn_label_vote",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ultimate_data_engineering_project_spark.session import get_spark
+    from ultimate_data_engineering_project_spark.plans.catalog import queries
+
+    spark = get_spark(app_name="udep-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # one warm-up planning pass is NOT taken: the driver measures
+        # cold per-query latency, same as a fresh engine would see.
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

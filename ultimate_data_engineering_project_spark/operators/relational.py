@@ -1,0 +1,81 @@
+"""Relational operators: filters, joins, set ops (SURVEY.md §2.2-2.3, §2.7).
+
+The reference expresses every join as an ``IN (subquery)`` handed to
+Postgres (e.g. polished_transactions.py:475-481) or walks FKs
+procedurally in Python (database_seeder.py:136-140).  Here they are
+first-class distributed joins; small dimension sides are broadcast so
+fact-side data never shuffles for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """Rows of ``left`` with a match in ``right`` (J1/J2 — the
+    reference's ``IN (SELECT ...)``, polished_transactions.py:475-481).
+    Catalyst plans a broadcast left-semi when ``right`` is small."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
+    """Rows of ``left`` with NO match in ``right`` (J7 — orphaned-record
+    detection, the reference's declared referential-integrity check,
+    oltp_seeder.py:50)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def fk_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """FK equi-join with the dimension side broadcast (J3).  At 100 TB
+    the fact side must not shuffle for a kB-scale dimension."""
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return fact.join(dim, on=on, how=how)
+
+
+def self_pairs(
+    df: DataFrame,
+    partition_keys: list[str],
+    id_col: str,
+    extra_pred: Column | None = None,
+) -> DataFrame:
+    """Unordered distinct pairs within a group: self equi-join on
+    ``partition_keys`` with ``left.id < right.id`` (J5 — the shape of
+    the circular-transfer fraud pairing, polished_transactions.py:364-375).
+
+    Equi-join on the partition keys keeps this a hash join (never a
+    cartesian); the inequality is applied post-join.
+    """
+    a = df.alias("a")
+    b = df.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in partition_keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    if extra_pred is not None:
+        cond = cond & extra_pred
+    return a.join(b, on=cond, how="inner")
+
+
+def union_distinct(*dfs: DataFrame) -> DataFrame:
+    """ANSI UNION (distinct) across homogeneous frames (§2.7)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out.distinct()
+
+
+def except_distinct(left: DataFrame, right: DataFrame) -> DataFrame:
+    """ANSI EXCEPT (distinct)."""
+    return left.distinct().exceptAll(right.distinct())
+
+
+def intersect_distinct(left: DataFrame, right: DataFrame) -> DataFrame:
+    """ANSI INTERSECT (distinct)."""
+    return left.intersect(right)

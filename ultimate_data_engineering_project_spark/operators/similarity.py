@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 X3;
+driver contract 'similarity search' family).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline.  Query side broadcast,
+    corpus side streamed: each corpus partition scores against the
+    in-memory query block, then a window keeps top-k per query.  No
+    shuffle of the corpus until the final (tiny) top-k exchange.
+  * random-hyperplane LSH ANN — the 100 TB path: bucket on sign-bit
+    keys so candidate generation is an equi-join, then exact cosine on
+    candidates only.
+
+All arithmetic in double precision with sequential array folds so
+results are bit-stable and match the DuckDB oracle
+(list_cosine_similarity over DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, computed
+    with double accumulators, sequential fold (bit-stable)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self-matches
+    excluded).  ``queries`` must be small (it is broadcast); the corpus
+    is scanned once, scored map-side, and only k rows per query survive
+    the final window.
+
+    Similarity is rounded before ranking so ordering is identical on
+    any engine; ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constants, shipped
+    as literals — no SparkContext randomness)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: bit i = sign(vec . plane_i).  Random
+    hyperplane LSH (Charikar): collision probability 1 - theta/pi."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    key = bits[0]
+    for b in bits[1:]:
+        key = key.bitwiseOR(b)
+    return key
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Each vector gets `n_tables` bucket keys; query/corpus rows join on
+    (table_id, bucket) — a plain shuffled equi-join that scales with
+    bucket occupancy, not corpus size squared.  Exact cosine is computed
+    only for candidates, then a per-query window keeps k.  Recall is
+    tunable via n_planes (bucket width) and n_tables.
+    """
+    def with_buckets(df: DataFrame, role_id: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(role_id), F.col(vec_col).alias(f"__v_{role_id}")
+        )
+        tables = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + t)
+            tables.append(
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    lsh_bucket_key(F.col(f"__v_{role_id}"), planes).alias("bucket"),
+                )
+            )
+        return out.withColumn("__t", F.explode(F.array(*tables))).select(
+            role_id, f"__v_{role_id}", "__t.table_id", "__t.bucket"
+        )
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cand = (
+        qb.join(cb, on=["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")), round_digits),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

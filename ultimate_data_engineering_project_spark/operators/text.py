@@ -1,0 +1,135 @@
+"""Text-analysis operators over a document corpus (SURVEY.md §2.10 X4;
+driver contract 'text analysis' family).
+
+All pure column expressions (JVM-side, whole-stage codegen): tokenize,
+token/char stats, quality scoring, language-ID by marker-token voting,
+and document fingerprinting.  Embarrassingly parallel — no shuffle at
+all until a per-lang/source rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny function-word lists per language for the n-gram/marker heuristic
+# language ID.  Deliberately small and public-knowledge (closed-class
+# words); the fixture corpus is a synthetic word soup, so `lang_id`
+# quality is asserted structurally (deterministic argmax), not
+# linguistically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the fixtures are single-space word
+    soup; real corpora would use the BPE-ish regex below)."""
+    return F.split(text, " ")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """A BPE-flavored pre-tokenizer: letter runs, digit runs, and
+    punctuation runs each become tokens (GPT-2-style contraction
+    handling omitted).  For token *counting* on natural text."""
+    return F.regexp_extract_all(
+        text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)"), F.lit(1)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    quoted = ", ".join(f"'{w}'" for w in stopwords)
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, char count, mean
+    token length, stopword ratio, distinct-token ratio.  The standard
+    cheap pre-LLM quality gates (length/stopword/repetition heuristics).
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_m", n_chars)
+        .withColumn(
+            "mean_token_len",
+            ((n_chars - (n_tok - F.lit(1))).cast("double") / n_tok),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tok,
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.size(F.array_distinct(t)).cast("double") / n_tok,
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: penalize ultra-short docs, pure
+    stopword soup, and heavy repetition.  Deterministic arithmetic only.
+    """
+    feats = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens").cast("double") / 32.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.col("stopword_ratio")) * 0.2
+        + F.col("distinct_ratio") * 0.4
+    )
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token-voting language ID: count hits from each language's
+    closed-class word list, argmax with deterministic tie-break on
+    language code.  Pure expressions -> codegen; no UDF."""
+    t = tokens(F.col(text_col))
+
+    # factory closure, not default-arg lambda — PySpark treats a
+    # lambda's default params as extra HOF arguments.
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    scored = df
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        scored = scored.withColumn(
+            f"__score_{lang}",
+            F.size(F.filter(t, marker_filter(markers))),
+        )
+    langs = sorted(LANG_MARKERS)
+    # argmax via greatest + chained when (first lang in sorted order wins ties)
+    best = F.greatest(*[F.col(f"__score_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = F.col(f"__score_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    out = scored.withColumn(
+        "predicted_lang", F.when(best > 0, pred).otherwise(F.lit("und"))
+    )
+    return out.drop(*[f"__score_{lang}" for lang in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 content hash (cross-engine stable) and
+    a 64-bit rolling polynomial token hash (xxhash64-seeded, Spark-side
+    dedup key)."""
+    t = tokens(F.col(text_col))
+    rolling = F.aggregate(
+        F.transform(t, lambda x: F.xxhash64(x)),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc * F.lit(31) + h,
+    )
+    return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
+        "fp_rolling", rolling
+    )

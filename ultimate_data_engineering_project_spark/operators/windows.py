@@ -1,0 +1,240 @@
+"""Window-function operators (SURVEY.md §2.5): SCD2, dedup-keep-latest,
+running ledger, rolling trends, sessionization, as-of join.
+
+None of these exist as code in the reference — they are the declared
+transformation contract (polished_transactions.py:506-513: SCD Type 2,
+dedup, late-fact reconciliation) plus the procedural balance fold
+(oltp_seeder.py:450-470) recast declaratively.  All are single-shuffle
+window plans: partition by the entity key, order by event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def dedup_keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Keep the latest row per key (W2 — 'deduplicate customers',
+    polished_transactions.py:507).  ``order_by`` columns are sorted
+    descending with a deterministic tiebreak expected from the caller.
+    One shuffle on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd2(
+    df: DataFrame,
+    key: str,
+    change_ts: str,
+    far_future: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Build SCD Type 2 version intervals from a change log (W1 — the
+    reference promises SCD2 for customer phone/address churn,
+    polished_transactions.py:152-196,510).
+
+    Adds ``effective_from`` / ``effective_to`` / ``is_current``; the
+    current version's effective_to is a far-future sentinel so as-of
+    joins are a simple BETWEEN.
+    """
+    w = Window.partitionBy(key).orderBy(change_ts)
+    return (
+        df.withColumn("effective_from", F.col(change_ts))
+        .withColumn(
+            "effective_to",
+            F.coalesce(
+                F.lead(change_ts).over(w),
+                F.lit(far_future).cast("timestamp_ntz"),
+            ),
+        )
+        .withColumn("is_current", F.lead(change_ts).over(w).isNull())
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: each left row gets the latest right row with
+    ``right.ts <= left.ts`` (or ``<`` when strict) per key (J9 —
+    late-arriving-fact reconciliation against the dimension version
+    valid at event time, polished_transactions.py:512).
+
+    Implemented as union + window ``last(ignorenulls)`` instead of a
+    range join: one shuffle on ``on``, no row explosion, no O(n*m)
+    candidate pairs — the formulation that survives 100 TB facts.
+    """
+    lcols = left.columns
+    # side marker orders rows at equal timestamps: right-before-left for
+    # non-strict (right row at ts == left ts is visible), left-first for
+    # strict.
+    right_side = 0 if not strict else 1
+    left_side = 1 - right_side
+
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_side).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in lcols],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_side).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = r.unionByName(l)
+    filled = unioned.select(
+        *on,
+        "__ts",
+        "__side",
+        *[F.col(f"__l_{c}") for c in lcols],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rf_{c}")
+            for c in right_cols
+        ],
+    )
+    is_left = F.col("__side") == left_side
+    return filled.filter(is_left).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in on],
+        *[F.col(f"__rf_{c}").alias(f"{c}_asof") for c in right_cols],
+    )
+
+
+def running_sum(
+    df: DataFrame,
+    partition_keys: list[str],
+    order_by: list[str],
+    value: Column,
+    alias: str = "running_sum",
+) -> DataFrame:
+    """Running total per entity (X7 — the ledger: the reference mutates
+    balances row-by-row with UPDATEs, oltp_seeder.py:483-487; here it is
+    one window over (key, time))."""
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(alias, F.sum(value).over(w))
+
+
+def rolling(
+    df: DataFrame,
+    order_by: list[str],
+    value: Column,
+    preceding: int,
+    agg: str = "avg",
+    partition_keys: list[str] | None = None,
+    alias: str = "rolling",
+) -> DataFrame:
+    """Rows-based rolling aggregate (W3 — acquisition-trend dashboards,
+    README.md:37)."""
+    w = Window.partitionBy(*(partition_keys or [])).orderBy(*order_by).rowsBetween(
+        -preceding, 0
+    )
+    fn = getattr(F, agg)
+    return df.withColumn(alias, fn(value).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_seconds``.
+
+    lag -> boundary flag -> running sum; single shuffle on ``key``.
+    The batch twin of Structured Streaming's ``session_window`` (T4).
+    """
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_ts = F.lag(ts).over(w)
+    # interval comparison, not unix_timestamp: works for TIMESTAMP_NTZ
+    # and is timezone-independent.
+    new_session = (
+        prev_ts.isNull()
+        | ((F.col(ts) - prev_ts) > F.expr(f"INTERVAL {gap_seconds} SECONDS"))
+    ).cast("int")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("session_id", F.sum(new_session).over(wrun))
+
+
+def ledger_running_balance(
+    transactions: DataFrame,
+    *,
+    clamped: bool = False,
+) -> DataFrame:
+    """Fakestream ledger (X7): signed running balance per account.
+
+    Semantics (FIXTURES.md Family B invariant): only status='completed'
+    rows move money; Deposit/Refund add, Withdrawal/Payment subtract;
+    Transfer subtracts from account_id and adds to related_account_id.
+    Transfers are routed to both sides with a union, then one window.
+
+    ``clamped=True`` floors the balance at 0 — the semantic fork between
+    the reference's two generators (oltp_seeder.py:462,465 clamps;
+    polished_transactions.py:408-417 allows negatives).  True clamping
+    is sequential (each step depends on the clamped previous value), so
+    the clamped mode is exposed for parity but computed per-account via
+    an ordered fold inside applyInPandas in operators.ledger_clamped —
+    here we return max(running,0) as the documented approximation only
+    when asked.
+    """
+    t = transactions.filter(F.col("status") == "completed")
+    sign = (
+        F.when(F.col("transaction_type").isin("Deposit", "Refund"), F.col("amount"))
+        .when(
+            F.col("transaction_type").isin("Withdrawal", "Payment", "Transfer"),
+            -F.col("amount"),
+        )
+        .otherwise(F.lit(0))
+    )
+    outflow = t.select(
+        F.col("account_id"),
+        F.col("transaction_id"),
+        F.col("transaction_date"),
+        sign.alias("delta"),
+    )
+    inflow = t.filter(
+        (F.col("transaction_type") == "Transfer") & F.col("related_account_id").isNotNull()
+    ).select(
+        F.col("related_account_id").alias("account_id"),
+        F.col("transaction_id"),
+        F.col("transaction_date"),
+        F.col("amount").alias("delta"),
+    )
+    legs = outflow.unionByName(inflow)
+    w = (
+        Window.partitionBy("account_id")
+        .orderBy("transaction_date", "transaction_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = legs.withColumn("balance", F.sum("delta").over(w))
+    if clamped:
+        out = out.withColumn("balance", F.greatest(F.lit(0).cast("decimal(15,2)"), F.col("balance")))
+    return out

@@ -1,0 +1,349 @@
+"""LLM-data-pipeline query catalog entries (SURVEY.md §2.10 X1-X6;
+driver contract: dedup, similarity search, text analysis over the
+documents/embeddings fixtures).
+
+Oracle notes:
+  * cosine similarity is computed in double precision with a sequential
+    fold on both engines and ROUNDed before ranking, with an id
+    tiebreak, so top-k selection is engine-independent;
+  * MinHash/SimHash entries have no SQL oracle (xxhash64 is
+    Spark-specific) — the driver records rows-only checks, and
+    tests/test_dedup.py asserts their semantics against brute-force
+    Jaccard on sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ultimate_data_engineering_project_spark.functions.scalar import dsum_sql
+from ultimate_data_engineering_project_spark.operators import dedup, similarity, text
+from ultimate_data_engineering_project_spark.plans.catalog import register
+from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+
+@register(
+    "docs_dedup_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def docs_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate census per language (X1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "docs_exact_dedup_canonical",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def docs_exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per text (X1 — hash-groupBy
+    dedup; the canonical-survivor form of dropDuplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+@register(
+    "docs_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(LENGTH(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(LENGTH(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(CAST(LENGTH(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char statistics per language (X4 token counting —
+    whitespace tokenizer over the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(n_tok).alias("max_tokens"),
+    )
+
+
+@register(
+    "docs_quality_scores",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(list_filter(string_split(text, ' '),
+                           w -> w IN ({stop}))) AS BIGINT) AS n_stopwords,
+               CAST(LENGTH(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+           ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) * 0.4
+                 + (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.2
+                 + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4, 6) AS quality_score
+    FROM feats
+    """.format(stop=_STOPWORD_LIST),
+)
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (X4 — length/stopword/repetition
+    heuristics, the cheap pre-LLM quality gate).  Pure deterministic
+    double arithmetic, identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*text.STOPWORDS))).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tok
+    dist_ratio = n_dist.cast("double") / n_tok
+    score = (
+        F.least(n_tok.cast("double") / 32.0, F.lit(1.0)) * 0.4
+        + (1.0 - stop_ratio) * 0.2
+        + dist_ratio * 0.4
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(dist_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "docs_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp_md5
+    FROM documents
+    """,
+)
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (X4 — md5 is engine-portable; the 64-bit
+    rolling-hash variant is Spark-side only, see operators.text
+    .fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("fp_md5"))
+
+
+@register(
+    "docs_lang_source_rollup",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def docs_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup (X4 — the groupBy lang/source census a
+    training-data pipeline reports)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(CAST(SUM(CAST(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+                         AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm statistics per cluster label (X3 support op).
+    Norms are bit-identical across engines (sequential double fold +
+    IEEE sqrt), then decimal-summed for order independence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = similarity.norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum(n.cast("decimal(25,10)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_norm"
+        ),
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6)
+                   AS cosine_sim
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k similarity search (X3 baseline): 5 query
+    vectors against the whole corpus.  Queries broadcast; corpus scanned
+    once; per-query top-k via window.  The ANN scale path is
+    `ann_topk_lsh` (rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               c.label AS label,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6)
+                   AS cosine_sim
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, label, cosine_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        )
+        WHERE rank <= 10
+    ),
+    votes AS (
+        SELECT query_id, label, COUNT(*) AS n_votes
+        FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id,
+           CAST(label AS BIGINT) AS predicted_label,
+           n_votes
+    FROM (
+        SELECT query_id, label, n_votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY n_votes DESC, label
+               ) AS rk
+        FROM votes
+    )
+    WHERE rk = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification over embeddings (X3 — uses the
+    fixture's cluster labels as ground truth): 20 queries, k=10,
+    majority label with deterministic tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id", k=10
+    )
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id", F.col("label").cast("long").alias("predicted_label"), "n_votes"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle: Spark-specific hashing / approximate)
+# ---------------------------------------------------------------------------
+@register("minhash_near_dup_pairs", oracle=None)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (X2 — shingle → minhash → band →
+    bucket-join; O(n·bands) candidate generation, never O(n²)).
+    xxhash64-based: no SQL oracle; semantics asserted against exact
+    Jaccard in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", jaccard_threshold=0.4)
+
+
+@register("simhash_near_dup_pairs", oracle=None)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (X2 — 64-bit sign-bit sketch,
+    16-bit-quarter blocking, exact hamming verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", max_hamming=12)
+
+
+@register("ngram_jaccard_pairs", oracle=None)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle inverted index (X2 exact
+    baseline for the MinHash approximation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", jaccard_threshold=0.4)
+
+
+@register("ann_topk_lsh", oracle=None)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH (X3 scale
+    path: bucketed equi-join candidates, exact cosine re-rank; recall
+    vs brute force asserted in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register("docs_lang_id", oracle=None)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language identification (X4 — n-gram-heuristic
+    lang-ID; deterministic argmax, no UDF).  Rows-only: the marker
+    vocabulary is engine-internal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "lang", "predicted_lang")

@@ -1,0 +1,115 @@
+"""Readers for the engine's sources (SURVEY.md §2.1, S1-S4, S14).
+
+The reference reads tables with ``SELECT * FROM {t}`` into pandas
+(reference: psql_connector.py:112-134) — a full driver-side
+materialization.  Here every read is a distributed Spark scan with
+column pruning and predicate pushdown left to Catalyst.
+
+``load_table`` is the single entry point for fixture parquet; it also
+normalizes the one awkward physical type (events.ts stored as
+TIMESTAMP(NANOS)) into a clean TIMESTAMP_NTZ, timezone-independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ultimate_data_engineering_project_spark.session import configure_session
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions worth broadcasting in any join (see SURVEY §4):
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts arrives as long nanoseconds (nanosAsLong=true).
+
+    Convert to TIMESTAMP_NTZ by adding integer microseconds to a fixed
+    NTZ epoch — this is timezone-independent, unlike timestamp_micros()
+    which produces a session-tz-dependent TIMESTAMP_LTZ.  `div` is
+    integer floor-division, matching DuckDB's ns->us cast truncation so
+    oracle comparisons agree to the microsecond.
+    """
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (S1 analog)."""
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> None:
+    """Register fixtures as temp views so ``spark.sql`` works directly
+    (the engine's equivalent of the reference's always-on Postgres
+    catalog, psql_connector.py:37-52)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    predicate: str | None = None,
+    num_partitions: int | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    fetchsize: int = 10_000,
+    **options: str,
+) -> DataFrame:
+    """JDBC table scan (S1/S14 — reference psql_connector.py:112-134,
+    database.py:9-32 builds the pg/mysql/mssql URLs).
+
+    ``predicate`` is pushed down into the remote query via Catalyst
+    (dbtable subquery), and partition bounds give a parallel read —
+    the reference's single-cursor pandas read serialized everything
+    through the driver.
+    """
+    dbtable = f"(SELECT * FROM {table} WHERE {predicate}) t" if predicate else table
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("fetchsize", str(fetchsize))
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
