@@ -1,0 +1,138 @@
+"""Generator + DQ detector + fraud + ledger semantics (golden-rate
+assertions per BASELINE.md 'Injected DQ rates')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ultimate_data_engineering_project_spark import generator, pipelines, quality
+from ultimate_data_engineering_project_spark.fraud import circular_transfer_pairs
+from ultimate_data_engineering_project_spark.operators.windows import ledger_running_balance
+
+N_CUST, N_ACCT, N_TRX = 4_000, 400, 4_000
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    t = generator.gen_fakestream(spark, N_CUST, N_ACCT, N_TRX, seed=42)
+    return {k: v.cache() for k, v in t.items()}
+
+
+def _rate(n, total):
+    return n / total
+
+
+def test_generator_determinism(spark, tables):
+    again = generator.gen_customers(spark, N_CUST, seed=42)
+    assert again.exceptAll(tables["customers"]).count() == 0
+    assert tables["customers"].exceptAll(again).count() == 0
+
+
+def test_volumes_and_keys(tables):
+    assert tables["customers"].count() == N_CUST
+    assert tables["accounts"].count() == N_ACCT
+    assert tables["transactions"].count() == N_TRX
+    # PKs unique
+    for name, key in [
+        ("customers", "customer_id"),
+        ("accounts", "account_id"),
+        ("transactions", "transaction_id"),
+    ]:
+        df = tables[name]
+        assert df.select(key).distinct().count() == df.count()
+    # FKs resolve (no orphans by construction)
+    assert quality.orphan_transactions(tables["transactions"], tables["accounts"]).count() == 0
+
+
+def test_customer_defect_rates(tables):
+    rep = quality.customer_dq_report(tables["customers"]).first()
+    assert 0.25 < _rate(rep["n_missing_phone"], N_CUST) < 0.35
+    assert 0.15 < _rate(rep["n_missing_address"], N_CUST) < 0.25
+    assert 0.02 < _rate(rep["n_email_typos"], N_CUST) < 0.05
+    assert 0.003 < _rate(rep["n_invalid_dob"], N_CUST) < 0.03
+    dups = quality.duplicate_customer_pairs(tables["customers"]).count()
+    assert dups > 0.04 * N_CUST  # 8% injection → at least half detected as pairs
+
+
+def test_account_transaction_defect_rates(tables):
+    arep = quality.account_dq_report(tables["accounts"]).first()
+    assert 0.005 < _rate(arep["n_negative_balance"], N_ACCT) < 0.05
+    trep = quality.transaction_dq_report(tables["transactions"]).first()
+    assert 0.005 < _rate(trep["n_impossible_amount"], N_TRX) < 0.025
+    assert 0.03 < _rate(trep["n_late_arriving"], N_TRX) < 0.07
+    assert 0.003 < _rate(trep["n_future_dated"], N_TRX) < 0.03
+    inact = quality.inactive_account_transactions(
+        tables["transactions"], tables["accounts"]
+    ).count()
+    assert 0.05 < _rate(inact, N_TRX) < 0.35  # status mix ~17% non-active
+
+
+def test_circular_transfer_pairs(tables):
+    pairs = circular_transfer_pairs(tables["transactions"])
+    rows = pairs.collect()
+    assert len(rows) > 0
+    t = {
+        r["transaction_id"]: r
+        for r in tables["transactions"].collect()
+    }
+    for p in rows:
+        out, back = t[p["transaction_id_out"]], t[p["transaction_id_back"]]
+        assert out["account_id"] == back["related_account_id"]
+        assert out["related_account_id"] == back["account_id"]
+        assert out["transaction_date"].date() == back["transaction_date"].date()
+
+
+def test_ledger_matches_hand_fold(tables):
+    """Ledger window == imperative per-account replay (the reference's
+    balance loop, oltp_seeder.py:450-470, unclamped mode)."""
+    ledger = ledger_running_balance(tables["transactions"])
+    got = {
+        (r["account_id"], r["transaction_id"]): float(r["balance"])
+        for r in ledger.collect()
+    }
+    rows = tables["transactions"].filter(F.col("status") == "completed").collect()
+    legs = []
+    for r in rows:
+        amt = float(r["amount"])
+        if r["transaction_type"] in ("Deposit", "Refund"):
+            legs.append((r["account_id"], r["transaction_date"], r["transaction_id"], amt))
+        elif r["transaction_type"] in ("Withdrawal", "Payment"):
+            legs.append((r["account_id"], r["transaction_date"], r["transaction_id"], -amt))
+        elif r["transaction_type"] == "Transfer":
+            legs.append((r["account_id"], r["transaction_date"], r["transaction_id"], -amt))
+            if r["related_account_id"] is not None:
+                legs.append((r["related_account_id"], r["transaction_date"], r["transaction_id"], amt))
+    balances: dict[int, float] = {}
+    legs.sort(key=lambda x: (x[0], x[1], x[2]))
+    for acct, _, tid, delta in legs:
+        balances[acct] = balances.get(acct, 0.0) + delta
+        key = (acct, tid)
+        assert key in got
+        assert abs(got[key] - balances[acct]) < 1e-6, key
+
+
+def test_current_balances_consistent(tables):
+    cur = pipelines.account_balances(tables["transactions"])
+    led = ledger_running_balance(tables["transactions"])
+    total_cur = cur.agg(F.sum("current_balance")).first()[0]
+    # sum of final balances == sum of all deltas
+    total_delta = led.groupBy().agg(F.sum("delta")).first()[0]
+    assert abs(float(total_cur) - float(total_delta)) < 1e-6
+
+
+def test_silver_customers_dedup(tables):
+    silver = pipelines.silver_customers(tables["customers"])
+    # one row per normalized name, latest kept
+    assert silver.count() == silver.select("name_norm").distinct().count()
+    # normalization undoes the typo injection
+    assert silver.filter(F.col("email_norm").rlike("[34]")).count() == 0
+
+
+def test_gold_dashboards_shapes(tables):
+    vol = pipelines.gold_daily_transaction_volume(tables["transactions"])
+    assert vol.count() > 0
+    acq = pipelines.gold_customer_acquisition(tables["customers"])
+    assert acq.filter(F.col("avg_7d").isNull()).count() == 0
+    dist = pipelines.gold_balance_distribution(tables["accounts"])
+    assert dist.agg(F.sum("n_accounts")).first()[0] == N_ACCT
+    alerts = pipelines.gold_fraud_alerts(tables["transactions"])
+    assert alerts.filter(F.col("rule") == "circular_transfer").count() > 0

