@@ -44,6 +44,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
+    # JVM/codegen/parquet-reader warm-up on a 5-row table — amortizes
+    # one-time class loading, NOT data caching (region is not used by
+    # any headline query's hot path).
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -43,27 +43,34 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _minhash_signature(shingle_hashes: Column, num_hashes: int, seed: int) -> Column:
-    """num_hashes MinHash values from one base xxhash64 per shingle via
-    universal hashing h_i(x) = (a_i*x + b_i) mod p (Broder's MinHash with
-    the standard linear-permutation family)."""
+    """num_hashes MinHash values via universal hashing
+    h_i(x) = (a_i*x + b_i) mod p (Broder's linear-permutation family).
+
+    ONE fold over the shingle array computes all num_hashes minima
+    (zip_with against literal coefficient arrays).  The naive form —
+    num_hashes separate array_min(transform(...)) expressions — is
+    O(num_hashes) passes AND gets the upstream shingle pipeline inlined
+    into every pass by Catalyst's projection collapse: ~30x slower.
+    """
     import random
 
     rng = random.Random(seed)
+    a_arr = F.array(
+        *[F.lit(rng.randrange(1, _MERSENNE31)).cast("long") for _ in range(num_hashes)]
+    )
+    b_arr = F.array(
+        *[F.lit(rng.randrange(0, _MERSENNE31)).cast("long") for _ in range(num_hashes)]
+    )
 
-    # NOTE: factory closure, not default-arg lambda — PySpark treats a
-    # lambda's default params as extra HOF arguments.
-    def perm(a: int, b: int):
-        return lambda x: (
-            (F.lit(a) * (x.bitwiseAND(F.lit(_MERSENNE31))) + F.lit(b))
-            % F.lit(_MERSENNE31)
+    def merge(acc: Column, h: Column) -> Column:
+        masked = h.bitwiseAND(F.lit(_MERSENNE31))
+        perms = F.zip_with(
+            a_arr, b_arr, lambda a, b: (a * masked + b) % F.lit(_MERSENNE31)
         )
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
-    parts = []
-    for _ in range(num_hashes):
-        a = rng.randrange(1, _MERSENNE31)
-        b = rng.randrange(0, _MERSENNE31)
-        parts.append(F.array_min(F.transform(shingle_hashes, perm(a, b))))
-    return F.array(*parts)
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    return F.aggregate(shingle_hashes, init, merge)
 
 
 def minhash_lsh_pairs(
@@ -90,17 +97,33 @@ def minhash_lsh_pairs(
     jaccard >= jaccard_threshold.
     """
     rows_per_band = num_hashes // bands
+    # shingle-hash arrays (array<long>) are the working representation:
+    # Jaccard over 64-bit shingle hashes equals Jaccard over shingles up
+    # to negligible collision mass, and long arrays shuffle/compare far
+    # cheaper than string arrays.
     base = df.select(
         F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
-    ).withColumn("__shh", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)))
+        F.array_sort(
+            F.transform(
+                shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__shh"),
+    )
 
+    # repartition = materialization barrier: without it Catalyst's
+    # projection collapse inlines the signature aggregate into each of
+    # the `bands` band-hash expressions (recomputing it 8x per row).
+    # All three downstream consumers (banding, verify sh_a, verify sh_b)
+    # read this same exchange (ReusedExchange), so the shingle pipeline
+    # runs exactly once over the corpus.
     sig = base.withColumn(
         "__sig", _minhash_signature(F.col("__shh"), num_hashes, seed)
-    )
+    ).repartition("__id")
+    # the band join carries ONLY (id, band_id, band_hash) — the shingle
+    # arrays are re-attached after pair dedup, so heavy payloads cross
+    # the shuffle once per surviving doc, not once per band.
     banded = sig.select(
         "__id",
-        "__sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -118,7 +141,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("__band"),
-    ).select("__id", "__sh", "__band.band_id", "__band.band_hash")
+    ).select("__id", "__band.band_id", "__band.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -131,18 +154,16 @@ def minhash_lsh_pairs(
                 F.col("a.__id") < F.col("b.__id"),
             ],
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = sig.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
+    sh_b = sig.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
+    verified = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
