@@ -1,0 +1,91 @@
+"""Engine facade: the user-facing API surface (SURVEY.md §2.1 S9-S11,
+S15; §3.4 lifecycle).
+
+The reference exposes a connector object with fetch/execute/introspection
+methods (connector_config.py:99-262) and a sqlparse-based SELECT guard
+in its smoke script (PostgreSQL/test.py:31-44).  The Spark-native
+facade: register tables once, run guarded SQL, introspect the catalog.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ultimate_data_engineering_project_spark.session import configure_session
+from ultimate_data_engineering_project_spark.sources.readers import FIXTURE_TABLES, load_table
+
+
+class ReadOnlyStatementError(ValueError):
+    pass
+
+
+_READ_PREFIXES = ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
+
+
+def is_read_only_sql(sql: str) -> bool:
+    """First-token guard (S15 — the reference's sqlparse check,
+    PostgreSQL/test.py:31-44): only read statements pass."""
+    stripped = sql.lstrip()
+    # strip leading line/block comments
+    while stripped.startswith(("--", "/*")):
+        if stripped.startswith("--"):
+            stripped = stripped.split("\n", 1)[1] if "\n" in stripped else ""
+        else:
+            stripped = stripped.split("*/", 1)[1] if "*/" in stripped else ""
+        stripped = stripped.lstrip()
+    first = stripped.split(None, 1)[0].upper() if stripped else ""
+    return first in _READ_PREFIXES
+
+
+@dataclass
+class Engine:
+    """Thin session wrapper: table registry + guarded SQL + catalog
+    introspection (the reference's `get_database_info`,
+    connector_config.py:244-262)."""
+
+    spark: SparkSession
+
+    @classmethod
+    def for_fixtures(cls, spark: SparkSession, sf_dir: str) -> "Engine":
+        eng = cls(spark=configure_session(spark))
+        for name in FIXTURE_TABLES:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        return eng
+
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        """Guarded SQL entry point: read statements only (S15)."""
+        if not is_read_only_sql(query):
+            raise ReadOnlyStatementError(
+                f"only read statements are allowed, got: {query.lstrip()[:40]!r}"
+            )
+        return self.spark.sql(query)
+
+    # --- introspection (S11) -------------------------------------------
+    def table_names(self) -> list[str]:
+        """pg_catalog.pg_tables analog (psql_connector.py:37-52)."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def table_columns(self, table: str) -> list[dict[str, str]]:
+        """information_schema.columns analog (psql_connector.py:54-76)."""
+        return [
+            {"name": c.name, "type": c.dataType, "nullable": str(c.nullable)}
+            for c in self.spark.catalog.listColumns(table)
+        ]
+
+    def engine_version(self) -> str:
+        """version() analog (psql_connector.py:78-81)."""
+        return f"Apache Spark {self.spark.version}"
+
+    def database_info(self) -> dict:
+        """get_database_info analog (connector_config.py:244-262)."""
+        tables = self.table_names()
+        return {
+            "version": self.engine_version(),
+            "n_tables": len(tables),
+            "tables": {t: self.table_columns(t) for t in tables},
+        }

@@ -1,0 +1,228 @@
+"""Additional catalog entries rounding out SURVEY.md §2 coverage:
+sampling (O2), scalar-subquery fraction limits (A4), ranking-function
+battery (W), explicit-formula statistics (A), string predicates (P/F),
+HAVING, and CASE pivots.
+
+Determinism notes: the reference's ``ORDER BY RANDOM() LIMIT n``
+sampling (oltp_seeder.py:248-252) is nondeterministic by design; the
+oracle-checkable twin is a *systematic* sample (key modulo) and a
+*fraction* limit via window rank — both engine-independent.  True
+random sampling is still exposed (`df.sample(fraction, seed)`) but has
+no oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ultimate_data_engineering_project_spark.functions.scalar import dsum, dsum_sql
+from ultimate_data_engineering_project_spark.plans.catalog import register
+from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey % 20 < 3
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample, ~15% (O2 — the oracle-checkable
+    twin of `ORDER BY RANDOM() LIMIT n`, oltp_seeder.py:248-252; true
+    random sampling is df.sample(0.15, seed), same plan shape)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(F.col("c_custkey") % 20 < 3).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "top_fraction_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM (
+        SELECT c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               COUNT(*) OVER () AS total
+        FROM customer
+    )
+    WHERE rn <= CAST(FLOOR(total * 0.15) AS BIGINT)
+    """,
+)
+def top_fraction_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-fraction-of-table limit (A4 — `LIMIT (SELECT CAST(COUNT(*)
+    * 0.15 AS INTEGER) ...)`, polished_transactions.py:163-168), done
+    with a rank-vs-total window instead of a scalar subquery.  FLOOR is
+    explicit on both sides: Spark's double->long cast truncates while
+    DuckDB's rounds."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        customer.withColumn("rn", F.row_number().over(w))
+        .withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("rn") <= F.floor(F.col("total") * 0.15))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "string_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           (p_name LIKE '%gold%') AS has_gold,
+           (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')) AS top_brand,
+           (p_size BETWEEN 10 AND 20) AS mid_size,
+           CASE WHEN p_retailprice >= 1500.0 THEN 'premium'
+                WHEN p_retailprice >= 1000.0 THEN 'standard'
+                ELSE 'budget' END AS price_tier,
+           CAST(INSTR(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+           TRIM(CONCAT('  ', p_brand, '  ')) AS brand_trim
+    FROM part
+    """,
+)
+def string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate/function battery: LIKE, IN, BETWEEN, CASE tiers,
+    INSTR, TRIM (P-family + F5-F7)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.col("p_name").like("%gold%").alias("has_gold"),
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3").alias("top_brand"),
+        F.col("p_size").between(10, 20).alias("mid_size"),
+        F.when(F.col("p_retailprice") >= 1500.0, "premium")
+        .when(F.col("p_retailprice") >= 1000.0, "standard")
+        .otherwise("budget")
+        .alias("price_tier"),
+        F.instr(F.col("p_type"), "BRASS").cast("long").alias("brass_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trim"
+        ),
+    )
+
+
+@register(
+    "window_ranking_battery",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ROW_NUMBER()  OVER w AS BIGINT) AS rn,
+           CAST(RANK()        OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK()  OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4)      OVER w AS BIGINT) AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAG(o_orderkey, 2)      OVER w AS lag2_key,
+           LEAD(o_orderkey, 1, -1) OVER w AS lead1_key
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery (W — row_number/rank/dense_rank/ntile/
+    first_value/lag/lead with offsets and defaults).  Input thinned by
+    key modulo to keep the check fast."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.lag("o_orderkey", 2).over(w).alias("lag2_key"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("lead1_key"),
+    )
+
+
+@register(
+    "stats_explicit_formulas",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {s} AS sum_qty,
+           {sq} AS sum_qty_sq,
+           {s} / COUNT(*) AS mean_qty,
+           ({sq} - {s} * {s} / COUNT(*)) / (COUNT(*) - 1) AS var_qty,
+           SQRT(({sq} - {s} * {s} / COUNT(*)) / (COUNT(*) - 1)) AS std_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """.format(s=dsum_sql("l_quantity"), sq=dsum_sql("l_quantity * l_quantity")),
+)
+def stats_explicit_formulas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via explicit decimal-exact sum formulas (A —
+    engine-independent, unlike built-in stddev whose accumulation order
+    varies): var = (Σx² − (Σx)²/n) / (n−1), all inputs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = dsum("l_quantity")
+    sq = dsum(F.col("l_quantity") * F.col("l_quantity"))
+    n = F.count(F.lit(1))
+    var = (sq - s * s / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s.alias("sum_qty"),
+        sq.alias("sum_qty_sq"),
+        (s / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, {total} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """.format(total=dsum_sql("o_totalprice")),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (A — post-aggregation predicate; frequent-
+    customer rollup)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "case_pivot_priority",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+    FROM orders
+    GROUP BY order_day
+    """,
+)
+def case_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual CASE pivot (A2 conditional aggregation as a wide pivot —
+    the portable form of PIVOT)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def flag(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        flag(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        flag(F.col("o_orderpriority") == "2-HIGH").alias("n_high"),
+        flag(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).alias("n_other"),
+    )
