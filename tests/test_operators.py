@@ -184,3 +184,66 @@ def test_quality_score_monotone(spark):
     )
     got = {r["doc_id"]: r["quality_score"] for r in text.quality_score(df).collect()}
     assert got[2] > got[1]  # diverse long doc beats stopword soup
+
+
+def test_ledger_clamped_stepwise(spark):
+    """Step-wise clamp: max(0, bal+delta) at every step — differs from
+    post-hoc max(running, 0) whenever a drained balance later refills."""
+    from ultimate_data_engineering_project_spark.operators.windows import (
+        ledger_running_balance_clamped,
+    )
+
+    rows = [
+        # account 1: +100, -300 (clamps to 0), +50 -> stepwise 150? no: 50
+        Row(transaction_id=1, account_id=1, transaction_type="Deposit",
+            amount=100.0, related_account_id=None, status="completed",
+            transaction_date=ts("2024-01-01T10:00:00")),
+        Row(transaction_id=2, account_id=1, transaction_type="Withdrawal",
+            amount=300.0, related_account_id=None, status="completed",
+            transaction_date=ts("2024-01-01T11:00:00")),
+        Row(transaction_id=3, account_id=1, transaction_type="Deposit",
+            amount=50.0, related_account_id=None, status="completed",
+            transaction_date=ts("2024-01-01T12:00:00")),
+        # pending rows never move money
+        Row(transaction_id=4, account_id=1, transaction_type="Deposit",
+            amount=999.0, related_account_id=None, status="pending",
+            transaction_date=ts("2024-01-01T13:00:00")),
+    ]
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("transaction_id", T.LongType()),
+        T.StructField("account_id", T.LongType()),
+        T.StructField("transaction_type", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("related_account_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("transaction_date", T.TimestampNTZType()),
+    ])
+    trx = spark.createDataFrame(rows, schema=schema)
+    got = {r["transaction_id"]: r["balance"]
+           for r in ledger_running_balance_clamped(trx).collect()}
+    assert got == {1: 100.0, 2: 0.0, 3: 50.0}
+    # the unclamped window over the same data would give 1:100, 2:-200, 3:-150
+
+
+def test_timeseries_euclidean_and_dtw(spark):
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    rows = []
+    # user 1 and 2: identical series; user 3: shifted by 10
+    for uid, base in [(1, 0.0), (2, 0.0), (3, 10.0)]:
+        for i in range(5):
+            rows.append(Row(user_id=uid, event_id=uid * 100 + i,
+                            ts=ts(f"2024-01-01T10:0{i}:00"), value=base + i))
+    ev = spark.createDataFrame(rows)
+    eu = {(r["user_a"], r["user_b"]): r["euclidean"]
+          for r in timeseries.series_pairs_euclidean(ev).collect()}
+    assert eu[(1, 2)] == 0.0
+    assert abs(eu[(1, 3)] - (5 * 100) ** 0.5) < 1e-6
+    dtw = {(r["user_a"], r["user_b"]): r["dtw"]
+           for r in timeseries.series_pairs_dtw(ev).collect()}
+    assert dtw[(1, 2)] == 0.0
+    assert dtw[(1, 3)] > 0
+    top = timeseries.series_topk_similar(ev, k=1)
+    best = {r["user_id"]: r["similar_user_id"] for r in top.collect()}
+    assert best[1] == 2 and best[2] == 1

@@ -196,15 +196,29 @@ def ledger_running_balance(
     Transfer subtracts from account_id and adds to related_account_id.
     Transfers are routed to both sides with a union, then one window.
 
-    ``clamped=True`` floors the balance at 0 — the semantic fork between
-    the reference's two generators (oltp_seeder.py:462,465 clamps;
-    polished_transactions.py:408-417 allows negatives).  True clamping
-    is sequential (each step depends on the clamped previous value), so
-    the clamped mode is exposed for parity but computed per-account via
-    an ordered fold inside applyInPandas in operators.ledger_clamped —
-    here we return max(running,0) as the documented approximation only
-    when asked.
+    ``clamped=True`` applies max(running, 0) — a post-hoc floor, NOT
+    the reference's step-wise clamp (each step's base already clamped,
+    oltp_seeder.py:462,465).  The true sequential semantics live in
+    :func:`ledger_running_balance_clamped` (ordered per-account fold in
+    applyInPandas); polished_transactions.py:408-417 is the unclamped
+    mode this window computes exactly.
     """
+    legs = _ledger_legs(transactions)
+    w = (
+        Window.partitionBy("account_id")
+        .orderBy("transaction_date", "transaction_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = legs.withColumn("balance", F.sum("delta").over(w))
+    if clamped:
+        out = out.withColumn("balance", F.greatest(F.lit(0).cast("decimal(15,2)"), F.col("balance")))
+    return out
+
+
+def _ledger_legs(transactions: DataFrame) -> DataFrame:
+    """Signed ledger legs shared by both balance modes: completed rows
+    only; Transfer emits a debit leg on account_id and a credit leg on
+    related_account_id."""
     t = transactions.filter(F.col("status") == "completed")
     sign = (
         F.when(F.col("transaction_type").isin("Deposit", "Refund"), F.col("amount"))
@@ -228,13 +242,49 @@ def ledger_running_balance(
         F.col("transaction_date"),
         F.col("amount").alias("delta"),
     )
-    legs = outflow.unionByName(inflow)
-    w = (
-        Window.partitionBy("account_id")
-        .orderBy("transaction_date", "transaction_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    return outflow.unionByName(inflow)
+
+
+def ledger_running_balance_clamped(transactions: DataFrame) -> DataFrame:
+    """The reference's step-wise clamped ledger (oltp_seeder.py:462,465:
+    ``balance = max(0, balance + delta)`` at EVERY step).
+
+    The recurrence depends on the clamped previous value, so no window
+    expresses it; this is the documented applyInPandas case (§2.11):
+    legs are built JVM-side, each account's ordered fold runs in numpy
+    batches, one shuffle on account_id — identical partitioning to the
+    window version.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    legs = _ledger_legs(transactions).select(
+        "account_id",
+        "transaction_id",
+        "transaction_date",
+        F.col("delta").cast("double").alias("delta"),
     )
-    out = legs.withColumn("balance", F.sum("delta").over(w))
-    if clamped:
-        out = out.withColumn("balance", F.greatest(F.lit(0).cast("decimal(15,2)"), F.col("balance")))
-    return out
+    schema = T.StructType(
+        [
+            T.StructField("account_id", T.LongType()),
+            T.StructField("transaction_id", T.LongType()),
+            T.StructField("transaction_date", T.TimestampNTZType()),
+            T.StructField("delta", T.DoubleType()),
+            T.StructField("balance", T.DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["transaction_date", "transaction_id"]).reset_index(
+            drop=True
+        )
+        bal = 0.0
+        out = []
+        for d in pdf["delta"]:
+            bal = max(0.0, bal + d)
+            out.append(bal)
+        pdf["balance"] = out
+        return pdf
+
+    return legs.groupBy("account_id").applyInPandas(fold, schema=schema)

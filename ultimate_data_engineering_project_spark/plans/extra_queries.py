@@ -226,3 +226,62 @@ def case_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(F.col("o_orderpriority") == "2-HIGH").alias("n_high"),
         flag(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).alias("n_other"),
     )
+
+
+@register(
+    "percentiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_quantity, 0.99) AS p99_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (A — both engines implement the
+    same linear-interpolation quantile; Spark `percentile`, DuckDB
+    `quantile_cont`).  The approximate scale path is
+    percentile_approx/approxQuantile (no oracle — sketch-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_quantity, 0.99)").alias("p99_qty"),
+    )
+
+
+@register("timeseries_similar_users", oracle=None)
+def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 most similar users by aligned-prefix Euclidean
+    over event-value series (X6 JVM expression path)."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.series_topk_similar(events, k=3)
+
+
+@register("timeseries_dtw_pairs", oracle=None)
+def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-DTW distances between user event series (X6 pandas-UDF
+    path — the DP recurrence is inexpressible in built-in expressions;
+    numpy runs per Arrow batch)."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.series_pairs_dtw(events, max_len=64)
+
+
+@register("fakestream_ledger_clamped", oracle=None)
+def fakestream_ledger_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-wise clamped running balance (the reference's
+    max(0, bal+delta) recurrence, oltp_seeder.py:462,465) via ordered
+    per-account applyInPandas fold."""
+    from ultimate_data_engineering_project_spark import generator
+    from ultimate_data_engineering_project_spark.operators.windows import (
+        ledger_running_balance_clamped,
+    )
+
+    trx = generator.gen_transactions(spark, 2_000, 200, seed=42)
+    return ledger_running_balance_clamped(trx)
