@@ -1,0 +1,68 @@
+"""Sinks (S5), DDL registry (S9), approximate sketches, fuzzy join."""
+
+from pyspark.sql import Row, functions as F
+
+from ultimate_data_engineering_project_spark import schemas
+from ultimate_data_engineering_project_spark.operators.relational import fuzzy_pairs
+from ultimate_data_engineering_project_spark.sources.readers import load_table
+from ultimate_data_engineering_project_spark.sources.sinks import write_csv, write_parquet
+
+
+def test_csv_and_parquet_sinks(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    write_csv(df, str(tmp_path / "csv"), mode="overwrite")
+    back = spark.read.option("header", True).csv(str(tmp_path / "csv"))
+    assert back.count() == 2 and set(back.columns) == {"a", "b"}
+    write_parquet(df, str(tmp_path / "pq"), mode="overwrite")
+    assert spark.read.parquet(str(tmp_path / "pq")).count() == 2
+
+
+def test_ddl_registry():
+    ddl = schemas.ddl(schemas.FAKESTREAM_CUSTOMERS)
+    assert "customer_id BIGINT NOT NULL" in ddl
+    assert "phone STRING" in ddl
+    sql = schemas.create_table_sql("customers", schemas.FAKESTREAM_CUSTOMERS)
+    assert sql.startswith("CREATE TABLE IF NOT EXISTS customers (")
+    assert sql.endswith("USING parquet")
+    # every fixture schema has a registry entry matching the parquet
+    assert set(schemas.FIXTURE_SCHEMAS) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+
+
+def test_schema_registry_matches_disk(spark, sf_dir):
+    for name, expected in schemas.FIXTURE_SCHEMAS.items():
+        actual = load_table(spark, sf_dir, name).schema
+        assert [f.name for f in actual.fields] == [f.name for f in expected.fields], name
+        assert [f.dataType for f in actual.fields] == [
+            f.dataType for f in expected.fields
+        ], name
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """Scale path for distinct counts / quantiles: HLL++ and KLL-style
+    sketches must land near exact values (A7/A5 approximations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey").alias("d")).first()["d"]
+    approx = li.select(F.approx_count_distinct("l_partkey", rsd=0.02).alias("d")).first()["d"]
+    assert abs(approx - exact) / exact < 0.1
+    qs = li.approxQuantile("l_quantity", [0.5, 0.9], 0.01)
+    ex = li.select(F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("p")).first()["p"]
+    assert abs(qs[0] - ex[0]) <= 1.0 and abs(qs[1] - ex[1]) <= 1.0
+
+
+def test_fuzzy_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="cold widget"),
+            Row(id=2, name="bold widget"),   # distance 1
+            Row(id=3, name="small widget"),  # distance > 2 from both
+            Row(id=4, name="blue rod"),      # different block
+        ]
+    )
+    out = fuzzy_pairs(
+        df, "id", "name", F.regexp_extract(F.col("name"), r"([a-z]+)$", 1), 2
+    )
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    assert got == {(1, 2): 1}

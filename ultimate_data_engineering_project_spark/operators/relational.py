@@ -63,6 +63,53 @@ def self_pairs(
     return a.join(b, on=cond, how="inner")
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_expr: Column,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Fuzzy-duplicate pairs via blocked Levenshtein (J6 — the
+    reference's declared 'deduplicate customers (fuzzy matching)',
+    polished_transactions.py:507).
+
+    The equi-join on ``block_expr`` (a cheap canopy: prefix, phonetic
+    code, last token, ...) bounds the candidate set; the edit-distance
+    theta predicate runs only within blocks — the standard blocking
+    pattern that keeps fuzzy dedup out of O(n²) at 100 TB.  For
+    token-level fuzziness over long text use MinHash (operators.dedup)
+    instead.
+    """
+    slim = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        block_expr.alias("__block"),
+    )
+    a = slim.alias("a")
+    b = slim.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__block") == F.col("b.__block"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .withColumn(
+            "distance", F.levenshtein(F.col("a.__name"), F.col("b.__name"))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__name").alias("name_a"),
+            F.col("b.__name").alias("name_b"),
+            F.col("distance").cast("long").alias("distance"),
+        )
+    )
+
+
 def union_distinct(*dfs: DataFrame) -> DataFrame:
     """ANSI UNION (distinct) across homogeneous frames (§2.7)."""
     out = dfs[0]
