@@ -42,6 +42,41 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """64-bit shingle hashes WITHOUT building shingle strings: hash each
+    token once, then hash the n-tuple of token hashes per position
+    (xxhash64 is variadic).  Same Jaccard as string shingles up to
+    negligible collision mass, at a fraction of the cost — no per-
+    shingle string allocation/concat.  Sorted for cheap set compare.
+
+    The token-hash array is bound as a lambda variable (via a 1-element
+    array transform) so it is evaluated ONCE per row — referencing the
+    expression directly inside the positional lambda would re-evaluate
+    the whole token-hash pipeline per shingle position.
+    """
+    toks = F.split(text, " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def per_row(t: Column) -> Column:
+        # guard: texts shorter than n tokens hash as a single shingle
+        # (the whole-token-tuple padded by position reuse is avoided —
+        # element_at is out-of-bounds-strict under ANSI).
+        full = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(t, i + j + 1) for j in range(n)]
+                    ),
+                )
+            )
+        )
+        short = F.array(F.xxhash64(t))  # whole short text = one shingle
+        return F.when(F.size(t) >= n, full).otherwise(short)
+
+    return F.element_at(F.transform(F.array(th), per_row), 1)
+
+
 def _minhash_signature(shingle_hashes: Column, num_hashes: int, seed: int) -> Column:
     """num_hashes MinHash values via universal hashing
     h_i(x) = (a_i*x + b_i) mod p (Broder's linear-permutation family).
@@ -100,17 +135,18 @@ def minhash_lsh_pairs(
     # shingle-hash arrays (array<long>) are the working representation:
     # Jaccard over 64-bit shingle hashes equals Jaccard over shingles up
     # to negligible collision mass, and long arrays shuffle/compare far
-    # cheaper than string arrays.
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_sort(
-            F.transform(
-                shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
-            )
-        ).alias("__shh"),
+    # cheaper than string arrays (shingle strings are never built).
+    # round-robin spread BEFORE the heavy per-row work: a corpus landing
+    # as few large files (or one) would otherwise run the whole
+    # shingle+signature pipeline on as few cores.
+    n_spread = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(n_spread)
+        .select("__id", shingle_hashes(F.col("__text"), shingle_n).alias("__shh"))
     )
 
-    # repartition = materialization barrier: without it Catalyst's
+    # keyed repartition = materialization barrier: without it Catalyst's
     # projection collapse inlines the signature aggregate into each of
     # the `bands` band-hash expressions (recomputing it 8x per row).
     # All three downstream consumers (banding, verify sh_a, verify sh_b)
@@ -186,14 +222,14 @@ def ngram_jaccard_pairs(
     not n^2.  At 100 TB you'd pre-filter hot shingles (stop-shingles) —
     exposed via `max_doc_freq`.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    n_spread = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(n_spread)
+        .select("__id", shingle_hashes(F.col("__text"), shingle_n).alias("__sh"))
     )
     sizes = base.select("__id", F.size("__sh").alias("__n"))
-    inv = base.select(
-        "__id", F.explode(F.col("__sh")).alias("__s")
-    ).withColumn("__sh64", F.xxhash64("__s")).drop("__s")
+    inv = base.select("__id", F.explode(F.col("__sh")).alias("__sh64"))
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (

@@ -160,22 +160,25 @@ def dq_report(
     t = transaction_dq_report(transactions).withColumnRenamed(
         "total_rows", "n_transactions"
     )
+    # join-based detectors as 1-row aggregates, composed with crossJoins
+    # into the SAME plan — one job, no driver-side .count() round-trips.
     joins = (
-        transactions.sparkSession.range(1)
-        .select(
-            F.lit(duplicate_customer_pairs(customers).count()).alias(
-                "n_duplicate_customer_pairs"
-            ),
-            F.lit(
-                inactive_account_transactions(transactions, accounts).count()
-            ).alias("n_inactive_account_trx"),
-            F.lit(orphan_transactions(transactions, accounts).count()).alias(
-                "n_orphan_transactions"
-            ),
-            F.lit(circular_transfer_pairs(transactions).count()).alias(
-                "n_circular_transfer_pairs"
-            ),
+        duplicate_customer_pairs(customers)
+        .agg(F.count(F.lit(1)).alias("n_duplicate_customer_pairs"))
+        .crossJoin(
+            inactive_account_transactions(transactions, accounts).agg(
+                F.count(F.lit(1)).alias("n_inactive_account_trx")
+            )
         )
-        .drop("id")
+        .crossJoin(
+            orphan_transactions(transactions, accounts).agg(
+                F.count(F.lit(1)).alias("n_orphan_transactions")
+            )
+        )
+        .crossJoin(
+            circular_transfer_pairs(transactions).agg(
+                F.count(F.lit(1)).alias("n_circular_transfer_pairs")
+            )
+        )
     )
     return c.crossJoin(a).crossJoin(t).crossJoin(joins)
