@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis): operator semantics vs brute-force
+pure-Python reference implementations on randomized small inputs
+(SURVEY.md §5.2 — the engine's own correctness layer beyond the DuckDB
+oracle)."""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from ultimate_data_engineering_project_spark.operators import windows
+
+BASE = datetime.datetime(2024, 1, 1)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=7200),   # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ev=events_strategy, gap=st.sampled_from([60, 600, 1800]))
+@settings(**_SETTINGS)
+def test_sessionize_matches_reference(spark, ev, gap):
+    rows = [
+        Row(user_id=u, event_id=i, ts=BASE + datetime.timedelta(seconds=s))
+        for i, (u, s) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in windows.sessionize(df, "user_id", "ts", gap, tiebreak="event_id").collect()
+    }
+    # pure-python reference
+    expect = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        sid, prev = 0, None
+        for r in rs:
+            if prev is None or (r.ts - prev).total_seconds() > gap:
+                sid += 1
+            expect[r.event_id] = sid
+            prev = r.ts
+    assert got == expect
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),  # left ts
+    st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=15),  # right ts
+)
+
+
+@given(data=asof_strategy, strict=st.booleans())
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference(spark, data, strict):
+    lts, rts = data
+    left = spark.createDataFrame(
+        [Row(k="a", lt=BASE + datetime.timedelta(minutes=m), lid=i) for i, m in enumerate(lts)]
+    )
+    rows_r = [
+        Row(k="a", rt=BASE + datetime.timedelta(minutes=m), val=float(i))
+        for i, m in enumerate(sorted(set(rts)))
+    ]
+    if not rows_r:
+        return  # asof against empty right is covered in unit tests
+    right = spark.createDataFrame(rows_r)
+    out = windows.asof_join(
+        left, right, on=["k"], left_ts="lt", right_ts="rt",
+        right_cols=["val"], strict=strict,
+    )
+    got = {r["lid"]: r["val_asof"] for r in out.collect()}
+    for i, m in enumerate(lts):
+        lt = BASE + datetime.timedelta(minutes=m)
+        cand = [r for r in rows_r if (r.rt < lt if strict else r.rt <= lt)]
+        expect = max(cand, key=lambda r: r.rt).val if cand else None
+        assert got[i] == expect, (i, m, strict)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_reference(spark, texts):
+    from ultimate_data_engineering_project_spark.operators import dedup
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", jaccard_threshold=0.0).collect()
+    }
+
+    def sh(t, n=3):
+        w = t.split()
+        if len(w) < n:
+            return {t}  # whole short text = one shingle (operator contract)
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            A, B = sh(texts[i]), sh(texts[j])
+            expect = len(A & B) / len(A | B)
+            if expect > 0:
+                assert abs(got[(i, j)] - expect) < 1e-5, (texts[i], texts[j])
+            else:
+                assert (i, j) not in got
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(1, 3), st.floats(-1000, 1000)), min_size=1, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_running_sum_matches_reference(spark, vals):
+    rows = [Row(k=k, i=i, v=v) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    out = windows.running_sum(df, ["k"], ["i"], F.col("v").cast("decimal(25,10)"))
+    got = {r["i"]: float(r["running_sum"]) for r in out.collect()}
+    acc: dict[int, float] = {}
+    for i, (k, v) in enumerate(vals):
+        acc[k] = acc.get(k, 0.0) + v
+        assert abs(got[i] - acc[k]) < 1e-5

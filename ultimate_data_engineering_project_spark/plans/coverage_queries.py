@@ -206,3 +206,62 @@ def docs_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         vote.cast("long").alias("sentiment_sum"),
         F.round(vote.cast("double") / F.size(toks), 6).alias("sentiment_score"),
     )
+
+
+@register(
+    "token_frequencies",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies via explode/lateral view (X4 — the
+    word-count shape: explode -> groupBy -> top-k).  Partial (map-side)
+    aggregation makes the shuffle carry one row per (partition, token),
+    not per occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return freq.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(20)
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PIVOT (A5) with pinned pivot values — pinning keeps the
+    output schema static, which is also what makes pivot scale (no
+    driver-side distinct-value discovery pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("P"),
+    )
