@@ -49,6 +49,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load() -> None:
     # import for side effect of registration; idempotent
     from ultimate_data_engineering_project_spark.plans import (  # noqa: F401
+        advanced_queries,
         coverage_queries,
         extra_queries,
         fakestream_queries,

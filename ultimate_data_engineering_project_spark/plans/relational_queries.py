@@ -268,18 +268,20 @@ def join_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact join + grouped revenue + top-k (J3+A5+O1).  Revenue
-    is aggregated BEFORE the join at scale; here lineitem pre-aggregates
-    by l_orderkey (map-side partial), then joins orders."""
+    is aggregated BEFORE the join (map-side partial per l_orderkey), and
+    the top-k is taken BEFORE the join too: l_orderkey is a foreign key
+    into orders, so ranking the aggregated revenue first shrinks the
+    join's probe side from |orders| rows to k — the joined/attach step
+    then broadcasts k rows instead of shuffling the whole fact table."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    joined = orders.select("o_orderkey", "o_custkey").join(rev, "o_orderkey")
-    return aggregates.topk(
-        joined.select("o_orderkey", "o_custkey", "revenue"),
-        [F.col("revenue").desc(), F.col("o_orderkey")],
-        10,
+    top = aggregates.topk(rev, [F.col("revenue").desc(), F.col("o_orderkey")], 10)
+    joined = orders.select("o_orderkey", "o_custkey").join(F.broadcast(top), "o_orderkey")
+    return joined.select("o_orderkey", "o_custkey", "revenue").orderBy(
+        F.col("revenue").desc(), F.col("o_orderkey")
     )
 
 
