@@ -161,6 +161,26 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"ANN recall too low: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    ivf = similarity.ivf_topk(emb, queries, k=5)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # every reported neighbor carries its true cosine (exact re-rank)
+    by_pair = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in ivf.collect()}
+    bf_by_pair = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in brute.collect()
+    }
+    for pair in a & b:
+        assert abs(by_pair[pair] - bf_by_pair[pair]) < 1e-9
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [

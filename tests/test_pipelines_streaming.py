@@ -17,7 +17,10 @@ from ultimate_data_engineering_project_spark.streaming.pipelines import (
     cdc_apply_batch,
     events_file_stream,
     parse_debezium_envelope,
+    run_cdc_stream,
     stream_daily_volume,
+    stream_dedup,
+    stream_purchase_after_click,
     write_bronze_stream,
 )
 
@@ -129,6 +132,107 @@ def test_streaming_daily_volume_availablenow(spark, sf_dir, tmp_path):
     q3 = write_bronze_stream(events_file_stream(spark, src), out_dir, ckpt)
     q3.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_dedup_availablenow(spark, sf_dir, tmp_path):
+    """Streaming exact dedup drops replayed rows within the watermark."""
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    src = str(tmp_path / "dup_src")
+    events = load_table(spark, sf_dir, "events").limit(200)
+    # stage the same rows twice (an at-least-once replay)
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 2 * events.count()
+
+    deduped = stream_dedup(events_file_stream(spark, src), ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out")
+    assert got.count() == events.count()
+    assert got.distinct().count() == events.count()
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir, tmp_path):
+    """T5: the streaming purchase←click interval self-join emits exactly
+    the pairs the equivalent batch join produces."""
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    src = str(tmp_path / "ss_src")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(src)
+
+    joined = stream_purchase_after_click(events_file_stream(spark, src))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("cts") < F.col("pts")),
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
+
+
+def test_cdc_stream_foreachbatch(spark, tmp_path):
+    """T1 end-to-end in streaming mode: envelope files → foreachBatch
+    upsert → parquet table image, across two micro-batch rounds."""
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    row_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    (env_dir / "batch1.jsonl").write_text(
+        '{"op":"c","ts_ms":1,"before":null,"after":"{\\"k\\":1,\\"v\\":\\"a\\"}"}\n'
+        '{"op":"c","ts_ms":2,"before":null,"after":"{\\"k\\":2,\\"v\\":\\"x\\"}"}\n'
+    )
+    q = run_cdc_stream(spark, str(env_dir), row_schema, ["k"], table_dir, ckpt)
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: "a", 2: "x"}
+
+    # second drop: update 1, delete 2, insert 3; restart from checkpoint
+    (env_dir / "batch2.jsonl").write_text(
+        '{"op":"u","ts_ms":3,"before":"{\\"k\\":1,\\"v\\":\\"a\\"}","after":"{\\"k\\":1,\\"v\\":\\"b\\"}"}\n'
+        '{"op":"d","ts_ms":4,"before":"{\\"k\\":2,\\"v\\":\\"x\\"}","after":null}\n'
+        '{"op":"c","ts_ms":5,"before":null,"after":"{\\"k\\":3,\\"v\\":\\"c\\"}"}\n'
+    )
+    q2 = run_cdc_stream(spark, str(env_dir), row_schema, ["k"], table_dir, ckpt)
+    q2.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: "b", 3: "c"}
 
 
 def test_multimodal_decode(spark, sf_dir):

@@ -116,6 +116,103 @@ def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+def _centroid_dist2(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array column and a literal centroid
+    (sequential fold — deterministic)."""
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the clustered-corpus scale
+    path, complementing the data-independent LSH of :func:`ann_topk`.
+
+    Train: k-means over a corpus sample (MLlib, seeded).  Index: assign
+    every corpus vector to its nearest centroid — the 'inverted list'
+    key, a plain column, so the index IS the DataFrame's partitioning.
+    Search: each query probes its ``n_probe`` nearest centroids and
+    equi-joins the corpus on the centroid id; exact cosine re-ranks the
+    candidates and a window keeps k.
+
+    At 100 TB: centroids are a driver-side constant (n_centroids × dim
+    doubles); assignment is one map-side pass; candidate generation is a
+    shuffled equi-join on cluster id scaling with list occupancy — never
+    |corpus| × |queries|.  Raise n_centroids ∝ √N to keep lists bounded,
+    and repartition/bucket the indexed corpus by ``__cid`` to co-locate
+    each list.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def ranked_centroids(vec: Column) -> Column:
+        # array<struct<dist2,cid>> sorted by distance (struct ordering)
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _centroid_dist2(vec, c).alias("dist2"),
+                        F.lit(i).alias("cid"),
+                    )
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
+
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cid", ranked_centroids(F.col("__cv"))[0]["cid"])
+
+    probed = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn(
+            "__cid",
+            F.explode(
+                F.transform(
+                    F.slice(ranked_centroids(F.col("__qv")), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    cand = (
+        probed.join(indexed, "__cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

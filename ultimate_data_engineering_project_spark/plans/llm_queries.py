@@ -340,6 +340,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+@register("ann_topk_ivf", oracle=None)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via IVF (X3 scale path for
+    clustered corpora: seeded k-means coarse quantizer → inverted-list
+    equi-join → exact cosine re-rank; recall vs brute force asserted in
+    tests/test_operators.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 @register("docs_lang_id", oracle=None)
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language identification (X4 — n-gram-heuristic

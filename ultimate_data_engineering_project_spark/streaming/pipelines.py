@@ -111,6 +111,105 @@ def write_bronze_stream(
     return writer.start()
 
 
+def stream_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "1 day"
+) -> DataFrame:
+    """X1 on a stream: exact dedup with bounded state.  dropDuplicates
+    under a watermark keeps per-key state only until the key's event
+    time ages past the watermark — without it, state grows forever.
+    The batch twin is operators/dedup.exact_dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_purchase_after_click(
+    events: DataFrame, max_gap: str = "1 hour"
+) -> DataFrame:
+    """T5: stream-stream self-join under watermarks — each purchase
+    paired with every click by the same user in the preceding
+    ``max_gap`` (the streaming form of the circular-transfer pairing,
+    reference polished_transactions.py:364-375: same-entity events
+    correlated within a time bound).
+
+    Both sides carry watermarks and the join condition bounds the event
+    times, so the state store can evict rows once the slower watermark
+    passes — the join runs with finite state on an unbounded stream.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "inner",
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    envelope_dir: str,
+    row_schema: T.StructType,
+    keys: list[str],
+    table_dir: str,
+    checkpoint: str,
+):
+    """T1 end-to-end: a streaming CDC pipeline.  Reads Debezium-style
+    envelope JSON lines from a directory (the Kafka-topic stand-in),
+    parses them, and folds each micro-batch into the parquet table image
+    at ``table_dir`` via foreachBatch + cdc_apply_batch (last-writer-
+    wins upsert, op='d' deletes).
+
+    The foreachBatch body is the same pure function the batch tests
+    verify; with a transactional table format it becomes MERGE INTO.
+    """
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 4)
+        .load(envelope_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = parse_debezium_envelope(batch_df, row_schema)
+        try:
+            current = spark.read.parquet(table_dir)
+        except Exception:
+            current = spark.createDataFrame([], row_schema)
+        updated = cdc_apply_batch(current, changes, keys)
+        # materialize before overwrite: the plan reads the same files it
+        # replaces, so stage through a local collect-free checkpoint
+        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_dir)
+
+    return (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def parse_debezium_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFrame:
     """T1: decode a Debezium-style change stream: envelope JSON →
     (op, ts_ms, before, after) with the row images parsed to
