@@ -1,0 +1,110 @@
+"""Physical-plan property tests (SURVEY.md §4): the scale guarantees —
+pushdown, pruning, broadcast strategy, top-k, map-side partials, codegen
+— asserted on the actual Catalyst output so a refactor cannot silently
+regress the 100 TB story.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from ultimate_data_engineering_project_spark.plans.catalog import catalog
+from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+SPECS = catalog()
+
+
+def plan(df) -> str:
+    """Formatted explain: full per-node detail (scan metadata like
+    PushedFilters/ReadSchema is NOT truncated, unlike toString())."""
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    """P2/S4: predicates reach the parquet scan; scan schema is pruned
+    to the projected+filtered columns only."""
+    df = SPECS["filter_open_orders"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "PushedFilters" in p
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderstatus", p), p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderstatus", "o_orderpriority"}, read_cols
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    """J3/J8: every dimension side of the star join is broadcast — no
+    shuffle of the fact table for dimension attachment."""
+    df = SPECS["star_join_revenue_by_nation"].fn(spark, sf_dir)
+    p = physical(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    """O1: ORDER BY + LIMIT plans TakeOrderedAndProject (per-partition
+    k-row heaps), never a global Sort."""
+    df = SPECS["topk_orders_by_price"].fn(spark, sf_dir)
+    p = physical(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_aggregate_has_map_side_partial(spark, sf_dir):
+    """A5: grouped aggregation carries partial_* functions before the
+    exchange (map-side combine) — the shuffle moves one row per group
+    per partition, not one per input row."""
+    df = SPECS["pricing_summary"].fn(spark, sf_dir)
+    assert "partial_" in physical(df)
+    df.collect()  # AQE finalizes THIS plan on execution (count() would
+    # plan its own query and leave this one isFinalPlan=false)
+    p = physical(df)
+    assert "isFinalPlan=true" in p
+    # codegen spans print as *(n) prefixes in the simple plan form
+    assert "*(" in p, "aggregation fell out of whole-stage codegen"
+
+
+def test_semi_join_not_materialized(spark, sf_dir):
+    """J1: the IN-subquery form stays a semi join (no inner join +
+    dedup materialization)."""
+    df = SPECS["semi_join_customer_segments"].fn(spark, sf_dir)
+    assert "LeftSemi" in plan(df)
+
+
+def test_order_revenue_topk_joins_after_limit(spark, sf_dir):
+    """The order-revenue top-k attaches orders AFTER the k-row cut:
+    the join input must be a broadcast of the limited side."""
+    df = SPECS["join_order_revenue_topk"].fn(spark, sf_dir)
+    p = physical(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_incremental_filter_pushdown(spark, sf_dir, tmp_path):
+    """S2: the watermark predicate on updated_at pushes into the source
+    scan (Catalyst JDBC/parquet pushdown), so an incremental poll reads
+    only new row groups."""
+    src = str(tmp_path / "wm_src")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("updated_at")
+    ).write.parquet(src)
+    df = spark.read.parquet(src).filter(
+        F.col("updated_at") > F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*updated_at", plan(df)), plan(df)
+
+
+def test_dedup_canonical_single_shuffle(spark, sf_dir):
+    """X1: exact dedup canonicalization is one hash-partition exchange on
+    the dedup key — not a sort or a second shuffle."""
+    df = SPECS["docs_exact_dedup_canonical"].fn(spark, sf_dir)
+    p = physical(df)
+    assert p.count("Exchange hashpartitioning") <= 2, p
