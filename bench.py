@@ -23,6 +23,9 @@ HEADLINE = [
     "star_join_revenue_by_nation",
     "join_order_revenue_topk",
     "self_join_same_day_orders",
+    "nation_pair_trade_flows",
+    "customer_order_distribution",
+    "range_rolling_revenue",
     "running_total_by_customer",
     "sessionize_events",
     "events_daily_volume",
