@@ -181,6 +181,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         assert abs(by_pair[pair] - bf_by_pair[pair]) < 1e-9
 
 
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting spreads a hot key over salt_buckets partitions without
+    changing join semantics."""
+    from ultimate_data_engineering_project_spark.operators import relational
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = relational.salted_join(li, orders, "l_orderkey", salt_buckets=8)
+    plain = li.join(orders, "l_orderkey")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    p = plain.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {(r["l_orderkey"], r["n"]) for r in s} == {
+        (r["l_orderkey"], r["n"]) for r in p
+    }
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [

@@ -102,6 +102,22 @@ def test_incremental_filter_pushdown(spark, sf_dir, tmp_path):
     assert re.search(r"PushedFilters: \[[^\]]*updated_at", plan(df)), plan(df)
 
 
+def test_partition_pruning_on_partitioned_bronze(spark, sf_dir, tmp_path):
+    """Bronze written partitioned by ingest date prunes at the scan: a
+    date-filtered read shows PartitionFilters and touches one partition
+    directory, not the table."""
+    bronze = str(tmp_path / "bronze_part")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_ingest_date", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    ev.write.partitionBy("_ingest_date").parquet(bronze)
+    days = [r["_ingest_date"] for r in ev.select("_ingest_date").distinct().collect()]
+    assert len(days) > 1
+    df = spark.read.parquet(bronze).filter(F.col("_ingest_date") == F.lit(days[0]))
+    p = plan(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*_ingest_date", p), p
+
+
 def test_dedup_canonical_single_shuffle(spark, sf_dir):
     """X1: exact dedup canonicalization is one hash-partition exchange on
     the dedup key — not a sort or a second shuffle."""

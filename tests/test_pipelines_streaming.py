@@ -21,6 +21,7 @@ from ultimate_data_engineering_project_spark.streaming.pipelines import (
     stream_daily_volume,
     stream_dedup,
     stream_purchase_after_click,
+    stream_running_totals,
     write_bronze_stream,
 )
 
@@ -233,6 +234,44 @@ def test_cdc_stream_foreachbatch(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
     assert got == {1: "b", 3: "c"}
+
+
+def test_stream_running_totals_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-key state accumulates across
+    micro-batches; the final emitted state equals the batch fold."""
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    src = str(tmp_path / "state_src")
+    events = load_table(spark, sf_dir, "events")
+    # several files => several micro-batches (maxFilesPerTrigger=8)
+    events.repartition(16).write.parquet(src)
+
+    totals = stream_running_totals(events_file_stream(spark, src))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("run_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("SELECT * FROM run_totals").collect()
+    assert len(emitted) > 0
+    # last update per user (highest n_events) must equal the batch fold
+    final = {}
+    for r in emitted:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][1]:
+            final[r["user_id"]] = (r["total"], r["n_events"])
+    batch = {
+        r["user_id"]: (r["t"], r["n"])
+        for r in events.groupBy("user_id")
+        .agg(F.sum("value").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (total, n) in final.items():
+        assert n == batch[uid][1]
+        assert abs(total - batch[uid][0]) < 1e-6
 
 
 def test_multimodal_decode(spark, sf_dir):

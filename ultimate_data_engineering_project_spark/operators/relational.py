@@ -110,6 +110,40 @@ def fuzzy_pairs(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to heavy key skew: the skewed (fact) side gets
+    a random salt in [0, salt_buckets); the other side is replicated
+    once per salt value; the join runs on (key, salt).
+
+    A hot key that would land its entire volume in one shuffle partition
+    is spread over ``salt_buckets`` partitions instead — the manual
+    fallback when AQE's skew-join splitting can't apply (e.g. the
+    skewed side feeds an aggregation that must co-group, or a
+    stream-static join where AQE doesn't re-plan).  Cost: the other
+    side shuffles ``salt_buckets``× — use only when that side is small
+    relative to the hot key's volume.
+
+    The reference's hot keys are high-activity accounts (its per-account
+    transaction loop, oltp_seeder.py:369-379, concentrates volume on
+    active accounts); results are identical to a plain join.
+    """
+    salted_fact = skewed.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    exploded_other = other.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    return salted_fact.join(exploded_other, on=[on, "__salt"], how=how).drop("__salt")
+
+
 def union_distinct(*dfs: DataFrame) -> DataFrame:
     """ANSI UNION (distinct) across homogeneous frames (§2.7)."""
     out = dfs[0]

@@ -167,6 +167,44 @@ def stream_purchase_after_click(
     )
 
 
+def stream_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (T5 surface,
+    applyInPandasWithState): per-user running total and event count
+    maintained across micro-batches in the state store.
+
+    This is the streaming recast of the reference's in-driver balance
+    fold (``balance_updates[acc] += amount``, oltp_seeder.py:450-470):
+    keyed state, Arrow-batched updates, linear in batch size.  State is
+    one (total, n) pair per key — bounded by key cardinality, not
+    stream length.  Built-in windowed aggs can't express "emit the
+    running value per key on every batch", which is exactly what the
+    ledger needs; this is the sanctioned escape hatch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, total double, n_events bigint"
+    state_schema = "total double, n bigint"
+
+    def update_totals(key, pdf_iter, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total": [total], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_cdc_stream(
     spark: SparkSession,
     envelope_dir: str,
