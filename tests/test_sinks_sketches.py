@@ -17,6 +17,42 @@ def test_csv_and_parquet_sinks(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "pq")).count() == 2
 
 
+def test_csv_json_schema_read_with_quarantine(spark, tmp_path):
+    """Schema-enforced CSV/JSON reads: typed good rows, malformed rows
+    quarantined whole — never silently nulled, never a job failure."""
+    from pyspark.sql import types as T
+
+    from ultimate_data_engineering_project_spark.sources.readers import (
+        read_csv,
+        read_json,
+        split_corrupt,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    csv_path = tmp_path / "in.csv"
+    csv_path.write_text("id,amount,label\n1,10.5,ok\nnot_a_number,2.0,bad\n3,7.25,ok2\n")
+    good, bad = split_corrupt(read_csv(spark, str(csv_path), schema))
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert good.schema["amount"].dataType == T.DoubleType()
+    assert bad.count() == 1 and "not_a_number" in bad.collect()[0][0]
+
+    json_path = tmp_path / "in.jsonl"
+    json_path.write_text(
+        '{"id": 1, "amount": 10.5, "label": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "amount": 7.25, "label": "ok2"}\n'
+    )
+    good_j, bad_j = split_corrupt(read_json(spark, str(json_path), schema))
+    assert {r["id"] for r in good_j.collect()} == {1, 3}
+    assert bad_j.count() == 1
+
+
 def test_ddl_registry():
     ddl = schemas.ddl(schemas.FAKESTREAM_CUSTOMERS)
     assert "customer_id BIGINT NOT NULL" in ddl

@@ -75,6 +75,81 @@ def register_temp_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) 
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_schema(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Schema-enforced CSV read with corrupt-row capture (S5 read side —
+    the reference's CSV bronze erases types, psql_connector.py:152-156;
+    re-reading with a declared schema restores them).
+
+    PERMISSIVE mode: rows that fail the schema land whole in
+    ``_corrupt_record`` instead of failing the job or silently nulling —
+    split them off with :func:`split_corrupt` into a quarantine sink.
+    """
+    reader = (
+        spark.read.schema(_with_corrupt_schema(schema))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    **options: str,
+) -> DataFrame:
+    """Schema-enforced JSON-lines read with corrupt-row capture (the
+    CDC-envelope / event-drop landing format; same quarantine contract
+    as :func:`read_csv`)."""
+    reader = (
+        spark.read.schema(_with_corrupt_schema(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, quarantined_raw_rows).
+
+    The quarantine side keeps only the raw record string — route it to
+    a DQ sink; the good side is clean and typed.
+
+    The parse is cached first: Spark disallows plans that reference
+    only ``_corrupt_record`` over a raw file scan (the column is
+    populated during parsing, so a corrupt-only projection would have
+    nothing to parse).  In a pipeline the same thing falls out
+    naturally — land the parsed batch in bronze, then split.
+    """
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
