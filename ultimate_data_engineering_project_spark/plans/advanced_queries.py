@@ -467,6 +467,113 @@ def range_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_purchase_clicks",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+     AND CAST(c.ts AS TIMESTAMP) <  CAST(p.ts AS TIMESTAMP)
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval non-equi join (J9 family): every purchase paired
+    with the same user's clicks in the preceding hour.  The equi half
+    (user_id) keys the shuffle; the interval predicate filters within
+    the hash-join match — never a cartesian.  Streaming twin:
+    streaming/pipelines.stream_purchase_after_click (same plan under
+    watermarks)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+@register(
+    "self_fk_manager_join",
+    oracle="""
+    WITH employees AS (
+        SELECT s_suppkey, s_name,
+               CASE WHEN s_suppkey > 0 THEN s_suppkey // 2 END AS reports_to
+        FROM supplier
+    )
+    SELECT e.s_suppkey, e.s_name, m.s_name AS manager_name
+    FROM employees e
+    LEFT JOIN employees m ON m.s_suppkey = e.reports_to
+    """,
+)
+def self_fk_manager_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referencing FK traversal (J8 — the Northwind
+    employees.reports_to shape, reference northwind.sql:111,3905-3906):
+    a binary-tree hierarchy derived deterministically over supplier,
+    walked with a self left-join (the root keeps a NULL manager)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    employees = supplier.select(
+        "s_suppkey",
+        "s_name",
+        F.when(F.col("s_suppkey") > 0, (F.col("s_suppkey") / 2).cast("long")).alias(
+            "reports_to"
+        ),
+    )
+    managers = employees.select(
+        F.col("s_suppkey").alias("reports_to"), F.col("s_name").alias("manager_name")
+    )
+    return employees.join(F.broadcast(managers), "reports_to", "left").select(
+        "s_suppkey", "s_name", "manager_name"
+    )
+
+
+@register(
+    "agg_modern_battery",
+    oracle="""
+    SELECT l_returnflag,
+           count_if(l_discount > 0.05) AS n_discounted,
+           bool_and(l_quantity > 0.0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           median(l_quantity) AS median_qty,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_modern_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface (A2 generalization): count_if,
+    bool_and/bool_or, exact median, min/max over event time — one pass,
+    conditional aggregation batched like the DQ report (A8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0.0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.median("l_quantity").alias("median_qty"),
+        F.min(F.col("l_shipdate").cast("timestamp")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("timestamp")).alias("last_ship"),
+    )
+
+
+@register(
     "array_functions_battery",
     oracle="""
     SELECT event_id,
