@@ -181,6 +181,27 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         assert abs(by_pair[pair] - bf_by_pair[pair]) < 1e-9
 
 
+def test_embedding_near_dup_recall_on_planted_pairs(spark):
+    """Planted near-duplicate vectors (tiny perturbations, cosine>0.99)
+    are all recovered; unrelated random vectors stay out."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        dup = [float(x + rng.gauss(0.0, 0.01)) for x in v]  # near-dup twin
+        rows.append((i * 2 + 1, dup))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.cosine_near_dup_pairs(df, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(20)}
+    assert planted <= got, f"missed {planted - got}"
+    # random 64-dim gaussians are near-orthogonal: no cross-pair survives
+    assert got == planted, f"false positives: {got - planted}"
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     """Salting spreads a hot key over salt_buckets partitions without
     changing join semantics."""

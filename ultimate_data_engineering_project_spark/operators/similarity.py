@@ -116,6 +116,67 @@ def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 10,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X2 dedup family, embedding
+    flavor): multi-table hyperplane-LSH candidate generation, exact
+    cosine verify, keep pairs with cosine >= threshold and id_a < id_b.
+
+    The self-join runs on (table_id, bucket) — O(sum of bucket sizes
+    squared), never O(n²) over the corpus; for true near-dups (theta
+    ~ 0) per-table collision probability is (1 - theta/pi)^n_planes
+    ~ 1, so recall across n_tables is effectively 1.  Raise n_planes
+    to shrink buckets on corpora with heavy cluster structure.
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        tables.append(
+            F.struct(
+                F.lit(t).alias("table_id"),
+                lsh_bucket_key(F.col("__v"), planes).alias("bucket"),
+            )
+        )
+    banded = base.withColumn("__t", F.explode(F.array(*tables))).select(
+        "__id", "__v", "__t.table_id", "__t.bucket"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.table_id") == F.col("b.table_id"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def _centroid_dist2(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance between an array column and a literal centroid
     (sequential fold — deterministic)."""

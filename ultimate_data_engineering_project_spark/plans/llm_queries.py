@@ -340,6 +340,17 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+@register("embedding_near_dup_pairs", oracle=None)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (X2 embedding flavor: hyperplane
+    LSH candidates → exact cosine verify).  The fixture's vectors are
+    near-orthogonal (max pairwise cosine ≈ 0.5), so the demo threshold
+    sits at the top of that distribution; real corpora use ≥0.9.
+    Recall on planted near-dups asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.35)
+
+
 @register("ann_topk_ivf", oracle=None)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via IVF (X3 scale path for
