@@ -340,6 +340,60 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+@register(
+    "docs_prep_pipeline",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang, source, text,
+               CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(list_filter(string_split(text, ' '),
+                           w -> w IN ({stop}))) AS BIGINT) AS n_stopwords,
+               CAST(LENGTH(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        FROM documents
+    ),
+    scored AS (
+        SELECT *,
+               ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) * 0.4
+                     + (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.2
+                     + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4, 6) AS quality_score
+        FROM feats
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE lang IN ('en', 'de') AND quality_score >= 0.5
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY lang, source
+    """.format(stop=_STOPWORD_LIST),
+)
+def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep (X1+X4 composed, the driver
+    contract's 'large-scale training-data pipeline' in one plan):
+    quality scoring → language + quality gates → exact dedup keeping
+    the canonical (lowest-id) copy → per-(lang, source) token budget.
+    Every stage is the engine's own operator; the whole pipeline stays
+    one Catalyst plan (scan → map → window → agg, two shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    kept = scored.filter(
+        F.col("lang").isin("en", "de") & (F.col("quality_score") >= 0.5)
+    )
+    deduped = dedup.exact_dedup(kept, ["text"], "doc_id")
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @register("embedding_near_dup_pairs", oracle=None)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (X2 embedding flavor: hyperplane
