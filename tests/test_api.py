@@ -42,3 +42,9 @@ def test_introspection(engine):
     info = engine.database_info()
     assert info["n_tables"] >= 10
     assert info["version"].startswith("Apache Spark")
+
+
+def test_table_stats(engine):
+    stats = engine.table_stats("orders")
+    assert stats["n_rows"] == 1500
+    assert stats["n_bytes"] > 0  # parquet-backed view: real file bytes

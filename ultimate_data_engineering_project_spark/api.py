@@ -81,6 +81,24 @@ class Engine:
         """version() analog (psql_connector.py:78-81)."""
         return f"Apache Spark {self.spark.version}"
 
+    def table_stats(self, table: str) -> dict:
+        """pg_total_relation_size / get_table_size analog
+        (psql_connector.py:101-110): row count plus on-disk bytes summed
+        over the table's input files (0 bytes for purely in-memory
+        views)."""
+        import os
+        from urllib.parse import urlparse
+
+        df = self.spark.table(table)
+        n_bytes = 0
+        for f in df.inputFiles():
+            path = urlparse(f).path or f
+            try:
+                n_bytes += os.path.getsize(path)
+            except OSError:
+                pass  # remote/object-store file: size not locally stat-able
+        return {"table": table, "n_rows": df.count(), "n_bytes": n_bytes}
+
     def database_info(self) -> dict:
         """get_database_info analog (connector_config.py:244-262)."""
         tables = self.table_names()
