@@ -118,6 +118,39 @@ def test_partition_pruning_on_partitioned_bronze(spark, sf_dir, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*_ingest_date", p), p
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count
+    join with ZERO Exchange nodes — the co-located fact-fact join."""
+    from ultimate_data_engineering_project_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li, "b_lineitem", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the join must be SMJ: the point is that
+        # even SMJ needs no exchange (and no sort) on bucketed inputs
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        p = plan(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_dedup_canonical_single_shuffle(spark, sf_dir):
     """X1: exact dedup canonicalization is one hash-partition exchange on
     the dedup key — not a sort or a second shuffle."""
