@@ -32,6 +32,7 @@ HEADLINE = [
     "conditional_dq_aggregate",
     "docs_quality_scores",
     "docs_exact_dedup_canonical",
+    "docs_prep_pipeline",
     "minhash_near_dup_pairs",
     "cosine_topk_bruteforce",
     "knn_label_vote",
