@@ -138,3 +138,76 @@ def test_running_sum_matches_reference(spark, vals):
     for i, (k, v) in enumerate(vals):
         acc[k] = acc.get(k, 0.0) + v
         assert abs(got[i] - acc[k]) < 1e-5
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6).map(lambda x: round(x, 4)), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_dsum_matches_exact_decimal_sum(spark, vals):
+    """dsum (the oracle-parity decimal accumulator) equals Python's
+    exact Decimal fold for any input order — the property the whole
+    cross-engine hash-match rests on."""
+    from decimal import Decimal
+
+    from ultimate_data_engineering_project_spark.functions.scalar import dsum
+
+    df = spark.createDataFrame([Row(v=float(v)) for v in vals])
+    got = df.agg(dsum("v").alias("s")).first()["s"]
+    expect = float(sum(Decimal(str(v)) for v in vals))
+    assert abs(got - expect) < 1e-9 * max(1.0, abs(expect))
+
+
+@given(
+    data=st.tuples(
+        st.lists(  # (user, ts-seconds, type 0=click 1=purchase)
+            st.tuples(
+                st.integers(1, 3),
+                st.integers(0, 7200),
+                st.integers(0, 1),
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+    )
+)
+@settings(**_SETTINGS)
+def test_interval_join_matches_reference(spark, data):
+    """The purchase<-click interval join (batch twin of the
+    stream-stream join) against a brute-force pure-Python pairing."""
+    (ev,) = data
+    rows = [
+        Row(
+            user_id=u,
+            event_id=i,
+            ts=BASE + datetime.timedelta(seconds=s),
+            event_type="purchase" if t else "click",
+            value=0.0,
+            props="{}",
+        )
+        for i, (u, s, t) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(rows)
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        stream_purchase_after_click,
+    )
+
+    # the same join logic runs on a static frame (isStreaming=False)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in stream_purchase_after_click(df).collect()
+    }
+    expect = set()
+    for p in rows:
+        if p.event_type != "purchase":
+            continue
+        for c in rows:
+            if (
+                c.event_type == "click"
+                and c.user_id == p.user_id
+                and p.ts - datetime.timedelta(hours=1) <= c.ts < p.ts
+            ):
+                expect.add((p.event_id, c.event_id))
+    assert got == expect
