@@ -102,6 +102,40 @@ def test_incremental_filter_pushdown(spark, sf_dir, tmp_path):
     assert re.search(r"PushedFilters: \[[^\]]*updated_at", plan(df)), plan(df)
 
 
+# Queries ALLOWED to plan a cartesian/nested-loop join, each a
+# deliberate choice documented in its docstring:
+#   brute-force similarity baselines broadcast a tiny query block;
+#   scalar-subquery patterns broadcast a one-row aggregate;
+#   timeseries pair joins broadcast a small-cardinality entity set.
+NESTED_LOOP_ALLOWED = {
+    "cosine_topk_bruteforce",
+    "knn_label_vote",
+    "fakestream_dq_report",
+    "filter_recent_window",
+    "part_value_share",
+    "wealthy_segment_summary",
+    "timeseries_dtw_pairs",
+    "timeseries_similar_users",
+}
+
+# fn() itself runs jobs (k-means training) — too heavy for a plan sweep
+PLAN_SWEEP_SKIP = {"ann_topk_ivf"}
+
+
+def test_no_accidental_cartesian_joins(spark, sf_dir):
+    """Catalog-wide guard: no query may plan CartesianProduct or
+    BroadcastNestedLoopJoin unless explicitly allowlisted — an
+    accidental cross join is the classic 100 TB killer."""
+    offenders = []
+    for name, spec in sorted(SPECS.items()):
+        if name in NESTED_LOOP_ALLOWED or name in PLAN_SWEEP_SKIP:
+            continue
+        p = plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian/nested-loop joins: {offenders}"
+
+
 def test_partition_pruning_on_partitioned_bronze(spark, sf_dir, tmp_path):
     """Bronze written partitioned by ingest date prunes at the scan: a
     date-filtered read shows PartitionFilters and touches one partition
