@@ -17,6 +17,22 @@ def test_csv_and_parquet_sinks(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "pq")).count() == 2
 
 
+def test_union_evolving_schemas(spark):
+    """Bronze batches with added/dropped columns union by name; missing
+    columns become NULL, order differences are irrelevant."""
+    from ultimate_data_engineering_project_spark.operators.relational import (
+        union_evolving,
+    )
+
+    b1 = spark.createDataFrame([Row(id=1, v="a")])
+    b2 = spark.createDataFrame([Row(v="b", id=2, extra=9)])  # reordered + new col
+    b3 = spark.createDataFrame([Row(id=3)])  # dropped column
+    out = union_evolving(b1, b2, b3).orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 2, 3]
+    assert [r["v"] for r in out] == ["a", "b", None]
+    assert [r["extra"] for r in out] == [None, 9, None]
+
+
 def test_csv_json_schema_read_with_quarantine(spark, tmp_path):
     """Schema-enforced CSV/JSON reads: typed good rows, malformed rows
     quarantined whole — never silently nulled, never a job failure."""

@@ -152,6 +152,18 @@ def union_distinct(*dfs: DataFrame) -> DataFrame:
     return out.distinct()
 
 
+def union_evolving(*dfs: DataFrame) -> DataFrame:
+    """Append bronze batches whose schemas evolved (§2.7 — the
+    reference's CSV drops gain/lose columns over time,
+    psql_connector.py:146-156): name-based union, absent columns
+    NULL-filled.  Column ORDER never matters, only names — positional
+    union is how type-sheared bronze tables are born."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def except_distinct(left: DataFrame, right: DataFrame) -> DataFrame:
     """ANSI EXCEPT (distinct)."""
     return left.distinct().exceptAll(right.distinct())

@@ -573,6 +573,23 @@ def agg_modern_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_sketch_battery", oracle=None)
+def approx_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximations (A7 scale path): HLL distinct counts
+    and quantile sketches per group — the sub-linear-memory versions of
+    COUNT(DISTINCT)/percentile for 100 TB cardinalities.  Rows-only:
+    sketch estimates are engine-specific; tolerance vs exact values is
+    asserted in tests/test_sinks_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 @register(
     "array_functions_battery",
     oracle="""
