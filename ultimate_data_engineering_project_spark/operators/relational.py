@@ -133,7 +133,18 @@ def salted_join(
     The reference's hot keys are high-activity accounts (its per-account
     transaction loop, oltp_seeder.py:369-379, concentrates volume on
     active accounts); results are identical to a plain join.
+
+    Only join types where unmatched replicated-side rows cannot leak
+    into the output are allowed: right/full outer joins would emit each
+    unmatched ``other`` row once per salt bucket.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — a "
+            "right/full join would duplicate unmatched replicated rows "
+            "once per salt bucket"
+        )
     salted_fact = skewed.withColumn(
         "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )

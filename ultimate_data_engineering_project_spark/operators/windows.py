@@ -34,7 +34,7 @@ def scd2(
     df: DataFrame,
     key: str,
     change_ts: str,
-    far_future: str = "9999-12-31 00:00:00",
+    far_future: str = "2200-01-01 00:00:00",
 ) -> DataFrame:
     """Build SCD Type 2 version intervals from a change log (W1 — the
     reference promises SCD2 for customer phone/address churn,
@@ -42,7 +42,9 @@ def scd2(
 
     Adds ``effective_from`` / ``effective_to`` / ``is_current``; the
     current version's effective_to is a far-future sentinel so as-of
-    joins are a simple BETWEEN.
+    joins are a simple BETWEEN.  The default sentinel stays within
+    pandas' nanosecond timestamp range (max 2262-04-11) so Arrow
+    conversion of the result never overflows.
     """
     w = Window.partitionBy(key).orderBy(change_ts)
     return (
@@ -204,9 +206,12 @@ def ledger_running_balance(
     mode this window computes exactly.
     """
     legs = _ledger_legs(transactions)
+    # leg breaks the (date, id) tie when a Transfer's two legs hit the
+    # SAME account (related_account_id == account_id): without it the
+    # running sum's intermediate rows are order-ambiguous.
     w = (
         Window.partitionBy("account_id")
-        .orderBy("transaction_date", "transaction_id")
+        .orderBy("transaction_date", "transaction_id", "leg")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = legs.withColumn("balance", F.sum("delta").over(w))
@@ -217,8 +222,9 @@ def ledger_running_balance(
 
 def _ledger_legs(transactions: DataFrame) -> DataFrame:
     """Signed ledger legs shared by both balance modes: completed rows
-    only; Transfer emits a debit leg on account_id and a credit leg on
-    related_account_id."""
+    only; Transfer emits a debit leg (leg=0) on account_id and a credit
+    leg (leg=1) on related_account_id.  ``leg`` is the deterministic
+    tiebreak when both legs land on the same (account, date, id)."""
     t = transactions.filter(F.col("status") == "completed")
     sign = (
         F.when(F.col("transaction_type").isin("Deposit", "Refund"), F.col("amount"))
@@ -232,6 +238,7 @@ def _ledger_legs(transactions: DataFrame) -> DataFrame:
         F.col("account_id"),
         F.col("transaction_id"),
         F.col("transaction_date"),
+        F.lit(0).alias("leg"),
         sign.alias("delta"),
     )
     inflow = t.filter(
@@ -240,6 +247,7 @@ def _ledger_legs(transactions: DataFrame) -> DataFrame:
         F.col("related_account_id").alias("account_id"),
         F.col("transaction_id"),
         F.col("transaction_date"),
+        F.lit(1).alias("leg"),
         F.col("amount").alias("delta"),
     )
     return outflow.unionByName(inflow)
@@ -263,6 +271,7 @@ def ledger_running_balance_clamped(transactions: DataFrame) -> DataFrame:
         "account_id",
         "transaction_id",
         "transaction_date",
+        F.col("leg").cast("int").alias("leg"),
         F.col("delta").cast("double").alias("delta"),
     )
     schema = T.StructType(
@@ -270,15 +279,16 @@ def ledger_running_balance_clamped(transactions: DataFrame) -> DataFrame:
             T.StructField("account_id", T.LongType()),
             T.StructField("transaction_id", T.LongType()),
             T.StructField("transaction_date", T.TimestampNTZType()),
+            T.StructField("leg", T.IntegerType()),
             T.StructField("delta", T.DoubleType()),
             T.StructField("balance", T.DoubleType()),
         ]
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["transaction_date", "transaction_id"]).reset_index(
-            drop=True
-        )
+        pdf = pdf.sort_values(
+            ["transaction_date", "transaction_id", "leg"]
+        ).reset_index(drop=True)
         bal = 0.0
         out = []
         for d in pdf["delta"]:

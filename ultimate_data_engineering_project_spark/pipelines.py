@@ -21,7 +21,6 @@ from ultimate_data_engineering_project_spark.fraud import circular_transfer_pair
 from ultimate_data_engineering_project_spark.functions.scalar import dsum
 from ultimate_data_engineering_project_spark.operators.windows import (
     dedup_keep_latest,
-    ledger_running_balance,
     scd2,
 )
 
@@ -135,14 +134,13 @@ def gold_dq_metrics(
 
 def account_balances(transactions: DataFrame) -> DataFrame:
     """Current balance per account from the ledger (X7 — final value of
-    the running balance; replaces the reference's per-row UPDATE loop
-    oltp_seeder.py:483-487 with one window + one aggregate)."""
-    ledger = ledger_running_balance(transactions)
-    w = Window.partitionBy("account_id").orderBy(
-        F.col("transaction_date").desc(), F.col("transaction_id").desc()
-    )
+    the running balance, which is just the signed-delta total; replaces
+    the reference's per-row UPDATE loop oltp_seeder.py:483-487 with one
+    partial-aggregating groupBy — one shuffle, no window sort)."""
+    from ultimate_data_engineering_project_spark.operators.windows import _ledger_legs
+
     return (
-        ledger.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("account_id", F.col("balance").alias("current_balance"))
+        _ledger_legs(transactions)
+        .groupBy("account_id")
+        .agg(F.sum("delta").alias("current_balance"))
     )

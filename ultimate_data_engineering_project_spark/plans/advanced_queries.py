@@ -548,7 +548,7 @@ def self_fk_manager_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_modern_battery",
     oracle="""
     SELECT l_returnflag,
-           count_if(l_discount > 0.05) AS n_discounted,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
            bool_and(l_quantity > 0.0) AS all_positive_qty,
            bool_or(l_tax > 0.07) AS any_high_tax,
            median(l_quantity) AS median_qty,
@@ -579,14 +579,22 @@ def approx_sketch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     and quantile sketches per group — the sub-linear-memory versions of
     COUNT(DISTINCT)/percentile for 100 TB cardinalities.  Rows-only:
     sketch estimates are engine-specific; tolerance vs exact values is
-    asserted in tests/test_sinks_sketches.py."""
+    asserted in tests/test_sinks_sketches.py.  Quantiles are projected
+    as scalar p50/p90/p99 columns (the driver harness canonicalizes
+    scalar cells; array cells are unhashable in pandas)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("__q"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "approx_orders",
+        "approx_parts",
+        F.element_at("__q", 1).alias("p50"),
+        F.element_at("__q", 2).alias("p90"),
+        F.element_at("__q", 3).alias("p99"),
     )
 
 
@@ -622,4 +630,48 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("arr", F.lit(3).cast("long")).alias("has_three"),
         F.try_element_at("arr", F.lit(2)).alias("second_elem"),
         F.try_element_at(F.reverse("arr"), F.lit(1)).alias("last_elem"),
+    )
+
+
+@register(
+    "composite_pk_order_details",
+    oracle=f"""
+    WITH details AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+    ),
+    returns AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    )
+    SELECT d.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_returned_lines,
+           {dsum_sql('d.l_extendedprice')} AS returned_revenue,
+           CAST(MIN(r.l_shipdate) AS DATE) AS first_return_ship
+    FROM details d
+    JOIN returns r
+      ON d.l_orderkey = r.l_orderkey AND d.l_linenumber = r.l_linenumber
+    GROUP BY d.l_partkey
+    """,
+)
+def composite_pk_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-primary-key equi-join (the Northwind order_details
+    shape: PK (order_id, product_id), reference northwind.sql:3745-3746,
+    schemas.NW_ORDER_DETAILS): lineitem's (l_orderkey, l_linenumber)
+    composite PK joins the detail rows to their return events on BOTH
+    key columns — a 2-column shuffle-hash key, partition-pruned and
+    never a row-multiplying single-key join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    details = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    joined = details.join(returns, on=["l_orderkey", "l_linenumber"])
+    return joined.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_returned_lines"),
+        dsum("l_extendedprice").alias("returned_revenue"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_return_ship"),
     )

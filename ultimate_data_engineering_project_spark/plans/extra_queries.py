@@ -273,15 +273,57 @@ def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.series_pairs_dtw(events, max_len=64)
 
 
-@register("fakestream_ledger_clamped", oracle=None)
+def _clamped_ledger_oracle() -> str:
+    from ultimate_data_engineering_project_spark.plans.fakestream_queries import (
+        _LEGS_SQL,
+    )
+
+    # the sequential max(0, bal+delta) recurrence as a recursive CTE:
+    # row n joins row n-1 per account — the SQL spelling of the
+    # applyInPandas fold (both sides accumulate in DOUBLE, so the IEEE
+    # op sequence is identical).
+    return (
+        # the RECURSIVE modifier must lead the whole WITH chain
+        _LEGS_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + """
+    , ordered AS (
+        SELECT account_id, transaction_id, transaction_date,
+               CAST(leg AS INT) AS leg, CAST(delta AS DOUBLE) AS delta,
+               ROW_NUMBER() OVER (
+                   PARTITION BY account_id
+                   ORDER BY transaction_date, transaction_id, leg
+               ) AS rn
+        FROM legs
+    ),
+    rec AS (
+        SELECT account_id, transaction_id, transaction_date, leg, delta,
+               rn, GREATEST(0.0, delta) AS balance
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.account_id, o.transaction_id, o.transaction_date, o.leg,
+               o.delta, o.rn, GREATEST(0.0, r.balance + o.delta)
+        FROM rec r
+        JOIN ordered o ON o.account_id = r.account_id AND o.rn = r.rn + 1
+    )
+    SELECT account_id, transaction_id, transaction_date, leg, delta, balance
+    FROM rec
+    """
+    )
+
+
+@register("fakestream_ledger_clamped", oracle=_clamped_ledger_oracle())
 def fakestream_ledger_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-wise clamped running balance (the reference's
     max(0, bal+delta) recurrence, oltp_seeder.py:462,465) via ordered
-    per-account applyInPandas fold."""
-    from ultimate_data_engineering_project_spark import generator
+    per-account applyInPandas fold over the frozen fakestream
+    transactions; the oracle spells the same recurrence as a DuckDB
+    recursive CTE."""
     from ultimate_data_engineering_project_spark.operators.windows import (
         ledger_running_balance_clamped,
     )
+    from ultimate_data_engineering_project_spark.plans.fakestream_queries import (
+        _TRX,
+        _fx,
+    )
 
-    trx = generator.gen_transactions(spark, 2_000, 200, seed=42)
-    return ledger_running_balance_clamped(trx)
+    return ledger_running_balance_clamped(_fx(spark, _TRX))

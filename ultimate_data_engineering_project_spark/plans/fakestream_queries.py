@@ -1,106 +1,331 @@
-"""Fakestream catalog entries (rows-only checks).
+"""Fakestream catalog entries — hash-checked against DuckDB oracles.
 
 These run the reference's own data model (customers/accounts/
-transactions with injected defects — FIXTURES.md Family B) generated
-in-engine, so there is no fixture parquet and no DuckDB oracle; the
-driver records row-count-only checks and tests/test_fakestream.py
-asserts the semantics (expected defect rates, ledger invariants,
-circular-pair construction) locally.
+transactions with injected defects — FIXTURES.md Family B).  The seeded
+Spark-native generator (generator.gen_fakestream) is frozen once to
+``fixtures/fakestream/*.parquet`` (tools/gen_fixtures.py) so that the
+Spark plan and the DuckDB oracle read the very same bytes: every entry
+here is a full rows+schema+hash driver check, not a rows-only run.
+Generator semantics themselves (defect rates, ledger invariants,
+circular-pair construction) are asserted in tests/test_fakestream.py.
 
-Volumes are kept small here (these run inside the driver's correctness
-pass); the generator itself is O(rows/partition) and scales to any n.
+Cross-engine conventions (see plans/catalog.py docstring): money is
+accumulated in DECIMAL and cast to DOUBLE at the output edge; counts
+are BIGINT on both sides; window orders carry full deterministic
+tiebreaks (the ledger's ``leg`` column breaks the same-account transfer
+tie).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ultimate_data_engineering_project_spark import generator, pipelines, quality
+from ultimate_data_engineering_project_spark import pipelines, quality
 from ultimate_data_engineering_project_spark.fraud import circular_transfer_pairs
 from ultimate_data_engineering_project_spark.operators import multimodal
 from ultimate_data_engineering_project_spark.operators.windows import ledger_running_balance
 from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
 
-_N_CUST, _N_ACCT, _N_TRX = 2_000, 200, 2_000
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_FIXTURE_DIR = os.path.join(_REPO_ROOT, "fixtures", "fakestream")
+_CUST = os.path.join(_FIXTURE_DIR, "customers.parquet")
+_ACCT = os.path.join(_FIXTURE_DIR, "accounts.parquet")
+_TRX = os.path.join(_FIXTURE_DIR, "transactions.parquet")
 
 
-def _fakestream(spark: SparkSession):
-    return generator.gen_fakestream(spark, _N_CUST, _N_ACCT, _N_TRX, seed=42)
+def _fx(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
-@register("fakestream_dq_report", oracle=None)
+# shared oracle fragment: the signed ledger legs (operators/windows.py
+# _ledger_legs, declaratively)
+_LEGS_SQL = f"""
+    WITH t AS (SELECT * FROM read_parquet('{_TRX}') WHERE status = 'completed'),
+    legs AS (
+        SELECT account_id, transaction_id, transaction_date, 0 AS leg,
+               CASE WHEN transaction_type IN ('Deposit', 'Refund') THEN amount
+                    WHEN transaction_type IN ('Withdrawal', 'Payment', 'Transfer')
+                         THEN -amount
+                    ELSE 0 END AS delta
+        FROM t
+        UNION ALL
+        SELECT related_account_id AS account_id, transaction_id,
+               transaction_date, 1 AS leg, amount AS delta
+        FROM t
+        WHERE transaction_type = 'Transfer' AND related_account_id IS NOT NULL
+    )
+"""
+
+
+@register(
+    "fakestream_dq_report",
+    oracle=f"""
+    SELECT
+      CAST((SELECT COUNT(*) FROM read_parquet('{_CUST}')) AS BIGINT) AS n_customers,
+      CAST((SELECT count_if(phone IS NULL) FROM read_parquet('{_CUST}')) AS BIGINT) AS n_missing_phone,
+      CAST((SELECT count_if(address IS NULL) FROM read_parquet('{_CUST}')) AS BIGINT) AS n_missing_address,
+      CAST((SELECT count_if(phone IS NULL OR address IS NULL) FROM read_parquet('{_CUST}')) AS BIGINT) AS n_missing_contact,
+      CAST((SELECT count_if(regexp_matches(string_split(string_split(email, '@')[1], '-')[1], '[34]')) FROM read_parquet('{_CUST}')) AS BIGINT) AS n_email_typos,
+      CAST((SELECT count_if(date_of_birth > CAST(created_at AS DATE) - 3650) FROM read_parquet('{_CUST}')) AS BIGINT) AS n_invalid_dob,
+      CAST((SELECT COUNT(*) FROM read_parquet('{_ACCT}')) AS BIGINT) AS n_accounts,
+      CAST((SELECT count_if(balance < 0) FROM read_parquet('{_ACCT}')) AS BIGINT) AS n_negative_balance,
+      CAST((SELECT count_if(status <> 'active') FROM read_parquet('{_ACCT}')) AS BIGINT) AS n_inactive,
+      CAST((SELECT COUNT(*) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_transactions,
+      CAST((SELECT count_if((transaction_type = 'Withdrawal' AND amount >= 10000) OR amount >= 100000) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_impossible_amount,
+      CAST((SELECT count_if(transaction_date < created_at - INTERVAL 5 DAY) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_late_arriving,
+      CAST((SELECT count_if(transaction_date > created_at) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_future_dated,
+      CAST((SELECT count_if(status = 'pending') FROM read_parquet('{_TRX}')) AS BIGINT) AS n_pending,
+      CAST((SELECT count_if(status = 'failed') FROM read_parquet('{_TRX}')) AS BIGINT) AS n_failed,
+      CAST((SELECT COUNT(*) FROM read_parquet('{_CUST}') a JOIN read_parquet('{_CUST}') b
+            ON a.full_name = b.full_name AND a.customer_id < b.customer_id
+               AND a.email <> b.email) AS BIGINT) AS n_duplicate_customer_pairs,
+      CAST((SELECT COUNT(*) FROM read_parquet('{_TRX}')
+            WHERE account_id IN (SELECT account_id FROM read_parquet('{_ACCT}')
+                                 WHERE status <> 'active')) AS BIGINT) AS n_inactive_account_trx,
+      CAST((SELECT COUNT(*) FROM read_parquet('{_TRX}')
+            WHERE account_id NOT IN (SELECT account_id FROM read_parquet('{_ACCT}'))) AS BIGINT) AS n_orphan_transactions,
+      CAST((SELECT COUNT(*)
+            FROM (SELECT transaction_id, account_id, related_account_id,
+                         CAST(transaction_date AS DATE) AS day
+                  FROM read_parquet('{_TRX}')
+                  WHERE transaction_type = 'Transfer'
+                        AND related_account_id IS NOT NULL) a
+            JOIN (SELECT transaction_id, account_id, related_account_id,
+                         CAST(transaction_date AS DATE) AS day
+                  FROM read_parquet('{_TRX}')
+                  WHERE transaction_type = 'Transfer'
+                        AND related_account_id IS NOT NULL) b
+            ON a.account_id = b.related_account_id
+               AND a.related_account_id = b.account_id
+               AND a.day = b.day
+               AND a.transaction_id < b.transaction_id) AS BIGINT) AS n_circular_transfer_pairs
+    """,
+)
 def fakestream_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row DQ summary over the seeded fakestream triple (A8 —
+    """One-row DQ summary over the frozen fakestream triple (A8 —
     the reference's quality report, polished_transactions.py:448-515,
-    detectors mirroring all ten injected defect classes)."""
-    t = _fakestream(spark)
-    return quality.dq_report(t["customers"], t["accounts"], t["transactions"])
+    detectors mirroring all ten injected defect classes), one scan per
+    table + one semi/anti/self join each, composed into a single plan."""
+    return quality.dq_report(
+        _fx(spark, _CUST), _fx(spark, _ACCT), _fx(spark, _TRX)
+    )
 
 
-@register("fakestream_ledger", oracle=None)
+@register(
+    "fakestream_ledger",
+    oracle=_LEGS_SQL
+    + """
+    SELECT account_id, transaction_id, transaction_date,
+           CAST(leg AS INT) AS leg,
+           CAST(delta AS DOUBLE) AS delta,
+           CAST(SUM(delta) OVER (
+               PARTITION BY account_id
+               ORDER BY transaction_date, transaction_id, leg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS balance
+    FROM legs
+    """,
+)
 def fakestream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-balance ledger over generated transactions (X7 — signed
+    """Running-balance ledger over the frozen transactions (X7 — signed
     deltas, transfer double-legs, completed-only; the declarative form
-    of oltp_seeder.py:450-487)."""
-    t = _fakestream(spark)
-    return ledger_running_balance(t["transactions"])
+    of oltp_seeder.py:450-487).  DECIMAL accumulation inside, DOUBLE at
+    the output edge per the catalog's hash-match conventions."""
+    ledger = ledger_running_balance(_fx(spark, _TRX))
+    return ledger.select(
+        "account_id",
+        "transaction_id",
+        "transaction_date",
+        F.col("leg").cast("int").alias("leg"),
+        F.col("delta").cast("double").alias("delta"),
+        F.col("balance").cast("double").alias("balance"),
+    )
 
 
-@register("fakestream_current_balances", oracle=None)
+@register(
+    "fakestream_current_balances",
+    oracle=_LEGS_SQL
+    + """
+    SELECT account_id, CAST(SUM(delta) AS DOUBLE) AS current_balance
+    FROM legs
+    GROUP BY account_id
+    """,
+)
 def fakestream_current_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final balance per account — the reference's mutable
-    accounts.balance column recomputed from the ledger."""
-    t = _fakestream(spark)
-    return pipelines.account_balances(t["transactions"])
+    accounts.balance column recomputed from the signed legs with one
+    partial-aggregating groupBy (no window sort needed for the total)."""
+    out = pipelines.account_balances(_fx(spark, _TRX))
+    return out.select(
+        "account_id", F.col("current_balance").cast("double").alias("current_balance")
+    )
 
 
-@register("fakestream_circular_transfers", oracle=None)
+@register(
+    "fakestream_circular_transfers",
+    oracle=f"""
+    WITH tr AS (
+        SELECT transaction_id, account_id, related_account_id,
+               CAST(transaction_date AS DATE) AS day, amount
+        FROM read_parquet('{_TRX}')
+        WHERE transaction_type = 'Transfer' AND related_account_id IS NOT NULL
+    )
+    SELECT a.transaction_id AS transaction_id_out,
+           b.transaction_id AS transaction_id_back,
+           a.account_id AS account_a,
+           a.related_account_id AS account_b,
+           a.day AS day,
+           CAST(a.amount AS DOUBLE) AS amount_out,
+           CAST(b.amount AS DOUBLE) AS amount_back
+    FROM tr a
+    JOIN tr b
+      ON a.account_id = b.related_account_id
+     AND a.related_account_id = b.account_id
+     AND a.day = b.day
+     AND a.transaction_id < b.transaction_id
+    """,
+)
 def fakestream_circular_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Circular-transfer fraud pairs (J5 — A→B / B→A same day,
-    polished_transactions.py:364-375,511)."""
-    t = _fakestream(spark)
-    return circular_transfer_pairs(t["transactions"])
+    polished_transactions.py:364-375,511): composite-key self equi-join,
+    never a cartesian."""
+    out = circular_transfer_pairs(_fx(spark, _TRX))
+    return out.select(
+        "transaction_id_out",
+        "transaction_id_back",
+        "account_a",
+        "account_b",
+        "day",
+        F.col("amount_out").cast("double").alias("amount_out"),
+        F.col("amount_back").cast("double").alias("amount_back"),
+    )
 
 
-@register("fakestream_scd2_customers", oracle=None)
+_SCD2_SENTINEL = "2200-01-01 00:00:00"
+
+
+@register(
+    "fakestream_scd2_customers",
+    oracle=f"""
+    WITH base AS (SELECT * FROM read_parquet('{_CUST}')),
+    churned AS (
+        SELECT customer_id, full_name, email,
+               printf('+1-999-%07d', (customer_id * 7919) % 10000000) AS phone,
+               address, date_of_birth, created_at,
+               updated_at + INTERVAL 1 DAY AS updated_at
+        FROM base
+        WHERE customer_id % 7 = 0
+    ),
+    log AS (SELECT * FROM base UNION ALL SELECT * FROM churned)
+    SELECT customer_id, full_name, email, phone, address, date_of_birth,
+           created_at, updated_at,
+           updated_at AS effective_from,
+           COALESCE(LEAD(updated_at) OVER w,
+                    TIMESTAMP '{_SCD2_SENTINEL}') AS effective_to,
+           LEAD(updated_at) OVER w IS NULL AS is_current
+    FROM log
+    WINDOW w AS (PARTITION BY customer_id ORDER BY updated_at)
+    """,
+)
 def fakestream_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 customer dimension built from a simulated change feed (W1):
-    15%/day churn on phone/address (polished_transactions.py:163-192),
-    versioned with effective_from/to + is_current."""
-    t = _fakestream(spark)
-    base = t["customers"]
-    # simulate one day of churn: 15% of customers get an updated row
+    """SCD2 customer dimension from a simulated change feed (W1):
+    deterministic one-day churn (customer_id % 7 ⇒ ~14%, the
+    reference's 15%/day phone churn, polished_transactions.py:163-192),
+    versioned with effective_from/to + is_current.  The far-future
+    sentinel stays inside pandas' ns timestamp range."""
+    base = _fx(spark, _CUST)
     churned = (
-        base.filter(F.rand(7) < 0.15)
-        .withColumn("phone", F.format_string("+1-999-%07d", F.pmod(F.xxhash64("customer_id"), 10_000_000)))
+        base.filter(F.col("customer_id") % 7 == 0)
+        .withColumn(
+            "phone",
+            F.format_string("+1-999-%07d", (F.col("customer_id") * 7919) % 10_000_000),
+        )
         .withColumn("updated_at", F.col("updated_at") + F.expr("INTERVAL 1 DAY"))
     )
-    change_log = base.unionByName(churned)
-    return pipelines.silver_customers_scd2(change_log)
+    return pipelines.silver_customers_scd2(base.unionByName(churned))
 
 
-@register("fakestream_silver_customers", oracle=None)
+@register(
+    "fakestream_silver_customers",
+    oracle=f"""
+    WITH normed AS (
+        SELECT *,
+               lower(translate(email, '43', 'ae')) AS email_norm,
+               lower(full_name) AS name_norm
+        FROM read_parquet('{_CUST}')
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY name_norm
+            ORDER BY updated_at DESC, customer_id DESC
+        ) AS __rn
+        FROM normed
+    )
+    SELECT customer_id, full_name, email, phone, address, date_of_birth,
+           created_at, updated_at, email_norm, name_norm,
+           ((phone IS NULL AND address IS NULL)
+            OR date_of_birth > CAST(created_at AS DATE) - 3650) AS dq_quarantine
+    FROM ranked
+    WHERE __rn = 1
+    """,
+)
 def fakestream_silver_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver customer build: typo-normalized email, dedup-keep-latest
     on the duplicate-injection key, DQ quarantine flags."""
-    t = _fakestream(spark)
-    return pipelines.silver_customers(t["customers"])
+    return pipelines.silver_customers(_fx(spark, _CUST))
 
 
-@register("fakestream_gold_dashboards", oracle=None)
+@register(
+    "fakestream_gold_dashboards",
+    oracle=f"""
+    SELECT CAST(transaction_date AS DATE) AS day,
+           transaction_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transactions,
+           CAST(SUM(amount) AS DOUBLE) AS total_amount
+    FROM read_parquet('{_TRX}')
+    GROUP BY 1, 2
+    """,
+)
 def fakestream_gold_dashboards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gold-layer daily transaction volume (dashboard #1,
-    README.md:36) over the generated facts."""
-    t = _fakestream(spark)
-    return pipelines.gold_daily_transaction_volume(t["transactions"])
+    README.md:36) over the frozen facts."""
+    out = pipelines.gold_daily_transaction_volume(_fx(spark, _TRX))
+    return out.select(
+        "day",
+        "transaction_type",
+        "n_transactions",
+        F.col("total_amount").cast("double").alias("total_amount"),
+    )
 
 
 @register("multimodal_decode_features", oracle=None)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing (X5): binary media column →
-    Arrow-batched mapInPandas decode/featurize (decode kernel stubbed —
-    codecs not in this container; schema/batching/partitioning real)."""
+    Arrow-batched mapInPandas decode/featurize (PIL-gated decode kernel
+    with a deterministic fallback — operators/multimodal.py).  The
+    catalog entry projects scalar columns (the driver harness cannot
+    canonicalize array cells); the array form stays in the operator API."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_binary(docs)
-    return multimodal.decode_features(media)
+    decoded = multimodal.decode_features(media)
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "content_sha",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f_first"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "feature",
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                )
+            ),
+            6,
+        ).alias("f_norm"),
+    )

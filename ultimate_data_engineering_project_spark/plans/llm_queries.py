@@ -302,6 +302,91 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_pairs_verified",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM docs, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    """,
+)
+def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-duplicate pairs with EXACT word-3-gram Jaccard (X2,
+    oracle-checked): shingle inverted-index equi-join → per-pair
+    intersection count → set-algebra Jaccard.  This is the hash-checked
+    verification baseline for the MinHash/SimHash scale paths beside it
+    — candidate generation is a hash-partitioned equi-join on shingle
+    (any pair with Jaccard > 0 shares a shingle, so recall is exactly
+    1.0); at 100 TB the banded MinHash twin replaces it, with this
+    formulation (df-capped) as its audit query.  Both engines divide
+    the same exact integers in double precision, so the jaccard column
+    hash-matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("sb"))
+    j = F.col("n_inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (no SQL oracle: Spark-specific hashing / approximate)
 # ---------------------------------------------------------------------------

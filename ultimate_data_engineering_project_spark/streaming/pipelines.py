@@ -114,11 +114,15 @@ def write_bronze_stream(
 def stream_dedup(
     events: DataFrame, keys: list[str], watermark: str = "1 day"
 ) -> DataFrame:
-    """X1 on a stream: exact dedup with bounded state.  dropDuplicates
-    under a watermark keeps per-key state only until the key's event
-    time ages past the watermark — without it, state grows forever.
+    """X1 on a stream: exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` evicts per-key state once the
+    watermark passes the key's first-seen event time — for ANY key
+    subset.  (Plain ``dropDuplicates(keys)`` only bounds state when the
+    event-time column itself is part of ``keys``; with e.g.
+    keys=['event_id'] its state grows forever despite the watermark.)
     The batch twin is operators/dedup.exact_dedup."""
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_purchase_after_click(
