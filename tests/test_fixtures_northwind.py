@@ -1,0 +1,116 @@
+"""Round-2 additions: frozen fakestream fixtures, the Northwind schema
+registry, salted_join's join-type guard, and LSH bucket-table
+consistency."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ultimate_data_engineering_project_spark import schemas
+from ultimate_data_engineering_project_spark.operators import relational, similarity
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_DIR = os.path.join(REPO, "fixtures", "fakestream")
+
+
+# --- frozen fakestream fixtures (the oracle-side ground truth) ---------
+
+@pytest.mark.parametrize(
+    "name,expected_rows",
+    [("customers", 2_000), ("accounts", 200), ("transactions", 2_000)],
+)
+def test_fakestream_fixture_frozen(spark, name, expected_rows):
+    """The committed parquet must exist with the catalog volumes and the
+    declared schema columns — the fakestream oracles read these bytes."""
+    path = os.path.join(FIXTURE_DIR, f"{name}.parquet")
+    assert os.path.isfile(path), f"missing frozen fixture {path}"
+    df = spark.read.parquet(path)
+    assert df.count() == expected_rows
+    assert df.columns == [f.name for f in schemas.FAKESTREAM_SCHEMAS[name].fields]
+
+
+def test_fakestream_fixture_defect_rates(spark):
+    """Injected defect classes survive in the frozen snapshot at roughly
+    the documented rates (generator docstring / polished_transactions
+    rates) — the DQ oracles count THESE rows."""
+    cust = spark.read.parquet(os.path.join(FIXTURE_DIR, "customers.parquet"))
+    n = cust.count()
+    missing_phone = cust.filter(F.col("phone").isNull()).count()
+    assert 0.2 < missing_phone / n < 0.4  # 30% documented
+    acct = spark.read.parquet(os.path.join(FIXTURE_DIR, "accounts.parquet"))
+    neg = acct.filter(F.col("balance") < 0).count()
+    assert 0 < neg / acct.count() < 0.08  # 2% documented
+
+
+# --- northwind registry ------------------------------------------------
+
+def test_northwind_registry_complete():
+    assert len(schemas.NORTHWIND_SCHEMAS) == 14
+    assert set(schemas.NORTHWIND_COMPOSITE_KEYS) <= set(schemas.NORTHWIND_SCHEMAS)
+    # composite keys reference real columns of their table
+    for table, key in schemas.NORTHWIND_COMPOSITE_KEYS.items():
+        cols = {f.name for f in schemas.NORTHWIND_SCHEMAS[table].fields}
+        assert set(key) <= cols
+    # order_details carries the documented composite PK
+    assert schemas.NORTHWIND_COMPOSITE_KEYS["order_details"] == (
+        "order_id",
+        "product_id",
+    )
+    # self-FK column exists on employees
+    assert "reports_to" in {
+        f.name for f in schemas.NORTHWIND_SCHEMAS["employees"].fields
+    }
+
+
+def test_northwind_ddl_roundtrip(spark):
+    """Every northwind StructType compiles to DDL Spark accepts (S9)."""
+    for name, schema in schemas.NORTHWIND_SCHEMAS.items():
+        sql = schemas.create_table_sql(f"nw_{name}", schema)
+        spark.sql(sql)
+        spark.sql(f"DROP TABLE IF EXISTS nw_{name}")
+
+
+# --- salted_join guard -------------------------------------------------
+
+def test_salted_join_rejects_replicating_join_types(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    other = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            relational.salted_join(df, other, "k", how=how)
+    # allowed types still work and match a plain join
+    out = relational.salted_join(df, other, "k", how="inner")
+    assert out.count() == df.join(other, "k").count()
+
+
+# --- LSH bucket-table consistency --------------------------------------
+
+def test_bucket_tables_match_single_table_keys(spark):
+    """_bucket_tables (one fused sign vector for all tables) must yield
+    the same bucket per table as lsh_bucket_key on that table's planes."""
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.sin(i * (F.col("id") + 1)).cast("double"),
+        ).alias("embedding"),
+    )
+    dim, n_planes, n_tables, seed = 8, 3, 4, 7
+    fused = df.select(
+        "vec_id",
+        similarity._bucket_tables(
+            F.col("embedding"), dim, n_planes, n_tables, seed
+        ).alias("tables"),
+    ).collect()
+    per_table = {}
+    for t in range(n_tables):
+        planes = similarity._hyperplanes(dim, n_planes, seed + t)
+        for r in df.select(
+            "vec_id",
+            similarity.lsh_bucket_key(F.col("embedding"), planes).alias("b"),
+        ).collect():
+            per_table[(r["vec_id"], t)] = r["b"]
+    for row in fused:
+        for entry in row["tables"]:
+            assert per_table[(row["vec_id"], entry["table_id"])] == entry["bucket"]

@@ -94,26 +94,85 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    """A list-of-lists constant as ONE array<array<double>> literal via
+    a single SQL expression.  Building it element-wise with F.lit/F.array
+    costs one py4j round-trip per element — thousands of driver calls
+    and seconds of plan-construction latency for LSH plane / centroid
+    matrices; one parsed expr string is ~constant time."""
+    body = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``fn`` as a lambda
+    variable (1-element array transform).  Referencing a non-trivial
+    expression multiple times in a projection duplicates its whole
+    subtree — Catalyst does not CSE across lambda-function boundaries,
+    so e.g. 30 element_at references to a 30-dot-product sign vector
+    would recompute all 30 dot products 30 times."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket key: bit i = sign(vec . plane_i).  Random
     hyperplane LSH (Charikar): collision probability 1 - theta/pi."""
-    bits = []
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(
-            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+
+    def to_key(signs: Column) -> Column:
+        key = F.lit(0).cast("long")
+        for i in range(len(planes)):
+            key = key + F.element_at(signs, i + 1) * F.lit(1 << i).cast("long")
+        return key
+
+    return _bind(_plane_signs(vec, planes), to_key)
+
+
+def _plane_signs(vec: Column, planes: list[list[float]]) -> Column:
+    """array<long> of sign bits (1 if vec·plane_i >= 0 else 0), one
+    shared plane-matrix literal, one transform — the whole LSH signature
+    is a single expression subtree regardless of plane count."""
+    P = _lit_matrix(planes)
+    return F.transform(
+        P,
+        lambda p: (
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
+            >= 0
         )
-    key = bits[0]
-    for b in bits[1:]:
-        key = key.bitwiseOR(b)
-    return key
+        .cast("long"),
+    )
+
+
+def _bucket_tables(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """array<struct<table_id int, bucket long>>: all LSH tables' bucket
+    keys computed from ONE sign vector over the concatenated plane
+    matrix (n_tables*n_planes planes, same per-table values as
+    generating each table with seed+t)."""
+    all_planes = [
+        plane for t in range(n_tables) for plane in _hyperplanes(dim, n_planes, seed + t)
+    ]
+
+    def make_tables(signs: Column) -> Column:
+        def per_table(t: Column) -> Column:
+            bucket = F.lit(0).cast("long")
+            for j in range(n_planes):
+                bucket = bucket + F.element_at(
+                    signs, (t * n_planes + j + 1).cast("int")
+                ) * F.lit(1 << j).cast("long")
+            return F.struct(t.cast("int").alias("table_id"), bucket.alias("bucket"))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(n_tables - 1)), per_table)
+
+    # signs bound once per row: n_tables*n_planes dot products total,
+    # not that again per element_at reference
+    return _bind(_plane_signs(vec, all_planes), make_tables)
 
 
 def cosine_near_dup_pairs(
@@ -123,7 +182,7 @@ def cosine_near_dup_pairs(
     *,
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 3,
+    n_planes: int = 8,
     n_tables: int = 10,
     seed: int = 42,
     round_digits: int = 6,
@@ -135,22 +194,17 @@ def cosine_near_dup_pairs(
     The self-join runs on (table_id, bucket) — O(sum of bucket sizes
     squared), never O(n²) over the corpus; for true near-dups (theta
     ~ 0) per-table collision probability is (1 - theta/pi)^n_planes
-    ~ 1, so recall across n_tables is effectively 1.  Raise n_planes
-    to shrink buckets on corpora with heavy cluster structure.
+    ~ 1, so recall across n_tables is effectively 1.  ``n_planes``
+    controls bucket occupancy (2^n_planes buckets/table): scale it with
+    log2(corpus size) so per-bucket candidate pairs stay bounded —
+    near-dup LSH is for high thresholds (>= ~0.9); low-threshold pair
+    mining degenerates to candidate explosion by construction and
+    belongs to brute_force_topk / IVF instead.
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        tables.append(
-            F.struct(
-                F.lit(t).alias("table_id"),
-                lsh_bucket_key(F.col("__v"), planes).alias("bucket"),
-            )
-        )
-    banded = base.withColumn("__t", F.explode(F.array(*tables))).select(
-        "__id", "__v", "__t.table_id", "__t.bucket"
-    )
+    banded = base.withColumn(
+        "__t", F.explode(_bucket_tables(F.col("__v"), dim, n_planes, n_tables, seed))
+    ).select("__id", "__v", "__t.table_id", "__t.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -177,15 +231,69 @@ def cosine_near_dup_pairs(
     )
 
 
-def _centroid_dist2(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance between an array column and a literal centroid
+def _centroid_dist2(vec: Column, centroid_col: Column) -> Column:
+    """Squared L2 distance between an array column and a centroid array
     (sequential fold — deterministic)."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
-        F.zip_with(vec, lit_c, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.zip_with(
+            vec, centroid_col, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _train_centroids_numpy(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    *,
+    max_train: int = 2048,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Seeded Lloyd's k-means on a BOUNDED deterministic sample,
+    vectorized in numpy on the driver.
+
+    This is the standard IVF training recipe (train the coarse
+    quantizer on a sample, ship centroids as constants): the sample is
+    the top ``max_train`` rows by hashed id — a TakeOrdered, O(N log k)
+    map-side, never a full sort — so training cost is independent of
+    corpus size and identical across runs/cluster layouts.  Replaces an
+    MLlib KMeans fit whose per-iteration Spark jobs dominated wall
+    clock at small-to-mid scale (and which collects to the driver
+    internally anyway)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__i"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .orderBy(F.pmod(F.xxhash64(F.col("__i") + seed), F.lit(1_000_003)), "__i")
+        .limit(max_train)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    # seeded k-means++ init (D^2 sampling): spread starting centroids
+    # like MLlib's k-means|| — plain "first rows" init costs real recall
+    rng = np.random.RandomState(seed)
+    cents = np.empty((n_centroids, X.shape[1]), dtype=np.float64)
+    cents[0] = X[rng.randint(len(X))]
+    d2 = ((X - cents[0]) ** 2).sum(axis=1)
+    for c in range(1, n_centroids):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
+        cents[c] = X[rng.choice(len(X), p=probs)]
+        d2 = np.minimum(d2, ((X - cents[c]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 def ivf_topk(
@@ -211,32 +319,28 @@ def ivf_topk(
     candidates and a window keeps k.
 
     At 100 TB: centroids are a driver-side constant (n_centroids × dim
-    doubles); assignment is one map-side pass; candidate generation is a
+    doubles), trained on a bounded deterministic sample
+    (:func:`_train_centroids_numpy` — the FAISS-style recipe);
+    assignment is one map-side pass; candidate generation is a
     shuffled equi-join on cluster id scaling with list occupancy — never
     |corpus| × |queries|.  Raise n_centroids ∝ √N to keep lists bounded,
     and repartition/bucket the indexed corpus by ``__cid`` to co-locate
     each list.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    centroids = _train_centroids_numpy(corpus, id_col, vec_col, n_centroids, seed)
+    cents_lit = _lit_matrix(centroids)
 
     def ranked_centroids(vec: Column) -> Column:
-        # array<struct<dist2,cid>> sorted by distance (struct ordering)
+        # array<struct<dist2,cid>> sorted by distance (struct ordering);
+        # ONE shared centroid-matrix literal + an index-aware transform
+        # keeps the expression tree (and plan-build py4j traffic) small
         return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _centroid_dist2(vec, c).alias("dist2"),
-                        F.lit(i).alias("cid"),
-                    )
-                    for i, c in enumerate(centroids)
-                ]
+            F.transform(
+                cents_lit,
+                lambda c, i: F.struct(
+                    _centroid_dist2(vec, c).alias("dist2"),
+                    i.alias("cid"),
+                ),
             )
         )
 
@@ -302,18 +406,12 @@ def ann_topk(
         out = df.select(
             F.col(id_col).alias(role_id), F.col(vec_col).alias(f"__v_{role_id}")
         )
-        tables = []
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed + t)
-            tables.append(
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    lsh_bucket_key(F.col(f"__v_{role_id}"), planes).alias("bucket"),
-                )
-            )
-        return out.withColumn("__t", F.explode(F.array(*tables))).select(
-            role_id, f"__v_{role_id}", "__t.table_id", "__t.bucket"
-        )
+        return out.withColumn(
+            "__t",
+            F.explode(
+                _bucket_tables(F.col(f"__v_{role_id}"), dim, n_planes, n_tables, seed)
+            ),
+        ).select(role_id, f"__v_{role_id}", "__t.table_id", "__t.bucket")
 
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")

@@ -120,12 +120,19 @@ _PRIORITY = [
     "fakestream_silver_customers",
     "fakestream_gold_dashboards",
     "fakestream_dq_report",
-    # LLM-pipeline headliners previously unreached
+    # LLM-pipeline headliners previously unreached; timeseries gives X6
+    # its first hash-checked row
     "near_dup_pairs_verified",
     "composite_pk_order_details",
     "cosine_topk_bruteforce",
-    "knn_label_vote",
+    "timeseries_similar_users",
     "docs_prep_pipeline",
+    # overflow (reached only if the driver budget extends past 50)
+    "knn_label_vote",
+    "docs_lang_id",
+    "embedding_near_dup_pairs",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 

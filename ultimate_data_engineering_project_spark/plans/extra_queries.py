@@ -252,10 +252,47 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("timeseries_similar_users", oracle=None)
+@register(
+    "timeseries_similar_users",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, (list(value ORDER BY ts, event_id, value))[1:256] AS series
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               a.series AS sa, b.series AS sb
+        FROM s a JOIN s b ON a.user_id < b.user_id
+    ),
+    d AS (
+        SELECT user_a, user_b,
+               ROUND(sqrt(list_sum(list_transform(
+                   range(1, least(len(sa), len(sb)) + 1),
+                   i -> (sa[i] - sb[i]) * (sa[i] - sb[i])
+               ))), 6) AS euclidean
+        FROM p
+    ),
+    sym AS (
+        SELECT user_a, user_b, euclidean FROM d
+        UNION ALL
+        SELECT user_b AS user_a, user_a AS user_b, euclidean FROM d
+    )
+    SELECT user_a AS user_id, user_b AS similar_user_id, euclidean,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_a ORDER BY euclidean, user_b
+        ) AS rank
+        FROM sym
+    )
+    WHERE rank <= 3
+    """,
+)
 def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user top-3 most similar users by aligned-prefix Euclidean
-    over event-value series (X6 JVM expression path)."""
+    over event-value series (X6 JVM expression path).  Distances are
+    ROUNDed before ranking with a user tiebreak, so top-k selection is
+    engine-independent (catalog hash-match convention)."""
     from ultimate_data_engineering_project_spark.operators import timeseries
 
     events = load_table(spark, sf_dir, "events")

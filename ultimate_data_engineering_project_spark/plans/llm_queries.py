@@ -483,11 +483,27 @@ def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (X2 embedding flavor: hyperplane
     LSH candidates → exact cosine verify).  The fixture's vectors are
-    near-orthogonal (max pairwise cosine ≈ 0.5), so the demo threshold
-    sits at the top of that distribution; real corpora use ≥0.9.
-    Recall on planted near-dups asserted in tests/test_operators.py."""
+    near-orthogonal (max pairwise cosine ≈ 0.5) — no natural near-dups
+    — so the entry plants deterministic perturbed copies of the first
+    20 vectors (the regime LSH near-dup is FOR; a low threshold on
+    orthogonal data would degenerate to candidate explosion) and finds
+    them at the realistic 0.95 threshold.  Recall on planted near-dups
+    is asserted in tests/test_operators.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(emb, threshold=0.35)
+    planted = (
+        emb.filter(F.col("vec_id") < 20)
+        .withColumn("vec_id", F.col("vec_id") + 10_000_000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0)),
+            ).cast("array<float>"),
+        )
+    )
+    return similarity.cosine_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.95
+    )
 
 
 @register("ann_topk_ivf", oracle=None)
@@ -500,10 +516,39 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-@register("docs_lang_id", oracle=None)
+def _lang_id_oracle() -> str:
+    """Build the lang-ID oracle from the SAME marker vocabulary the
+    operator uses (single source of truth: text.LANG_MARKERS); the CASE
+    chain follows the operator's sorted-language tie-break order."""
+    langs = sorted(text.LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> x IN ({m}))) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (SELECT doc_id, lang, {score_cols} FROM toks)
+    SELECT doc_id, lang,
+           CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS predicted_lang
+    FROM scored
+    """
+
+
+@register("docs_lang_id", oracle=_lang_id_oracle())
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language identification (X4 — n-gram-heuristic
-    lang-ID; deterministic argmax, no UDF).  Rows-only: the marker
-    vocabulary is engine-internal."""
+    lang-ID; deterministic argmax over closed-class marker counts, no
+    UDF, pure codegen expressions).  The oracle reconstructs the same
+    scoring from text.LANG_MARKERS."""
     docs = load_table(spark, sf_dir, "documents")
     return text.lang_id(docs).select("doc_id", "lang", "predicted_lang")
