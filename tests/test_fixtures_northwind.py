@@ -114,3 +114,37 @@ def test_bucket_tables_match_single_table_keys(spark):
     for row in fused:
         for entry in row["tables"]:
             assert per_table[(row["vec_id"], entry["table_id"])] == entry["bucket"]
+
+
+# --- connector option contracts (no live DB/object store in container) -
+
+def test_jdbc_options_pushdown_contract():
+    from ultimate_data_engineering_project_spark.sources.readers import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://host:5432/db",
+        "transactions",
+        predicate="status = 'completed'",
+        partition_column="transaction_id",
+        lower_bound=1,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    # predicate runs remote-side, inside the dbtable subquery
+    assert opts["dbtable"] == "(SELECT * FROM transactions WHERE status = 'completed') t"
+    assert opts["pushDownPredicate"] == "true"
+    # parallel read bounds present
+    assert opts["partitionColumn"] == "transaction_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_s3a_conf_minio_defaults():
+    from ultimate_data_engineering_project_spark.sources.sinks import s3a_conf
+
+    conf = s3a_conf("http://minio:9000", "ak", "sk")
+    assert conf["fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["fs.s3a.path.style.access"] == "true"
+    assert conf["fs.s3a.access.key"] == "ak"
+    # credential-chain mode: no keys emitted when not provided
+    assert "fs.s3a.access.key" not in s3a_conf("http://minio:9000")

@@ -171,20 +171,55 @@ def read_jdbc(
     the reference's single-cursor pandas read serialized everything
     through the driver.
     """
-    dbtable = f"(SELECT * FROM {table} WHERE {predicate}) t" if predicate else table
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", dbtable)
-        .option("fetchsize", str(fetchsize))
+    opts = jdbc_options(
+        url,
+        table,
+        predicate=predicate,
+        num_partitions=num_partitions,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        fetchsize=fetchsize,
+        **options,
     )
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions or 8))
-        )
-    for k, v in options.items():
+    reader = spark.read.format("jdbc")
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    *,
+    predicate: str | None = None,
+    num_partitions: int | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    fetchsize: int = 10_000,
+    **options: str,
+) -> dict[str, str]:
+    """The option map :func:`read_jdbc` hands to the JDBC source —
+    exposed separately so the pushdown contract is testable without a
+    live database: ``predicate`` must land inside the dbtable subquery
+    (remote-side filtering) and partition bounds must be set for a
+    parallel read."""
+    dbtable = f"(SELECT * FROM {table} WHERE {predicate}) t" if predicate else table
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": dbtable,
+        "fetchsize": str(fetchsize),
+        # remote-side pushdown of Catalyst filters on top of the scan
+        "pushDownPredicate": "true",
+        "pushDownLimit": "true",
+    }
+    if partition_column is not None:
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions or 8),
+        )
+    opts.update(options)
+    return opts

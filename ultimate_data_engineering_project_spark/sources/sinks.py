@@ -76,3 +76,33 @@ def merge_overwrite(
     """
     kept = current.join(updates.select(*keys), on=keys, how="left_anti")
     return kept.unionByName(updates)
+
+
+def s3a_conf(
+    endpoint: str,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    *,
+    path_style_access: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """Hadoop configuration for an s3a:// object-store sink/source (the
+    reference lands batches on S3/MinIO — psql_connector.py:136-166 +
+    compose.yaml MinIO service).  Apply with
+    ``for k, v in s3a_conf(...).items():
+        spark.sparkContext._jsc.hadoopConfiguration().set(k, v)``
+    or as ``spark.hadoop.*`` builder configs; then every write_parquet/
+    write_csv path may be ``s3a://bucket/prefix``.  Path-style access +
+    no-SSL are the MinIO-compatible defaults; credentials default to the
+    provider chain (IAM role) when not given."""
+    conf = {
+        "fs.s3a.endpoint": endpoint,
+        "fs.s3a.path.style.access": str(path_style_access).lower(),
+        "fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+        "fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    }
+    if access_key is not None:
+        conf["fs.s3a.access.key"] = access_key
+    if secret_key is not None:
+        conf["fs.s3a.secret.key"] = secret_key
+    return conf
