@@ -309,3 +309,82 @@ def test_timeseries_euclidean_and_dtw(spark):
     top = timeseries.series_topk_similar(ev, k=1)
     best = {r["user_id"]: r["similar_user_id"] for r in top.collect()}
     assert best[1] == 2 and best[2] == 1
+
+
+def test_connected_components_vs_union_find(spark):
+    """Randomized graphs: large-star/small-star must agree with a
+    pure-Python union-find on every node's component minimum."""
+    import random
+
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for a, b in edges:
+            for v in (a, b):
+                r = find(v)
+                # min id in component == root under min-union
+                expected[v] = min(expected.get(v, r), r)
+
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_connected_components_chain_and_isolated_clusters(spark):
+    """A long chain (worst case for naive propagation) collapses to one
+    component; disjoint cliques stay disjoint."""
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i + 1, i) for i in range(30)]          # 0-1-2-...-30
+    clique = [(100, 101), (101, 102), (100, 102)]
+    df = spark.createDataFrame(chain + clique, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+
+
+def test_md5_bucket_portable_and_deterministic(spark):
+    """md5_bucket must equal DuckDB's substr(md5(...)) for the same ids
+    — the property the mixture sampler's oracle relies on."""
+    import duckdb
+
+    from ultimate_data_engineering_project_spark.functions.scalar import md5_bucket
+
+    df = spark.range(0, 200).select(
+        F.col("id"), md5_bucket("id").alias("bucket")
+    )
+    got = {r["id"]: r["bucket"] for r in df.collect()}
+    duck = duckdb.connect().execute(
+        "SELECT i, substr(md5(CAST(i AS VARCHAR)), 1, 4) FROM range(200) t(i)"
+    ).fetchall()
+    assert got == {i: b for i, b in duck}

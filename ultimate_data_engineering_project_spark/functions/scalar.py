@@ -74,3 +74,16 @@ def weighted_choice(rand_col: Column, choices: list[tuple[str, float]]) -> Colum
         expr = F.when(cond, value) if expr is None else expr.when(cond, value)
     last_value = choices[-1][0]
     return expr.otherwise(last_value) if expr is not None else F.lit(last_value)
+
+
+def md5_bucket(col: Column | str, n_hex: int = 4) -> Column:
+    """First ``n_hex`` hex chars of ``md5(string(col))`` — a
+    deterministic, engine-portable sample key (F13 family): Spark and
+    DuckDB produce identical lowercase-hex md5 for identical strings,
+    so a threshold over this key selects the SAME rows in both engines
+    (unlike ``rand()`` or engine-specific hashes like xxhash64).
+    ``16**n_hex`` buckets; map-side only, no shuffle, reproducible
+    across runs and cluster sizes — the property a training-data
+    sampling step needs for auditability."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, n_hex)

@@ -99,14 +99,12 @@ _PRIORITY = [
     "json_extract_events",
     # §2.5 windows
     "running_total_by_customer",
-    "day_over_day_orders",
     "rolling_7day_order_volume",
     "dedup_keep_latest_events",
     "scd2_user_event_versions",
     "sessionize_events",
     "asof_purchase_prev_click",
     "events_daily_volume",
-    "events_hourly_sliding",
     # round-1 red rows, now fixed
     "agg_modern_battery",
     "approx_sketch_battery",
@@ -123,11 +121,15 @@ _PRIORITY = [
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
     "near_dup_pairs_verified",
+    "dedup_clusters",
+    "training_mixture_sample",
     "composite_pk_order_details",
     "cosine_topk_bruteforce",
     "timeseries_similar_users",
     "docs_prep_pipeline",
     # overflow (reached only if the driver budget extends past 50)
+    "day_over_day_orders",
+    "events_hourly_sliding",
     "knn_label_vote",
     "docs_lang_id",
     "fakestream_velocity_alerts",

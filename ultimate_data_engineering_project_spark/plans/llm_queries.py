@@ -552,3 +552,121 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring from text.LANG_MARKERS."""
     docs = load_table(spark, sf_dir, "documents")
     return text.lang_id(docs).select("doc_id", "lang", "predicted_lang")
+
+
+# Deterministic per-source mixture rates: threshold over the first 4
+# md5 hex chars (rate = int(hex,16)/65536).  Downweights higher-index
+# sources, the shape of a quality-tiered training mixture.  ONE dict
+# feeds both the Spark plan and the SQL oracle, so they cannot drift.
+_MIXTURE_RATES: dict[str, str] = {
+    f"src{i}": format(round((0.95 - 0.045 * i) * 65536), "04x") for i in range(20)
+}
+
+
+@register(
+    "training_mixture_sample",
+    oracle=f"""
+    WITH rates(source, rate_hex) AS (VALUES
+        {", ".join(f"('{s}', '{h}')" for s, h in _MIXTURE_RATES.items())}
+    )
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN rates r USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.rate_hex
+    """,
+)
+def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-data mixture via deterministic hash sampling
+    (the sampling step of every LLM data pipeline): each source is kept
+    at its configured rate by thresholding an md5-derived sample key —
+    reproducible across runs, engines, and cluster sizes, unlike
+    ``rand()``-based sampling (O2's nondeterministic twin).
+
+    Scale: pure map-side filter — no shuffle, no state; the per-source
+    rate lookup is a literal map expression, so 100 TB of documents
+    sample in one scan with full column pruning."""
+    from ultimate_data_engineering_project_spark.functions.scalar import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate_map = ", ".join(f"'{s}', '{h}'" for s, h in _MIXTURE_RATES.items())
+    return docs.filter(
+        md5_bucket("doc_id") < F.expr(f"map({rate_map})")[F.col("source")]
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM toks_t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS id, s AS comp FROM edges
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_canonical,
+           CAST(COUNT(*) OVER (
+               PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+           ) AS BIGINT) AS cluster_size
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS with canonical selection (X1/X2 end
+    state): verified near-dup pairs -> connected components (alternating
+    large-star/small-star, operators/dedup.connected_components) ->
+    every document labeled with its cluster id (= min doc_id in the
+    transitive group), a canonical flag, and the cluster size.
+
+    This closes the dedup story the pair queries open: A~B and B~C must
+    collapse to ONE surviving document even when A and C never matched
+    directly.  The oracle spells the same transitive closure as a
+    DuckDB recursive CTE.
+
+    Scale: pair generation is the banded/inverted-index equi-join
+    (never O(n^2)); clustering is O(log n) rounds of groupBy+join on
+    narrow long keys; the final labeling is one left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_verified(spark, sf_dir).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+    )
