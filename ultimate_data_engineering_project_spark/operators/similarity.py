@@ -307,6 +307,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int = 6,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the clustered-corpus scale
     path, complementing the data-independent LSH of :func:`ann_topk`.
@@ -360,8 +361,13 @@ def ivf_topk(
             ),
         )
     )
+    # Bounded query sets (the dominant ANN serving shape) broadcast:
+    # the corpus never shuffles for candidate generation, leaving ONE
+    # exchange in the whole plan (the per-query top-k window).  Large
+    # query sets keep the shuffled equi-join on the list id.
     cand = (
-        probed.join(indexed, "__cid")
+        (indexed.join(F.broadcast(probed), "__cid") if broadcast_queries
+         else probed.join(indexed, "__cid"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
@@ -390,6 +396,7 @@ def ann_topk(
     n_tables: int = 10,
     seed: int = 42,
     round_digits: int = 6,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -415,15 +422,44 @@ def ann_topk(
 
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")
-    cand = (
-        qb.join(cb, on=["table_id", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn(
-            "cosine_sim",
-            F.round(cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")), round_digits),
+    if broadcast_queries:
+        # Bounded query set: broadcast its bucket keys so the corpus
+        # never shuffles for candidate generation, then make the ONE
+        # exchange in the plan a repartition on query_id — hash
+        # partitioning on query_id co-locates every (query_id,
+        # neighbor_id) pair, so the multi-table dedup aggregation AND
+        # the top-k window both run exchange-free on top of it.
+        matched = cb.join(F.broadcast(qb), on=["table_id", "bucket"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
         )
-    )
+        cand = (
+            matched.repartition("query_id")
+            .groupBy("query_id", "neighbor_id")
+            .agg(
+                F.first("__v_query_id").alias("__v_query_id"),
+                F.first("__v_neighbor_id").alias("__v_neighbor_id"),
+            )
+            .withColumn(
+                "cosine_sim",
+                F.round(
+                    cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")),
+                    round_digits,
+                ),
+            )
+        )
+    else:
+        cand = (
+            qb.join(cb, on=["table_id", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn(
+                "cosine_sim",
+                F.round(
+                    cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")),
+                    round_digits,
+                ),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

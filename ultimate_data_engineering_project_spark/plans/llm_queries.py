@@ -422,7 +422,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: bucketed equi-join candidates, exact cosine re-rank; recall
     vs brute force asserted in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return similarity.ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, broadcast_queries=True
+    )
 
 
 @register(
@@ -513,7 +515,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join → exact cosine re-rank; recall vs brute force asserted in
     tests/test_operators.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, broadcast_queries=True
+    )
 
 
 def _lang_id_oracle() -> str:
