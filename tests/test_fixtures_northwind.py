@@ -172,6 +172,7 @@ def test_catalog_priority_prefix_covers_core_surface():
         "fakestream_ledger", "fakestream_ledger_clamped",
         "fakestream_dq_report", "near_dup_pairs_verified",
         "dedup_clusters", "training_mixture_sample",
+        "training_sequence_packing",
         "composite_pk_order_details", "cosine_topk_bruteforce",
         "timeseries_similar_users",
     }

@@ -388,3 +388,33 @@ def test_md5_bucket_portable_and_deterministic(spark):
         "SELECT i, substr(md5(CAST(i AS VARCHAR)), 1, 4) FROM range(200) t(i)"
     ).fetchall()
     assert got == {i: b for i, b in duck}
+
+
+def test_pack_token_budget_boundaries(spark):
+    """Exact-fit docs don't span; straddling docs do; chunk ids follow
+    the running token offset per stream."""
+    from ultimate_data_engineering_project_spark.operators.text import (
+        pack_token_budget,
+    )
+
+    rows = [
+        # stream a: 6 + 4 tokens -> doc 1 fills chunk 0 exactly (budget
+        # 6), doc 2 starts chunk 1
+        (1, "a", "t1 t2 t3 t4 t5 t6"),
+        (2, "a", "u1 u2 u3 u4"),
+        # stream b: 4 + 4 tokens -> doc 4 straddles the chunk boundary
+        (3, "b", "v1 v2 v3 v4"),
+        (4, "b", "w1 w2 w3 w4"),
+        # stream c: a single 14-token doc spans chunks 0-2
+        (5, "c", " ".join(f"x{i}" for i in range(14))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["doc_id"]: (r["chunk_id"], r["token_offset"], r["spans_chunks"])
+        for r in pack_token_budget(df, 6).collect()
+    }
+    assert got[1] == (0, 0, False)
+    assert got[2] == (1, 0, False)
+    assert got[3] == (0, 0, False)
+    assert got[4] == (0, 4, True)
+    assert got[5] == (0, 0, True)

@@ -133,3 +133,50 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
         "fp_rolling", rolling
     )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training-data prep: concatenate each
+    stream's documents in a deterministic order and cut the token
+    stream into fixed-``budget`` chunks (the GPT-style pack-and-split
+    step that turns a document corpus into uniform context windows).
+
+    Each document is labeled with the chunk in which it STARTS
+    (``chunk_id``), its token offset within that chunk, and whether it
+    straddles the chunk boundary (``spans_chunks`` — the documents a
+    loader must split).  All of it is one cumulative-sum window per
+    stream:
+
+        chunk_id = floor((cumsum - n_tokens) / budget)
+
+    Scale: the window partitions by the stream key (never global), so
+    100 TB packs as one shuffle on ``stream_col``; token counting is a
+    map-side expression.  Deterministic: same order, same chunks, on
+    any cluster size — resumable packing needs exactly this property.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", token_count(F.col(text_col)))
+    out = out.withColumn("__cum", F.sum("n_tokens").over(w))
+    start = F.col("__cum") - F.col("n_tokens")
+    return (
+        out.withColumn("chunk_id", F.floor(start / F.lit(budget)))
+        .withColumn("token_offset", (start % F.lit(budget)))
+        .withColumn(
+            "spans_chunks",
+            F.floor((F.col("__cum") - 1) / F.lit(budget)) > F.col("chunk_id"),
+        )
+        .drop("__cum")
+    )

@@ -116,18 +116,19 @@ _PRIORITY = [
     "fakestream_current_balances",
     "fakestream_circular_transfers",
     "fakestream_silver_customers",
-    "fakestream_gold_dashboards",
     "fakestream_dq_report",
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
     "near_dup_pairs_verified",
     "dedup_clusters",
     "training_mixture_sample",
+    "training_sequence_packing",
     "composite_pk_order_details",
     "cosine_topk_bruteforce",
     "timeseries_similar_users",
     "docs_prep_pipeline",
     # overflow (reached only if the driver budget extends past 50)
+    "fakestream_gold_dashboards",
     "day_over_day_orders",
     "events_hourly_sliding",
     "knn_label_vote",

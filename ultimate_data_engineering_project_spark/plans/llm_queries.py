@@ -674,3 +674,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
         )
     )
+
+
+@register(
+    "training_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+               SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+           CAST((cum - n_tok) % 512 AS BIGINT) AS token_offset,
+           floor((cum - 1) / 512.0) > floor((cum - n_tok) / 512.0)
+               AS spans_chunks
+    FROM t
+    """,
+)
+def training_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token training chunks (the pack-and-
+    split step between dedup/quality-gating and tokenization in an LLM
+    data pipeline): per-source token streams in deterministic doc_id
+    order, cut at fixed budget boundaries — one cumulative-sum window
+    per stream (operators/text.pack_token_budget).  Chunk assignment is
+    pure integer arithmetic, so the oracle reproduces it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = text.pack_token_budget(docs, 512)
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_id",
+        F.col("token_offset").cast("long").alias("token_offset"),
+        "spans_chunks",
+    )
