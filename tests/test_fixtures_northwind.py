@@ -173,6 +173,7 @@ def test_catalog_priority_prefix_covers_core_surface():
         "fakestream_dq_report", "near_dup_pairs_verified",
         "dedup_clusters", "training_mixture_sample",
         "training_sequence_packing",
+        "decontamination_check", "docs_pii_redaction",
         "composite_pk_order_details", "cosine_topk_bruteforce",
         "timeseries_similar_users",
     }

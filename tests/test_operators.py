@@ -418,3 +418,43 @@ def test_pack_token_budget_boundaries(spark):
     assert got[3] == (0, 0, False)
     assert got[4] == (0, 4, True)
     assert got[5] == (0, 0, True)
+
+
+def test_redact_pii_counts_and_text(spark):
+    from ultimate_data_engineering_project_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact bob@example.com or +1 (555) 123-4567 now"),
+        (2, "server at 10.0.0.1 and 192.168.1.255 up"),
+        (3, "clean text no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["redacted"] == "contact [EMAIL] or [PHONE] now"
+    assert got[2]["n_ipv4"] == 2 and "[IP] and [IP]" in got[2]["redacted"]
+    assert got[3]["redacted"] == rows[2][1]
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+
+
+def test_ngram_contamination_planted(spark):
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 3-grams with probe 10
+            (2, "zeta eta theta iota kappa"),       # no overlap
+            (3, "alpha beta gamma zed"),            # 1 shared 3-gram -> below min_shared
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: (r["n_probe_matches"], r["max_shared"])
+        for r in ngram_contamination(corpus, probe, "doc_id", min_shared=2).collect()
+    }
+    assert got == {1: (1, 3)}

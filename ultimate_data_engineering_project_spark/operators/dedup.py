@@ -449,3 +449,50 @@ def connected_components(
         e.select(F.col("v").alias("id"), F.col("v").alias("component"))
     )
     return comp.groupBy("id").agg(F.min("component").alias("component"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/eval contamination check (the decontamination step of an
+    LLM data pipeline): for every corpus document, how many probe
+    (benchmark) documents share at least ``min_shared`` word
+    ``shingle_n``-grams with it, and the largest such overlap.
+
+    Returns (id, n_probe_matches, max_shared) for contaminated corpus
+    docs only.
+
+    Scale: bipartite inverted-index equi-join on 64-bit shingle hashes
+    (shingle strings never materialize) — candidate volume scales with
+    shared-shingle document frequency, never |corpus| x |probe|; the
+    probe side (a benchmark suite) is typically small enough that the
+    join broadcasts.  Same candidate-generation shape as the near-dup
+    family; the reference has no analog.
+    """
+    def exploded(df: DataFrame, out_id: str) -> DataFrame:
+        toks_ok = F.size(F.split(F.col(text_col), " ")) >= shingle_n
+        return (
+            df.filter(toks_ok)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__sh"),
+            )
+        )
+
+    shared = (
+        exploded(corpus, "__cid")
+        .join(exploded(probe, "__pid"), "__sh")
+        .groupBy("__cid", "__pid")
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+        .filter(F.col("__n_shared") >= min_shared)
+    )
+    return shared.groupBy(F.col("__cid").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_probe_matches"),
+        F.max("__n_shared").alias("max_shared"),
+    )

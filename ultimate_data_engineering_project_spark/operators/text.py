@@ -180,3 +180,36 @@ def pack_token_budget(
         )
         .drop("__cum")
     )
+
+
+# PII scrub patterns — written to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): character classes + bounded repetition only,
+# no backrefs or lookaround.  Replacement order is fixed (email, ip,
+# phone) so the engines transform identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training-data prep: replace emails, IPv4
+    addresses, and international-format phone numbers with typed
+    placeholders, and count each kind per document (``n_email`` /
+    ``n_ipv4`` / ``n_phone``) so the scrub is auditable.
+
+    Pure map-side ``regexp_replace`` / ``regexp_count`` expressions —
+    no shuffle, embarrassingly parallel, and the pattern set is chosen
+    to evaluate identically in RE2, so an external engine can verify
+    the scrub byte-for-byte (see the ``docs_pii_redaction`` oracle).
+    Adds ``redacted`` plus the count columns; original column kept.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        redacted = F.regexp_replace(redacted, pat, repl.replace("$", "\\$"))
+    return out.withColumn("redacted", redacted)

@@ -114,8 +114,6 @@ _PRIORITY = [
     "fakestream_ledger",
     "fakestream_ledger_clamped",
     "fakestream_current_balances",
-    "fakestream_circular_transfers",
-    "fakestream_silver_customers",
     "fakestream_dq_report",
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
@@ -123,11 +121,15 @@ _PRIORITY = [
     "dedup_clusters",
     "training_mixture_sample",
     "training_sequence_packing",
+    "decontamination_check",
+    "docs_pii_redaction",
     "composite_pk_order_details",
     "cosine_topk_bruteforce",
     "timeseries_similar_users",
     "docs_prep_pipeline",
     # overflow (reached only if the driver budget extends past 50)
+    "fakestream_circular_transfers",
+    "fakestream_silver_customers",
     "fakestream_gold_dashboards",
     "day_over_day_orders",
     "events_hourly_sliding",

@@ -712,3 +712,83 @@ def training_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token_offset").cast("long").alias("token_offset"),
         "spans_chunks",
     )
+
+
+@register(
+    "decontamination_check",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM toks_t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    shared AS (
+        SELECT c.doc_id AS cid, e.doc_id AS pid, COUNT(*) AS n_shared
+        FROM sh c JOIN sh e ON c.shingle = e.shingle
+        WHERE e.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT cid AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_probe_matches,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared
+    FROM shared
+    GROUP BY cid
+    """,
+)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan (the decontamination step of an
+    LLM data pipeline): every 7th document stands in for a benchmark
+    suite; corpus documents sharing >= 2 word-3-gram shingles with any
+    probe document are flagged with the match count and the largest
+    single-document overlap.  Bipartite shingle inverted-index
+    equi-join (operators/dedup.ngram_contamination) — candidate volume
+    scales with shared-shingle document frequency, never
+    |corpus| x |probe|."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
+    out = dedup.ngram_contamination(corpus, probe, "doc_id", min_shared=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_probe_matches").cast("long").alias("n_probe_matches"),
+        F.col("max_shared").cast("long").alias("max_shared"),
+    )
+
+
+def _pii_oracle() -> str:
+    """Build the redaction oracle from the SAME pattern table the
+    operator uses (single source of truth: text.PII_PATTERNS)."""
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, repl in text.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           md5({redacted}) AS redacted_md5
+    FROM documents
+    """
+
+
+@register("docs_pii_redaction", oracle=_pii_oracle())
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (training-data prep): per-document email / IPv4 /
+    phone counts plus an md5 of the redacted text, so the byte-exact
+    scrub is verifiable by an external engine (patterns restricted to
+    the Java-regex/RE2 common subset).  Map-side only — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.redact_pii(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{name}") for name, _, _ in text.PII_PATTERNS],
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
