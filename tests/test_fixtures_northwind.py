@@ -174,6 +174,9 @@ def test_catalog_priority_prefix_covers_core_surface():
         "dedup_clusters", "training_mixture_sample",
         "training_sequence_packing",
         "decontamination_check", "docs_pii_redaction",
+        "top_fraction_customers", "fuzzy_dedup_part_names",
+        "window_ranking_battery", "docs_text_stats",
+        "docs_prep_pipeline",
         "composite_pk_order_details", "cosine_topk_bruteforce",
         "timeseries_similar_users",
     }

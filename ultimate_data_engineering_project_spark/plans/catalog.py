@@ -80,23 +80,24 @@ _PRIORITY = [
     "filter_recent_window",
     "filter_month_bucket",
     "topk_orders_by_price",
-    "join_customers_per_region",
     "join_order_revenue_topk",
     "semi_join_customer_segments",
+    "top_fraction_customers",
+    "fuzzy_dedup_part_names",
     "anti_join_customers_without_orders",
     "self_join_same_day_orders",
     "star_join_revenue_by_nation",
     "conditional_dq_aggregate",
     "agg_sum_coalesce",
-    "group_topk_parts_by_brand",
     "rollup_order_status_priority",
     "distinct_counts_lineitem",
     "set_except_customers",
-    "set_intersect_customers",
     "string_functions",
     "date_functions",
     "math_functions",
     "json_extract_events",
+    "window_ranking_battery",
+    "docs_text_stats",
     # §2.5 windows
     "running_total_by_customer",
     "rolling_7day_order_volume",
@@ -113,7 +114,6 @@ _PRIORITY = [
     # fakestream family, newly hash-checked against frozen fixtures
     "fakestream_ledger",
     "fakestream_ledger_clamped",
-    "fakestream_current_balances",
     "fakestream_dq_report",
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
@@ -128,6 +128,10 @@ _PRIORITY = [
     "timeseries_similar_users",
     "docs_prep_pipeline",
     # overflow (reached only if the driver budget extends past 50)
+    "join_customers_per_region",
+    "group_topk_parts_by_brand",
+    "set_intersect_customers",
+    "fakestream_current_balances",
     "fakestream_circular_transfers",
     "fakestream_silver_customers",
     "fakestream_gold_dashboards",

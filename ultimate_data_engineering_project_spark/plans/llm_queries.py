@@ -792,3 +792,95 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"n_{name}") for name, _, _ in text.PII_PATTERNS],
         F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
     )
+
+
+@register(
+    "docs_quality_deciles",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, source,
+               CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LENGTH(list_filter(string_split(text, ' '),
+                           w -> w IN ({stop}))) AS BIGINT) AS n_stopwords,
+               CAST(LENGTH(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) * 0.4
+                     + (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.2
+                     + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.4, 6)
+                   AS quality_score
+        FROM feats
+    )
+    SELECT doc_id, source, quality_score,
+           CAST(ntile(10) OVER (
+               PARTITION BY source ORDER BY quality_score DESC, doc_id
+           ) AS BIGINT) AS decile
+    FROM scored
+    """.format(stop=_STOPWORD_LIST),
+)
+def docs_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: per-source quality deciles (decile 1 = the
+    best tenth of each source) — the gate/sort step before mixing.  The
+    ntile window partitions by the stream key, never globally, so at
+    100 TB this is one shuffle on source; ordering is on the ROUNDED
+    score with a doc_id tiebreak, so both engines rank identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+# Upsample weights per source: (whole copies, fractional-part md5-hex
+# threshold).  w = base + frac/65536; e.g. src0 -> 1 + 0x4000/65536 =
+# 1.25 copies in expectation, deterministically resolved per doc.
+_UPSAMPLE_RATES: dict[str, tuple[int, str]] = {
+    f"src{i}": (1 + (i % 3), format((i % 4) * 0x4000, "04x")) for i in range(20)
+}
+
+
+@register(
+    "training_mixture_upsample",
+    oracle=f"""
+    WITH rates(source, base_copies, frac_hex) AS (VALUES
+        {", ".join(f"('{s}', {b}, '{h}')" for s, (b, h) in _UPSAMPLE_RATES.items())}
+    ),
+    n AS (
+        SELECT d.doc_id, d.source,
+               base_copies + CASE
+                   WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < frac_hex
+                   THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN rates USING (source)
+    )
+    SELECT doc_id, source, CAST(u.copy_id AS BIGINT) AS copy_id
+    FROM n, UNNEST(range(n.n_copies)) u(copy_id)
+    """,
+)
+def training_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted UPSAMPLING for mixture weights > 1 (the other half of
+    training_mixture_sample): each source repeats floor(w) times, and
+    the fractional remainder is resolved per document by the same
+    deterministic md5 threshold — so an epoch's expansion is exactly
+    reproducible.  Map-side explode of a per-row sequence; no shuffle,
+    no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    base_map = ", ".join(f"'{s}', {b}" for s, (b, _) in _UPSAMPLE_RATES.items())
+    frac_map = ", ".join(f"'{s}', '{h}'" for s, (_, h) in _UPSAMPLE_RATES.items())
+    from ultimate_data_engineering_project_spark.functions.scalar import md5_bucket
+
+    n_copies = F.expr(f"map({base_map})")[F.col("source")] + (
+        md5_bucket("doc_id") < F.expr(f"map({frac_map})")[F.col("source")]
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_id"),
+    ).withColumn("copy_id", F.col("copy_id").cast("long"))
