@@ -458,3 +458,42 @@ def test_ngram_contamination_planted(spark):
         for r in ngram_contamination(corpus, probe, "doc_id", min_shared=2).collect()
     }
     assert got == {1: (1, 3)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of salting: a hot key's rows land in MULTIPLE shuffle
+    partitions (plain equi-join co-locates them all in one)."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators import relational
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # keep raw spread
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle
+    try:
+        hot = spark.range(0, 5000).select(F.lit(1).alias("k"), F.col("id"))
+        cold = spark.range(2, 50).select(F.col("id").alias("k"), F.col("id"))
+        skewed = hot.union(cold)
+        dim = spark.range(1, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+
+        def hot_partitions(df):
+            pids = (
+                df.filter(F.col("k") == 1)
+                .withColumn("pid", F.spark_partition_id())
+                .select("pid")
+                .distinct()
+                .count()
+            )
+            return pids
+
+        plain = skewed.join(dim, "k")
+        salted = relational.salted_join(skewed, dim, "k", salt_buckets=8)
+        assert salted.count() == plain.count()
+        assert hot_partitions(plain) == 1
+        assert hot_partitions(salted) >= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
