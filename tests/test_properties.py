@@ -211,3 +211,67 @@ def test_interval_join_matches_reference(spark, data):
             ):
                 expect.add((p.event_id, c.event_id))
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(st.sampled_from("abcdef"), min_size=1, max_size=9).map(" ".join),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    n_parts=st.sampled_from([1, 3, 13]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_token_budget_partition_invariant(spark, docs, n_parts):
+    """Partitioning must never change packing output (the determinism
+    a resumable 100 TB packing run depends on), and token_offset stays
+    inside the budget."""
+    from ultimate_data_engineering_project_spark.operators.text import (
+        pack_token_budget,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    base = sorted(
+        map(tuple, pack_token_budget(df, 4).drop("text").collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            pack_token_budget(df.repartition(n_parts), 4).drop("text").collect(),
+        )
+    )
+    assert base == shuffled
+    assert all(0 <= r[-2] < 4 for r in base)  # token_offset within budget
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_parts=st.sampled_from([1, 5, 17]),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_partition_invariant(spark, edges, n_parts):
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    base = sorted(map(tuple, connected_components(df).collect()))
+    shuffled = sorted(
+        map(tuple, connected_components(df.repartition(n_parts)).collect())
+    )
+    assert base == shuffled
