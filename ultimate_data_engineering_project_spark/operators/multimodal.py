@@ -65,19 +65,21 @@ except ImportError:  # container has no codecs; use deterministic fallback
     _PILImage = None
 
 
-def _decode_kernel(buf: bytes) -> list[float]:
+def _decode_kernel(buf: bytes, use_pil: bool = True) -> list[float]:
     """Decode+featurize one blob.
 
-    When Pillow is importable the bytes are decoded as an image and
-    featurized as a FEATURE_DIM-bin grayscale histogram (a real, if
-    simple, content feature).  Otherwise — this container ships no
-    codecs — a deterministic fake derived from the bytes keeps the
-    Spark plumbing (schema, Arrow batching, partitioning) fully
-    exercised and test-stable.
+    When Pillow is importable (and ``use_pil``) the bytes are decoded as
+    an image and featurized as a FEATURE_DIM-bin grayscale histogram (a
+    real, if simple, content feature).  Otherwise — this container ships
+    no codecs — a deterministic fallback derived from the sha256 digest
+    keeps the Spark plumbing (schema, Arrow batching, partitioning)
+    fully exercised, test-stable, AND external-engine-verifiable (the
+    ``multimodal_decode_features`` oracle reproduces it in SQL,
+    float32 rounding included).
     """
     import hashlib
 
-    if _PILImage is not None:
+    if use_pil and _PILImage is not None:
         import io
 
         try:
@@ -98,12 +100,22 @@ def _decode_kernel(buf: bytes) -> list[float]:
 
 
 def decode_features(
-    df: DataFrame, id_col: str = "doc_id", bytes_col: str = "media_bytes"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Arrow-batched decode/feature-extraction over binary media
     (mapInPandas: the executor streams record batches; Python touches
-    only (id, bytes) after JVM-side column pruning)."""
+    only (id, bytes) after JVM-side column pruning).
+
+    ``kernel='auto'`` decodes real images when Pillow is available and
+    falls back to the deterministic sha256 featurizer otherwise;
+    ``kernel='fallback'`` pins the deterministic featurizer regardless
+    of environment (what the oracle-checked catalog entry uses, so its
+    result does not depend on installed codecs)."""
     id_name, bytes_name = id_col, bytes_col
+    use_pil = kernel == "auto"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -117,7 +129,9 @@ def decode_features(
                     "content_sha": blobs.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
-                    "feature": blobs.map(lambda b: _decode_kernel(bytes(b))),
+                    "feature": blobs.map(
+                        lambda b: _decode_kernel(bytes(b), use_pil=use_pil)
+                    ),
                 }
             )
 

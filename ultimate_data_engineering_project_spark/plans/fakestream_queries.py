@@ -303,16 +303,57 @@ def fakestream_gold_dashboards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", oracle=None)
+def _multimodal_oracle() -> str:
+    """Reproduce the deterministic decode kernel in SQL: media bytes =
+    UTF-8(text); feature[i] = float32(byte_i(sha256)/255.0).  Hex chars
+    are parsed positionally and every float32 rounding step is
+    replicated with CAST(... AS REAL), so f_first/f_norm hash-match
+    bit-for-bit."""
+    hx = "0123456789abcdef"
+
+    def byte_expr(i: int) -> str:
+        hi = f"(strpos('{hx}', substr(sha, {2 * i + 1}, 1)) - 1)"
+        lo = f"(strpos('{hx}', substr(sha, {2 * i + 2}, 1)) - 1)"
+        return (
+            f"CAST(CAST(({hi} * 16 + {lo}) / 255.0 AS REAL) AS DOUBLE)"
+        )
+
+    sq_sum = " + ".join(f"(f{i} * f{i})" for i in range(16))
+    feats = ",\n               ".join(
+        f"{byte_expr(i)} AS f{i}" for i in range(16)
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id, sha256(text) AS sha,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, sha, n_bytes,
+               {feats}
+        FROM b
+    )
+    SELECT doc_id, n_bytes, sha AS content_sha,
+           ROUND(f0, 6) AS f_first,
+           ROUND(sqrt({sq_sum}), 6) AS f_norm
+    FROM f
+    """
+
+
+@register("multimodal_decode_features", oracle=_multimodal_oracle())
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing (X5): binary media column →
-    Arrow-batched mapInPandas decode/featurize (PIL-gated decode kernel
-    with a deterministic fallback — operators/multimodal.py).  The
-    catalog entry projects scalar columns (the driver harness cannot
-    canonicalize array cells); the array form stays in the operator API."""
+    Arrow-batched mapInPandas decode/featurize (operators/multimodal.py).
+    The catalog entry pins ``kernel='fallback'`` (the sha256-derived
+    deterministic featurizer) so the result is environment-independent
+    and the mapInPandas output — byte counts, content hash, and float32
+    feature values — is verified bit-for-bit by a SQL oracle; the
+    PIL-backed image kernel stays on ``kernel='auto'`` in the operator
+    API.  Scalar projection only (the harness cannot canonicalize array
+    cells); the array form stays in the operator API."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_binary(docs)
-    decoded = multimodal.decode_features(media)
+    decoded = multimodal.decode_features(media, kernel="fallback")
     return decoded.select(
         "doc_id",
         "n_bytes",
