@@ -118,3 +118,30 @@ def test_fuzzy_pairs_blocked(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
     assert got == {(1, 2): 1}
+
+
+def test_hll_rollup_merges_instead_of_rescanning(spark, sf_dir):
+    """Union-merged group sketches must estimate the GLOBAL distinct
+    count within HLL tolerance — the re-aggregation property a gold
+    rollup needs at scale."""
+    from ultimate_data_engineering_project_spark.operators.aggregates import (
+        hll_distinct_rollup,
+    )
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_group, total = hll_distinct_rollup(orders, ["o_orderstatus"], "o_custkey")
+    exact_total = orders.select("o_custkey").distinct().count()
+    est = total.first()["approx_distinct_total"]
+    assert abs(est - exact_total) / exact_total < 0.05
+    # per-group estimates also within tolerance of their exact counts
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in per_group.collect():
+        assert abs(r["approx_distinct"] - exact[r["o_orderstatus"]]) / exact[r["o_orderstatus"]] < 0.05

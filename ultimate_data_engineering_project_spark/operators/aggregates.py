@@ -43,3 +43,38 @@ def topk(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     each partition keeps a k-row heap, the driver merges k*P rows — never
     a full global sort."""
     return df.orderBy(*order_by).limit(k)
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+    *,
+    lg_k: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable distinct-count rollup via Datasketches HLL (A7 at
+    100 TB): per-group sketches plus a grand total obtained by UNIONING
+    the group sketches — never by rescanning the facts.
+
+    This is the property plain ``approx_count_distinct`` lacks: its
+    output is a number, so a gold-layer rollup cannot be re-aggregated
+    to coarser grain without another pass over the source.  Sketches
+    re-aggregate: daily → monthly → all-time each cost only a sketch
+    union over the previous level's rows.
+
+    Returns ``(per_group, total)``: per-group estimates and the
+    union-merged global estimate.
+    """
+    sk = df.groupBy(*group_cols).agg(
+        F.expr(f"hll_sketch_agg({count_col}, {lg_k})").alias("__sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_group = sk.select(
+        *group_cols,
+        "n_rows",
+        F.expr("hll_sketch_estimate(__sk)").alias("approx_distinct"),
+    )
+    total = sk.agg(
+        F.expr("hll_union_agg(__sk, true)").alias("__u")
+    ).select(F.expr("hll_sketch_estimate(__u)").alias("approx_distinct_total"))
+    return per_group, total
