@@ -48,3 +48,46 @@ def test_table_stats(engine):
     stats = engine.table_stats("orders")
     assert stats["n_rows"] == 1500
     assert stats["n_bytes"] > 0  # parquet-backed view: real file bytes
+
+
+def test_engine_catalog_dispatch(spark, sf_dir):
+    from ultimate_data_engineering_project_spark.api import Engine
+
+    eng = Engine(spark=spark)
+    names = eng.catalog_queries()
+    assert "flagship_daily_order_volume" in names and len(names) >= 100
+    df = eng.catalog_query("flagship_daily_order_volume", sf_dir)
+    assert df.count() > 0
+    import pytest
+
+    with pytest.raises(KeyError):
+        eng.catalog_query("no_such_query", sf_dir)
+
+
+def test_frame_sample_plan_explodes_video_rows(spark):
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "vid a"), (2, "vid b")], ["doc_id", "text"]
+    )
+    media = multimodal.attach_fake_binary(docs).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.when(F.col("doc_id") == 1, F.lit(2500).cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("duration_ms"),
+        ),
+    )
+    frames = multimodal.frame_sample_plan(media, every_ms=1_000)
+    got = sorted(
+        (r["doc_id"], r["frame_ms"]) for r in frames.select("doc_id", "frame_ms").collect()
+    )
+    # doc 1: frames at 0,1000,2000 (+ terminal 2500 if inclusive); doc 2 (no duration) excluded
+    assert all(d == 1 for d, _ in got)
+    assert {f for _, f in got} >= {0, 1000, 2000}

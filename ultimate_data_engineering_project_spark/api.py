@@ -107,3 +107,23 @@ class Engine:
             "n_tables": len(tables),
             "tables": {t: self.table_columns(t) for t in tables},
         }
+
+    # --- named query catalog -------------------------------------------
+    def catalog_queries(self) -> list[str]:
+        """Names of every packaged query (the SURVEY §2 surface)."""
+        from ultimate_data_engineering_project_spark.plans.catalog import queries
+
+        return list(queries())
+
+    def catalog_query(self, name: str, sf_dir: str) -> DataFrame:
+        """Run a packaged catalog query by name against a fixture dir —
+        the one-call path for a reference user switching engines: every
+        query they run today exists here under a stable name."""
+        from ultimate_data_engineering_project_spark.plans.catalog import queries
+
+        qs = queries()
+        if name not in qs:
+            raise KeyError(
+                f"unknown catalog query {name!r}; see Engine.catalog_queries()"
+            )
+        return qs[name](self.spark, sf_dir)
