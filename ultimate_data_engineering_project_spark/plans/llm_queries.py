@@ -884,3 +884,32 @@ def training_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_id"),
     ).withColumn("copy_id", F.col("copy_id").cast("long"))
+
+
+@register(
+    "incremental_new_docs",
+    oracle="""
+    WITH history AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT d.doc_id, md5(d.text) AS fp
+    FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND NOT EXISTS (SELECT 1 FROM history h WHERE h.fp = md5(d.text))
+    """,
+)
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch exact dedup (X1 at ingestion time): the
+    incoming batch (every 5th doc as stand-in) anti-joins the corpus on
+    a content fingerprint — only genuinely new content survives.  The
+    anti-join shuffles narrow md5 keys, never document text; at 100 TB
+    the history side is a bucketed fingerprint table so the probe is
+    co-located and shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    return incoming.join(history, "fp", "left_anti").select("doc_id", "fp")
