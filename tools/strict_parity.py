@@ -89,8 +89,14 @@ def main() -> None:
     from tests.oracle_utils import duck_connection
     from ultimate_data_engineering_project_spark.plans.catalog import catalog
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
@@ -99,8 +105,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     n_ok = n_bad = 0
+    results: dict[str, dict] = {}
     for name, spec in catalog().items():
-        if spec.oracle is None or (only and name not in only):
+        if only and name not in only:
+            continue
+        if spec.oracle is None:
+            results[name] = {"status": "no_oracle", "problems": None}
             continue
         try:
             probs = compare_strict(spec.fn(spark, sf_dir), con.execute(spec.oracle).df())
@@ -108,10 +118,30 @@ def main() -> None:
             probs = [f"EXC {e!r}"[:200]]
         if probs:
             n_bad += 1
+            results[name] = {"status": "FAIL", "problems": probs[:6]}
             print(f"STRICT-FAIL {name}: " + " | ".join(probs[:4]), flush=True)
         else:
             n_ok += 1
+            results[name] = {"status": "ok", "problems": None}
     print(f"strict parity: {n_ok} ok, {n_bad} failing", flush=True)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "oracles_ok": n_ok,
+                    "oracles_failing": n_bad,
+                    "no_oracle": sorted(
+                        k for k, v in results.items() if v["status"] == "no_oracle"
+                    ),
+                    "entries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}", flush=True)
     spark.stop()
 
 
