@@ -311,6 +311,43 @@ def test_timeseries_euclidean_and_dtw(spark):
     assert best[1] == 2 and best[2] == 1
 
 
+def test_timeseries_blocked_pairs_recall_and_exactness(spark):
+    """The LSH-blocked pair path must (a) recall planted near-identical
+    series pairs, and (b) report the SAME Euclidean distance as the
+    exact path on every pair it emits — blocking prunes candidates, it
+    never changes the metric."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    rng = __import__("random").Random(7)
+    rows = []
+    # 10 planted near-dup pairs (2k, 2k+1) + 20 scattered users
+    for pair in range(10):
+        base = [rng.uniform(-50, 50) for _ in range(8)]
+        for which in (0, 1):
+            uid = 2 * pair + which
+            for i, v in enumerate(base):
+                rows.append(Row(user_id=uid, event_id=uid * 100 + i,
+                                ts=ts(f"2024-01-01T10:0{i % 6}:00"),
+                                value=v + which * 0.01))
+    for uid in range(100, 120):
+        for i in range(8):
+            rows.append(Row(user_id=uid, event_id=uid * 100 + i,
+                            ts=ts(f"2024-01-01T10:0{i % 6}:00"),
+                            value=rng.uniform(-50, 50)))
+    ev = spark.createDataFrame(rows)
+    exact = {(r["user_a"], r["user_b"]): r["euclidean"]
+             for r in timeseries.series_pairs_euclidean(ev).collect()}
+    blocked = {(r["user_a"], r["user_b"]): r["euclidean"]
+               for r in timeseries.series_pairs_euclidean_blocked(ev).collect()}
+    planted = [(2 * p, 2 * p + 1) for p in range(10)]
+    recalled = [p for p in planted if p in blocked]
+    assert len(recalled) >= 8, f"blocked path recalled only {len(recalled)}/10 planted pairs"
+    for pair, dist in blocked.items():
+        assert dist == exact[pair], f"{pair}: blocked={dist} exact={exact[pair]}"
+    # and blocking must actually PRUNE: far fewer candidates than U^2
+    assert len(blocked) < len(exact) / 4, (len(blocked), len(exact))
+
+
 def test_connected_components_vs_union_find(spark):
     """Randomized graphs: large-star/small-star must agree with a
     pure-Python union-find on every node's component minimum."""

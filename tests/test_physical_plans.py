@@ -122,6 +122,18 @@ NESTED_LOOP_ALLOWED = {
 PLAN_SWEEP_SKIP = {"ann_topk_ivf"}
 
 
+def test_timeseries_blocked_pair_join_is_equi(spark, sf_dir):
+    """X6 scale path: LSH-blocked pair generation must plan an
+    EQUI-join on (band_id, block_key) — no cartesian or nested-loop
+    join anywhere, unlike the exact broadcast theta-join path."""
+    df = SPECS["timeseries_blocked_pairs"].fn(spark, sf_dir)
+    p = physical(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band_id", p) or \
+        "block_key" in p, p
+
+
 def test_no_accidental_cartesian_joins(spark, sf_dir):
     """Catalog-wide guard: no query may plan CartesianProduct or
     BroadcastNestedLoopJoin unless explicitly allowlisted — an

@@ -8,13 +8,20 @@ structs), then compared pairwise:
     documented case where built-in expressions genuinely cannot express
     the recurrence (§2.11 UDF policy).
 
-Scale: series are bounded per entity (cap with slice); the pairwise
-stage joins on a blocking key when entities are many — here entity
-cardinality is small (events.user_id ~ tens), so a broadcast pair join
-is the right plan.
+Scale: series are bounded per entity (cap with slice).  Two pairwise
+strategies:
+  * exact broadcast theta-join (series_pairs_euclidean) — right when
+    entity cardinality is small (events.user_id ~ tens);
+  * blocked equi-join (series_pairs_euclidean_blocked) — the 100 TB
+    path: a PAA sketch + p-stable LSH bucket key turns pair generation
+    into a banded self equi-join (mirroring the MinHash banding in
+    operators/dedup.py), so candidate pairs shuffle on a narrow 64-bit
+    key and the O(U^2) explosion never materializes.
 """
 
 from __future__ import annotations
+
+import random
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -69,6 +76,127 @@ def series_pairs_euclidean(events: DataFrame, max_len: int = 256) -> DataFrame:
             F.col("b.user_id").alias("user_b"),
             F.round(
                 euclidean_prefix(F.col("a.series"), F.col("b.series")), 6
+            ).alias("euclidean"),
+        )
+    )
+
+
+def _paa(series, n_segments: int):
+    """Piecewise Aggregate Approximation: mean of `n_segments` equal
+    slices of the series (expression-only, no UDF).  Empty slices (when
+    the series is shorter than n_segments) contribute 0.0."""
+
+    def seg_mean(i):
+        n = F.size(series)
+        lo = F.floor(i * n / n_segments)
+        width = F.floor((i + 1) * n / n_segments) - lo
+        seg = F.slice(series, lo.cast("int") + 1, width.cast("int"))
+        return F.when(
+            F.size(seg) > 0,
+            F.aggregate(seg, F.lit(0.0), lambda a, v: a + v) / F.size(seg),
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_segments - 1)), seg_mean)
+
+
+def series_block_keys(
+    series_df: DataFrame,
+    *,
+    n_paa: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    bucket_width: float = 4.0,
+    seed: int = 42,
+) -> DataFrame:
+    """(user_id, band_id, block_key) — p-stable LSH over a PAA sketch.
+
+    Each band hashes `rows_per_band` quantized Gaussian projections of
+    the PAA vector: key_r = floor((paa . g_r + u_r) / w).  Similar
+    series (small Euclidean distance) land in the same bucket in at
+    least one band with high probability; the projection coefficients
+    are deterministic from `seed`, so the plan is reproducible.
+    Projections are literal expressions — no UDF, no driver data."""
+    rng = random.Random(seed)
+    out = []
+    for b in range(bands):
+        parts = []
+        for r in range(rows_per_band):
+            g = [rng.gauss(0.0, 1.0) for _ in range(n_paa)]
+            u = rng.uniform(0.0, bucket_width)
+            dot = None
+            for i, gi in enumerate(g):
+                term = F.col("__paa")[i] * F.lit(gi)
+                dot = term if dot is None else dot + term
+            parts.append(F.floor((dot + F.lit(u)) / F.lit(bucket_width)).cast("string"))
+        out.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.concat_ws(",", *parts)).alias("block_key"),
+            )
+        )
+    return (
+        series_df.withColumn("__paa", _paa(F.col("series"), n_paa))
+        .select("user_id", F.explode(F.array(*out)).alias("__blk"))
+        .select("user_id", "__blk.band_id", "__blk.block_key")
+    )
+
+
+def series_pairs_euclidean_blocked(
+    events: DataFrame,
+    max_len: int = 256,
+    *,
+    n_paa: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    bucket_width: float = 4.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate user pairs via LSH blocking, with exact aligned-prefix
+    Euclidean computed on the survivors (X6 scale path).
+
+    Plan shape (mirrors dedup.minhash_lsh_pairs): sketch map-side ->
+    explode to `bands` narrow (user_id, band_id, block_key) rows ->
+    self EQUI-join on (band_id, block_key) -> distinct pairs -> series
+    re-attached by two keyed joins.  The heavy series arrays cross the
+    shuffle once per surviving user, never once per band, and no
+    cartesian/nested-loop join appears anywhere in the plan."""
+    s = user_series(events, max_len)
+    # keyed repartition = materialization barrier (see dedup.py): stops
+    # projection collapse from recomputing the grouped sort per band.
+    s = s.repartition("user_id")
+    keys = series_block_keys(
+        s,
+        n_paa=n_paa,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        bucket_width=bucket_width,
+        seed=seed,
+    )
+    a = keys.alias("ka")
+    b = keys.alias("kb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("ka.band_id") == F.col("kb.band_id"))
+            & (F.col("ka.block_key") == F.col("kb.block_key"))
+            & (F.col("ka.user_id") < F.col("kb.user_id")),
+        )
+        .select(
+            F.col("ka.user_id").alias("user_a"),
+            F.col("kb.user_id").alias("user_b"),
+        )
+        .distinct()
+    )
+    sa = s.select(F.col("user_id").alias("user_a"), F.col("series").alias("series_a"))
+    sb = s.select(F.col("user_id").alias("user_b"), F.col("series").alias("series_b"))
+    return (
+        pairs.join(sa, "user_a")
+        .join(sb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.round(
+                euclidean_prefix(F.col("series_a"), F.col("series_b")), 6
             ).alias("euclidean"),
         )
     )

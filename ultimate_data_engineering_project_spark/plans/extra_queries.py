@@ -299,6 +299,20 @@ def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.series_topk_similar(events, k=3)
 
 
+@register("timeseries_blocked_pairs", oracle=None)
+def timeseries_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked candidate pairs with exact Euclidean on survivors
+    (X6 scale path; rows-only — bucket membership is hash-dependent).
+    The pair join is an EQUI-join on (band_id, block_key), asserted by
+    tests/test_physical_plans.py, so pair generation stays a narrow-key
+    shuffle at any entity cardinality; recall vs the exact path is
+    pinned by tests/test_operators.py."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.series_pairs_euclidean_blocked(events, max_len=256)
+
+
 @register("timeseries_dtw_pairs", oracle=None)
 def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-DTW distances between user event series (X6 pandas-UDF
