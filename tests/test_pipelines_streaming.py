@@ -15,6 +15,8 @@ from ultimate_data_engineering_project_spark.sources.incremental import (
 from ultimate_data_engineering_project_spark.sources.sinks import merge_overwrite
 from ultimate_data_engineering_project_spark.streaming.pipelines import (
     cdc_apply_batch,
+    cdc_bucket_expr,
+    cdc_table_image,
     events_file_stream,
     parse_debezium_envelope,
     run_cdc_stream,
@@ -234,6 +236,180 @@ def test_cdc_stream_foreachbatch(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
     assert got == {1: "b", 3: "c"}
+
+
+def _env_line(op, ts_ms, before, after):
+    import json
+
+    return json.dumps(
+        {
+            "op": op,
+            "ts_ms": ts_ms,
+            "before": json.dumps(before) if before is not None else None,
+            "after": json.dumps(after) if after is not None else None,
+        }
+    )
+
+
+def _snapshot_bucket(table_dir, bucket):
+    """{relative file path: md5 of bytes} for one bucket directory."""
+    import hashlib
+    import pathlib
+
+    root = pathlib.Path(table_dir) / f"__bucket={bucket}"
+    return {
+        str(p.relative_to(root)): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in sorted(root.rglob("*"))
+        if p.is_file() and not p.name.startswith(("_", "."))
+    }
+
+
+def test_cdc_stream_bucketed_partition_scoped(spark, tmp_path):
+    """T1 at the 100 TB shape: n_buckets partitions the table image by
+    key hash, and a micro-batch rewrites ONLY the buckets its keys hash
+    into — untouched bucket files are byte-identical after the batch,
+    and a bucket whose keys are all deleted disappears from disk."""
+    import os
+
+    n_buckets = 8
+    row_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    # map candidate keys to their hash bucket so the test can pick keys
+    # per scenario deterministically
+    kb = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([Row(k=i) for i in range(1, 60)])
+        .select("k", cdc_bucket_expr(["k"], n_buckets).alias("b"))
+        .collect()
+    }
+    by_bucket = {}
+    for k, b in kb.items():
+        by_bucket.setdefault(b, []).append(k)
+    buckets = [b for b, ks in sorted(by_bucket.items()) if len(ks) >= 2]
+    assert len(buckets) >= 3
+    b_untouched, b_deleted, b_updated = buckets[:3]
+    untouched_keys = by_bucket[b_untouched][:2]
+    deleted_keys = by_bucket[b_deleted][:2]
+    updated_key = by_bucket[b_updated][0]
+
+    env_dir = tmp_path / "envelopes"
+    env_dir.mkdir()
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    seed_keys = untouched_keys + deleted_keys + [updated_key]
+    (env_dir / "batch1.jsonl").write_text(
+        "\n".join(
+            _env_line("c", i + 1, None, {"k": k, "v": f"v{k}"})
+            for i, k in enumerate(seed_keys)
+        )
+        + "\n"
+    )
+    q = run_cdc_stream(
+        spark, str(env_dir), row_schema, ["k"], table_dir, ckpt, n_buckets=n_buckets
+    )
+    q.awaitTermination(120)
+    assert {r["k"]: r["v"] for r in cdc_table_image(spark, table_dir).collect()} == {
+        k: f"v{k}" for k in seed_keys
+    }
+    # image hides the internal bucket column
+    assert "__bucket" not in cdc_table_image(spark, table_dir).columns
+    # only the three seeded buckets exist on disk
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("__bucket=")
+    }
+    assert on_disk == {b_untouched, b_deleted, b_updated}
+    before = _snapshot_bucket(table_dir, b_untouched)
+    assert before  # non-empty snapshot: the assertion below has teeth
+
+    # batch 2: update one key in b_updated, delete EVERY key in b_deleted
+    (env_dir / "batch2.jsonl").write_text(
+        "\n".join(
+            [_env_line("u", 100, {"k": updated_key, "v": f"v{updated_key}"},
+                       {"k": updated_key, "v": "updated"})]
+            + [
+                _env_line("d", 101 + i, {"k": k, "v": f"v{k}"}, None)
+                for i, k in enumerate(deleted_keys)
+            ]
+        )
+        + "\n"
+    )
+    q2 = run_cdc_stream(
+        spark, str(env_dir), row_schema, ["k"], table_dir, ckpt, n_buckets=n_buckets
+    )
+    q2.awaitTermination(120)
+
+    expected = {k: f"v{k}" for k in untouched_keys}
+    expected[updated_key] = "updated"
+    assert {r["k"]: r["v"] for r in cdc_table_image(spark, table_dir).collect()} == expected
+    # untouched bucket: every file byte-identical (dynamic overwrite
+    # never rewrote it)
+    assert _snapshot_bucket(table_dir, b_untouched) == before
+    # fully-deleted bucket: directory dropped, keys do not resurface
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("__bucket=")
+    }
+    assert on_disk == {b_untouched, b_updated}
+
+
+def test_cdc_stream_bucket_mode_guards(spark, tmp_path):
+    """Mode mismatch (bucketed table vs n_buckets=None and vice versa)
+    fails with a clear configuration error; '__bucket' in row_schema is
+    rejected up front."""
+    from pyspark.errors import StreamingQueryException
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    env_dir = tmp_path / "env"
+    env_dir.mkdir()
+    (env_dir / "b1.jsonl").write_text(
+        _env_line("c", 1, None, {"k": 1, "v": "a"}) + "\n"
+    )
+    table_dir = str(tmp_path / "table")
+    q = run_cdc_stream(
+        spark, str(env_dir), row_schema, ["k"], table_dir,
+        str(tmp_path / "ck1"), n_buckets=4,
+    )
+    q.awaitTermination(120)
+
+    # bucketed table, n_buckets=None → configuration error, not an
+    # unresolved-column failure deep in the apply
+    (env_dir / "b2.jsonl").write_text(
+        _env_line("c", 2, None, {"k": 2, "v": "b"}) + "\n"
+    )
+    q2 = run_cdc_stream(
+        spark, str(env_dir), row_schema, ["k"], table_dir, str(tmp_path / "ck2")
+    )
+    with pytest.raises(StreamingQueryException, match="bucketed"):
+        q2.awaitTermination(120)
+
+    # unbucketed table, n_buckets set → same clear error
+    flat_dir = str(tmp_path / "flat")
+    qf = run_cdc_stream(
+        spark, str(env_dir), row_schema, ["k"], flat_dir, str(tmp_path / "ck3")
+    )
+    qf.awaitTermination(120)
+    qm = run_cdc_stream(
+        spark, str(env_dir), row_schema, ["k"], flat_dir,
+        str(tmp_path / "ck4"), n_buckets=4,
+    )
+    with pytest.raises(StreamingQueryException, match="unbucketed"):
+        qm.awaitTermination(120)
+
+    # reserved internal column name
+    bad_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("__bucket", T.IntegerType())]
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        run_cdc_stream(
+            spark, str(env_dir), bad_schema, ["k"], table_dir, str(tmp_path / "ck5")
+        )
 
 
 def test_stream_running_totals_stateful(spark, sf_dir, tmp_path):

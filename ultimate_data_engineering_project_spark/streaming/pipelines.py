@@ -244,7 +244,17 @@ def run_cdc_stream(
 
     The foreachBatch body is the same pure function the batch tests
     verify; with a transactional table format it becomes MERGE INTO.
+
+    ``__bucket`` is a reserved internal column name: a ``row_schema``
+    that already contains it is rejected up front, and a bucketed /
+    unbucketed mode mismatch against an existing table image raises a
+    configuration error instead of failing obscurely per-batch.
     """
+    if "__bucket" in row_schema.fieldNames():
+        raise ValueError(
+            "'__bucket' is reserved for internal CDC bucketing; "
+            "rename the column in row_schema"
+        )
 
     raw = (
         spark.readStream.format("text")
@@ -256,6 +266,21 @@ def run_cdc_stream(
         changes = parse_debezium_envelope(batch_df, row_schema)
         try:
             current = spark.read.parquet(table_dir)
+            table_bucketed = "__bucket" in current.columns
+            if table_bucketed and n_buckets is None:
+                raise ValueError(
+                    f"table at {table_dir} was written bucketed "
+                    "(__bucket partition present) but run_cdc_stream was "
+                    "called with n_buckets=None; pass the original n_buckets"
+                )
+            if not table_bucketed and n_buckets is not None:
+                raise ValueError(
+                    f"table at {table_dir} was written unbucketed but "
+                    f"run_cdc_stream was called with n_buckets={n_buckets}; "
+                    "rebuild the table image bucketed or pass n_buckets=None"
+                )
+        except ValueError:
+            raise
         except Exception:
             current = spark.createDataFrame([], row_schema)
             if n_buckets is not None:
