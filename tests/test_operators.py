@@ -132,6 +132,40 @@ def test_minhash_pairs_vs_exact(spark, near_dup_docs):
         assert abs(r["jaccard"] - expect) < 1e-5
 
 
+def test_minhash_kernels_bit_identical(spark, near_dup_docs, sf_dir):
+    """The arrow and sql signature kernels share coefficients and must
+    produce bit-identical signatures — and therefore identical pairs."""
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        _with_minhash_signature,
+        shingle_hashes,
+    )
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    shh = docs.select("doc_id", shingle_hashes(F.col("text"), 3).alias("__shh"))
+    sql_sig = _with_minhash_signature(shh, "sql", 32, 42).select(
+        "doc_id", F.col("__sig").alias("sql_sig")
+    )
+    arrow_sig = _with_minhash_signature(shh, "arrow", 32, 42).select(
+        "doc_id", F.col("__sig").alias("arrow_sig")
+    )
+    both = sql_sig.join(arrow_sig, "doc_id")
+    assert both.count() == 200
+    assert both.filter(F.col("sql_sig") != F.col("arrow_sig")).count() == 0
+
+    for kernel in ("arrow", "sql"):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                near_dup_docs, "doc_id", jaccard_threshold=0.3, kernel=kernel
+            ).collect()
+        }
+        assert (1, 4) in found
+        assert (1, 3) not in found
+    with pytest.raises(ValueError, match="kernel"):
+        dedup.minhash_lsh_pairs(near_dup_docs, "doc_id", kernel="nope")
+
+
 def test_ngram_jaccard_exact(spark, near_dup_docs):
     pairs = dedup.ngram_jaccard_pairs(
         near_dup_docs, "doc_id", jaccard_threshold=0.3
