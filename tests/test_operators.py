@@ -380,6 +380,55 @@ def test_timeseries_blocked_pairs_recall_and_exactness(spark):
         assert dist == exact[pair], f"{pair}: blocked={dist} exact={exact[pair]}"
     # and blocking must actually PRUNE: far fewer candidates than U^2
     assert len(blocked) < len(exact) / 4, (len(blocked), len(exact))
+    # blocked top-k ranks each planted user's partner first (the
+    # partner IS the nearest neighbor by construction and was recalled)
+    top1 = {
+        r["user_id"]: r["similar_user_id"]
+        for r in timeseries.series_topk_similar(ev, k=1, blocked=True).collect()
+    }
+    for ua, ub in recalled:
+        assert top1.get(ua) == ub and top1.get(ub) == ua
+    # blocked DTW runs over the same candidate pairs and agrees with
+    # the exact DTW path on every pair it emits
+    exact_dtw = {(r["user_a"], r["user_b"]): r["dtw"]
+                 for r in timeseries.series_pairs_dtw(ev).collect()}
+    blocked_dtw = {(r["user_a"], r["user_b"]): r["dtw"]
+                   for r in timeseries.series_pairs_dtw(ev, blocked=True).collect()}
+    assert set(blocked_dtw) == set(blocked)
+    for pair, d in blocked_dtw.items():
+        assert abs(d - exact_dtw[pair]) < 1e-9
+
+
+def test_timeseries_degenerate_bucket_cap(spark):
+    """Many users with identical (constant) series land in one bucket
+    in every band; the bucket-size cap drops those buckets instead of
+    emitting O(B^2) pairs — and leaves small buckets untouched."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    rows = []
+    # 40 users with IDENTICAL series -> one degenerate bucket per band
+    for uid in range(40):
+        for i in range(4):
+            rows.append(Row(user_id=uid, event_id=uid * 10 + i,
+                            ts=ts(f"2024-01-01T10:0{i}:00"), value=1.0))
+    # 2 planted near-identical users distinct from the constant crowd
+    for uid, eps in ((100, 0.0), (101, 0.01)):
+        for i in range(4):
+            rows.append(Row(user_id=uid, event_id=uid * 10 + i,
+                            ts=ts(f"2024-01-01T10:0{i}:00"),
+                            value=50.0 + i * 3 + eps))
+    ev = spark.createDataFrame(rows)
+    capped = {(r["user_a"], r["user_b"])
+              for r in timeseries.series_pairs_euclidean_blocked(
+                  ev, max_bucket_size=8).collect()}
+    # degenerate crowd suppressed: no pair of constant-series users
+    assert not any(a < 40 and b < 40 for a, b in capped), capped
+    # the small healthy bucket still yields its planted pair
+    assert (100, 101) in capped
+    # without the cap the crowd floods through
+    uncapped = {(r["user_a"], r["user_b"])
+                for r in timeseries.series_pairs_euclidean_blocked(ev).collect()}
+    assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 / 2
 
 
 def test_connected_components_vs_union_find(spark):

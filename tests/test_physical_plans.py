@@ -126,12 +126,18 @@ def test_timeseries_blocked_pair_join_is_equi(spark, sf_dir):
     """X6 scale path: LSH-blocked pair generation must plan an
     EQUI-join on (band_id, block_key) — no cartesian or nested-loop
     join anywhere, unlike the exact broadcast theta-join path."""
-    df = SPECS["timeseries_blocked_pairs"].fn(spark, sf_dir)
-    p = physical(df)
-    assert "BroadcastNestedLoopJoin" not in p, p
-    assert "CartesianProduct" not in p, p
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band_id", p) or \
-        "block_key" in p, p
+    for entry in ("timeseries_blocked_pairs", "timeseries_topk_blocked",
+                  "timeseries_dtw_blocked"):
+        df = SPECS[entry].fn(spark, sf_dir)
+        p = physical(df)
+        assert "BroadcastNestedLoopJoin" not in p, (entry, p)
+        assert "CartesianProduct" not in p, (entry, p)
+        # the pair join itself must be a hash/sort-merge EQUI-join keyed
+        # on (band_id, block_key) — no fallback accepted
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band_id[#\d]*, block_key",
+            p,
+        ), (entry, p)
 
 
 def test_no_accidental_cartesian_joins(spark, sf_dir):

@@ -141,7 +141,7 @@ def series_block_keys(
     )
 
 
-def series_pairs_euclidean_blocked(
+def _blocked_candidate_pairs(
     events: DataFrame,
     max_len: int = 256,
     *,
@@ -150,16 +150,29 @@ def series_pairs_euclidean_blocked(
     rows_per_band: int = 2,
     bucket_width: float = 4.0,
     seed: int = 42,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Candidate user pairs via LSH blocking, with exact aligned-prefix
-    Euclidean computed on the survivors (X6 scale path).
+    """LSH-blocked candidate user pairs with both series attached:
+    (user_a, user_b, series_a, series_b).  The shared pair generator
+    behind the blocked Euclidean and blocked DTW paths.
 
     Plan shape (mirrors dedup.minhash_lsh_pairs): sketch map-side ->
     explode to `bands` narrow (user_id, band_id, block_key) rows ->
     self EQUI-join on (band_id, block_key) -> distinct pairs -> series
     re-attached by two keyed joins.  The heavy series arrays cross the
     shuffle once per surviving user, never once per band, and no
-    cartesian/nested-loop join appears anywhere in the plan."""
+    cartesian/nested-loop join appears anywhere in the plan.
+
+    Degenerate buckets are capped: many entities with constant/short
+    series produce identical zero-padded PAA sketches and would land in
+    one bucket in every band, reintroducing an O(B^2) blowup inside
+    that bucket.  Buckets larger than ``max_bucket_size`` are dropped
+    (standard LSH practice — an over-full bucket carries no selectivity
+    anyway).  The bucket-size count runs over the same
+    (band_id, block_key) partitioning the self-join needs, so the cap
+    adds no extra exchange."""
+    from pyspark.sql import Window
+
     s = user_series(events, max_len)
     # keyed repartition = materialization barrier (see dedup.py): stops
     # projection collapse from recomputing the grouped sort per band.
@@ -171,6 +184,12 @@ def series_pairs_euclidean_blocked(
         rows_per_band=rows_per_band,
         bucket_width=bucket_width,
         seed=seed,
+    )
+    bucket_w = Window.partitionBy("band_id", "block_key")
+    keys = (
+        keys.withColumn("__bsz", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
     )
     a = keys.alias("ka")
     b = keys.alias("kb")
@@ -189,16 +208,39 @@ def series_pairs_euclidean_blocked(
     )
     sa = s.select(F.col("user_id").alias("user_a"), F.col("series").alias("series_a"))
     sb = s.select(F.col("user_id").alias("user_b"), F.col("series").alias("series_b"))
-    return (
-        pairs.join(sa, "user_a")
-        .join(sb, "user_b")
-        .select(
-            "user_a",
-            "user_b",
-            F.round(
-                euclidean_prefix(F.col("series_a"), F.col("series_b")), 6
-            ).alias("euclidean"),
-        )
+    return pairs.join(sa, "user_a").join(sb, "user_b")
+
+
+def series_pairs_euclidean_blocked(
+    events: DataFrame,
+    max_len: int = 256,
+    *,
+    n_paa: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    bucket_width: float = 4.0,
+    seed: int = 42,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Candidate user pairs via LSH blocking, with exact aligned-prefix
+    Euclidean computed on the survivors (X6 scale path).  See
+    `_blocked_candidate_pairs` for the plan shape and bucket cap."""
+    cand = _blocked_candidate_pairs(
+        events,
+        max_len,
+        n_paa=n_paa,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        bucket_width=bucket_width,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    return cand.select(
+        "user_a",
+        "user_b",
+        F.round(
+            euclidean_prefix(F.col("series_a"), F.col("series_b")), 6
+        ).alias("euclidean"),
     )
 
 
@@ -212,22 +254,38 @@ _DTW_SCHEMA = T.StructType(
 
 
 def series_pairs_dtw(
-    events: DataFrame, max_len: int = 64, band: int = 8
+    events: DataFrame,
+    max_len: int = 64,
+    band: int = 8,
+    *,
+    blocked: bool = False,
+    **blocked_kwargs,
 ) -> DataFrame:
     """Sakoe-Chiba-banded DTW over user pairs (X6 UDF path).
 
     The pair list is built JVM-side; only (user_a, user_b, two float
     series) reach Python, in Arrow batches, where numpy runs the DP.
+    ``blocked=False`` enumerates all pairs via a broadcast theta-join —
+    the documented small-cardinality path; ``blocked=True`` takes the
+    LSH-blocked candidates (`_blocked_candidate_pairs`, equi-join plan)
+    so the quadratic pair list never materializes at scale.  Blocking
+    keys are Euclidean (p-stable) — a DTW-close but Euclidean-far pair
+    can be missed; that approximation is inherent to LSH prefilters.
     """
-    s = user_series(events, max_len)
-    a = s.alias("a")
-    b = s.alias("b")
-    pairs = a.join(F.broadcast(b), F.col("a.user_id") < F.col("b.user_id")).select(
-        F.col("a.user_id").alias("user_a"),
-        F.col("b.user_id").alias("user_b"),
-        F.col("a.series").alias("series_a"),
-        F.col("b.series").alias("series_b"),
-    )
+    if blocked:
+        pairs = _blocked_candidate_pairs(events, max_len, **blocked_kwargs)
+    else:
+        s = user_series(events, max_len)
+        a = s.alias("a")
+        b = s.alias("b")
+        pairs = a.join(
+            F.broadcast(b), F.col("a.user_id") < F.col("b.user_id")
+        ).select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.series").alias("series_a"),
+            F.col("b.series").alias("series_b"),
+        )
 
     def dtw_batch(it):
         import numpy as np
@@ -257,13 +315,33 @@ def series_pairs_dtw(
 
 
 def series_topk_similar(
-    events: DataFrame, k: int = 3, max_len: int = 256
+    events: DataFrame,
+    k: int = 3,
+    max_len: int = 256,
+    *,
+    blocked: bool = False,
+    **blocked_kwargs,
 ) -> DataFrame:
     """Per-user top-k most similar other users by aligned-prefix
-    Euclidean (symmetrized pair list → per-user window)."""
+    Euclidean (symmetrized pair list → per-user window).
+
+    ``blocked=False`` (default) ranks over the EXACT all-pairs distance
+    table — the oracle-checkable baseline, right when entity cardinality
+    is small (the broadcast theta-join is the documented cost).
+    ``blocked=True`` ranks over the LSH-blocked candidate pairs
+    (`series_pairs_euclidean_blocked`, equi-join plan, extra kwargs
+    forwarded) — the 100 TB path.  Like ANN vs brute-force cosine
+    (operators/similarity.py), the blocked variant is APPROXIMATE:
+    a true neighbor missed by every band is absent from the ranking, so
+    it is published as a separate rows-only catalog entry with a recall
+    test rather than swapped silently under the exact oracle."""
     from pyspark.sql import Window
 
-    pairs = series_pairs_euclidean(events, max_len)
+    pairs = (
+        series_pairs_euclidean_blocked(events, max_len, **blocked_kwargs)
+        if blocked
+        else series_pairs_euclidean(events, max_len)
+    )
     sym = pairs.unionByName(
         pairs.select(
             F.col("user_b").alias("user_a"),

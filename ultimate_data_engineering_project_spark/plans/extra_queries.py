@@ -313,6 +313,34 @@ def timeseries_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.series_pairs_euclidean_blocked(events, max_len=256)
 
 
+@register("timeseries_topk_blocked", oracle=None)
+def timeseries_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 similar users ranked over the LSH-blocked
+    candidate pairs (X6 scale path; rows-only — like ANN vs brute-force
+    cosine, blocking makes the ranking approximate, so it is published
+    beside the exact `timeseries_similar_users` oracle entry rather
+    than swapped under it).  Pair generation is an equi-join on
+    (band_id, block_key) with a degenerate-bucket cap; asserted
+    nested-loop-free by tests/test_physical_plans.py, recall pinned by
+    tests/test_operators.py."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.series_topk_similar(events, k=3, blocked=True)
+
+
+@register("timeseries_dtw_blocked", oracle=None)
+def timeseries_dtw_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-DTW distances over LSH-blocked candidate pairs (X6 scale
+    path for the UDF metric; rows-only).  The Euclidean p-stable blocks
+    prefilter the pair list so the Arrow DP batches receive candidate
+    pairs from an equi-join, never the O(U^2) broadcast enumeration."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.series_pairs_dtw(events, max_len=64, blocked=True)
+
+
 @register("timeseries_dtw_pairs", oracle=None)
 def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-DTW distances between user event series (X6 pandas-UDF
