@@ -43,6 +43,59 @@ def test_fakestream_fixture_defect_rates(spark):
     assert 0 < neg / acct.count() < 0.08  # 2% documented
 
 
+# --- frozen northwind fixtures (the reference's actual rows) -----------
+
+NW_FIXTURE_DIR = os.path.join(REPO, "fixtures", "northwind")
+
+# row counts straight from the reference dump (northwind.sql:250-3696)
+NW_EXPECTED_ROWS = {
+    "categories": 8,
+    "customer_customer_demo": 0,
+    "customer_demographics": 0,
+    "customers": 91,
+    "employee_territories": 49,
+    "employees": 9,
+    "order_details": 2_155,
+    "orders": 830,
+    "products": 77,
+    "region": 4,
+    "shippers": 6,
+    "suppliers": 29,
+    "territories": 53,
+    "us_states": 51,
+}
+
+
+def test_northwind_fixtures_frozen(spark):
+    """Every Northwind table is committed as parquet with the dump's
+    row count and the registry schema's columns (tools/
+    load_northwind.py).  Ground-truth spot checks pin the parse: the
+    classic total net revenue and the Fuller-rooted hierarchy."""
+    for name, expected in NW_EXPECTED_ROWS.items():
+        path = os.path.join(NW_FIXTURE_DIR, f"{name}.parquet")
+        assert os.path.isfile(path), f"missing frozen fixture {path}"
+        df = spark.read.parquet(path)
+        assert df.count() == expected, name
+        assert df.columns == [
+            f.name for f in schemas.NORTHWIND_SCHEMAS[name].fields
+        ], name
+    od = spark.read.parquet(os.path.join(NW_FIXTURE_DIR, "order_details.parquet"))
+    total = od.select(
+        F.round(
+            F.sum(F.col("unit_price") * F.col("quantity") * (1 - F.col("discount"))), 2
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert total == 1_265_793.04  # the canonical Northwind revenue
+    emp = spark.read.parquet(os.path.join(NW_FIXTURE_DIR, "employees.parquet"))
+    root = emp.filter(F.col("reports_to").isNull()).collect()
+    assert len(root) == 1 and root[0]["last_name"] == "Fuller"
+    # dates and strings survive the literal parse
+    orders = spark.read.parquet(os.path.join(NW_FIXTURE_DIR, "orders.parquet"))
+    first = orders.orderBy("order_id").first()
+    assert str(first["order_date"]) == "1996-07-04"
+    assert first["ship_city"] == "Reims"
+
+
 # --- northwind registry ------------------------------------------------
 
 def test_northwind_registry_complete():

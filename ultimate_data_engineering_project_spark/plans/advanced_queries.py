@@ -511,7 +511,7 @@ def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "self_fk_manager_join",
+    "self_fk_supplier_hierarchy",
     oracle="""
     WITH employees AS (
         SELECT s_suppkey, s_name,
@@ -523,11 +523,12 @@ def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
     LEFT JOIN employees m ON m.s_suppkey = e.reports_to
     """,
 )
-def self_fk_manager_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-referencing FK traversal (J8 — the Northwind
-    employees.reports_to shape, reference northwind.sql:111,3905-3906):
-    a binary-tree hierarchy derived deterministically over supplier,
-    walked with a self left-join (the root keeps a NULL manager)."""
+def self_fk_supplier_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referencing FK traversal at TPC-H scale (J8): a binary-tree
+    hierarchy derived deterministically over supplier, walked with a
+    self left-join (the root keeps a NULL manager).  The same shape
+    over the REAL Northwind employees rows is
+    plans/northwind_queries.self_fk_manager_join."""
     supplier = load_table(spark, sf_dir, "supplier")
     employees = supplier.select(
         "s_suppkey",
@@ -634,7 +635,7 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "composite_pk_order_details",
+    "composite_pk_lineitem_returns",
     oracle=f"""
     WITH details AS (
         SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
@@ -655,13 +656,13 @@ def array_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.l_partkey
     """,
 )
-def composite_pk_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite-primary-key equi-join (the Northwind order_details
-    shape: PK (order_id, product_id), reference northwind.sql:3745-3746,
-    schemas.NW_ORDER_DETAILS): lineitem's (l_orderkey, l_linenumber)
-    composite PK joins the detail rows to their return events on BOTH
-    key columns — a 2-column shuffle-hash key, partition-pruned and
-    never a row-multiplying single-key join."""
+def composite_pk_lineitem_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-primary-key equi-join at TPC-H scale: lineitem's
+    (l_orderkey, l_linenumber) composite PK joins the detail rows to
+    their return events on BOTH key columns — a 2-column shuffle-hash
+    key, partition-pruned and never a row-multiplying single-key join.
+    The same shape over the REAL Northwind order_details rows is
+    plans/northwind_queries.composite_pk_order_details."""
     li = load_table(spark, sf_dir, "lineitem")
     details = li.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"

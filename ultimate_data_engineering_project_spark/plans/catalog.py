@@ -59,6 +59,7 @@ def _load() -> None:
         extra_queries,
         fakestream_queries,
         llm_queries,
+        northwind_queries,
     )
 
 
