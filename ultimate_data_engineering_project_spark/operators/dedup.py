@@ -297,6 +297,115 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Engine-portable MinHash+LSH near-dup pairs (X2): the md5 twin of
+    `minhash_lsh_pairs`, built so a SQL oracle can reproduce the EXACT
+    candidate set hash-for-hash on another engine.
+
+    Permutation i of a shingle is ``md5(i || ':' || shingle)`` and the
+    signature element is the lexicographic MIN of those hex strings —
+    no engine-specific 64-bit hash, no modular arithmetic, identical
+    text in, identical signature out on any engine with md5.  Bands
+    hash ``rows_per_band`` consecutive signature strings back through
+    md5; candidates self-equi-join on (band_id, band_key); survivors
+    verify with exact shingle-set Jaccard.  Docs shorter than
+    ``shingle_n`` tokens are excluded (cross-engine shingle semantics).
+
+    Scale shape is the same banded equi-join as the xxhash64 path;
+    the md5-string representation costs more per row (hex strings vs
+    64-bit ints on the wire) — this entry exists for *auditability*,
+    the xxhash64+Arrow path is the production kernel.
+    """
+    rows_per_band = num_hashes // bands
+    toks = F.split(F.col("__text"), " ")
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .filter(F.size(toks) >= shingle_n)
+        .select("__id", F.explode(shingles(F.col("__text"), shingle_n)).alias("shingle"))
+    )
+    # (doc, i) -> lexicographic min md5 over the doc's shingles
+    perms = base.select(
+        "__id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    ).select(
+        "__id",
+        "i",
+        F.md5(
+            F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    sigs = perms.groupBy("__id", "i").agg(F.min("h").alias("s"))
+    bands_df = (
+        sigs.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("__id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "s"))),
+                        lambda x: x["s"],
+                    ),
+                ).cast("binary")
+            ).alias("band_key")
+        )
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    # shingles() is array_distinct, so (doc, shingle) rows are already
+    # unique — no dedup shuffle needed before set arithmetic
+    sh = base
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("__id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("__id").alias("id_b"), "shingle")
+    n_inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        n_inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -79,7 +79,6 @@ _PRIORITY = [
     "filter_compound",
     "filter_null_semantics",
     "filter_recent_window",
-    "filter_month_bucket",
     "topk_orders_by_price",
     "join_order_revenue_topk",
     "semi_join_customer_segments",
@@ -119,6 +118,9 @@ _PRIORITY = [
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
     "near_dup_pairs_verified",
+    # the approximate MinHash path's own hash-checked row (md5 twin —
+    # engine-portable signatures, exact candidate-set parity)
+    "minhash_near_dup_md5",
     "dedup_clusters",
     "training_mixture_sample",
     "training_sequence_packing",
@@ -129,6 +131,7 @@ _PRIORITY = [
     "timeseries_similar_users",
     "docs_prep_pipeline",
     # overflow (reached only if the driver budget extends past 50)
+    "filter_month_bucket",
     "join_customers_per_region",
     "group_topk_parts_by_brand",
     "set_intersect_customers",

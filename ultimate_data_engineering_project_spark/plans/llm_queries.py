@@ -387,6 +387,65 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_near_dup_md5",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM toks_t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    sigs AS (
+        SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS s
+        FROM sh, UNNEST(range(0, 16)) AS t(i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // 4 AS band_id,
+               md5(string_agg(s, ',' ORDER BY i)) AS band_key
+        FROM sigs GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.5
+    """,
+)
+def minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash+LSH near-dup pairs (X2) — the
+    hash-checked row for the APPROXIMATE dedup path itself.  Permutation
+    hashes are md5 strings (min-of-md5 signature, md5 band keys), which
+    DuckDB reproduces bit-for-bit, so the oracle verifies the exact
+    LSH candidate set and verified pairs, not just a rows count.  The
+    production kernel (xxhash64 + Arrow fold) is
+    `minhash_near_dup_pairs`; this twin pins its banding semantics
+    cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_md5(docs, "doc_id", jaccard_threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (no SQL oracle: Spark-specific hashing / approximate)
 # ---------------------------------------------------------------------------

@@ -53,9 +53,15 @@ def _nw_path(table: str) -> str:
 # ~1e-12 float error) before the exact decimal sum; without it, the
 # double->DECIMAL(25,10) quantization hits half-way expansions that
 # Spark (HALF_UP) and DuckDB round differently.
-_REVENUE = F.round(
-    F.col("unit_price") * F.col("quantity") * (F.lit(1.0) - F.col("discount")), 6
-)
+def _revenue():
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module is imported by the catalog before any session
+    # exists (e.g. pytest collection)
+    return F.round(
+        F.col("unit_price") * F.col("quantity") * (F.lit(1.0) - F.col("discount")), 6
+    )
+
+
 def _revenue_sql(prefix: str = "") -> str:
     p = f"{prefix}." if prefix else ""
     return f"ROUND({p}unit_price * {p}quantity * (1.0 - {p}discount), 6)"
@@ -96,7 +102,7 @@ def composite_pk_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = details.join(discounted, on=["order_id", "product_id"])
     return joined.groupBy("product_id").agg(
         F.count(F.lit(1)).alias("n_discounted_lines"),
-        dsum(_REVENUE).alias("discounted_revenue"),
+        dsum(_revenue()).alias("discounted_revenue"),
         F.max("x_discount").alias("max_discount"),
     )
 
@@ -183,7 +189,7 @@ def northwind_category_supplier_star(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("category_name", "supplier_country")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum(_REVENUE).alias("revenue"),
+            dsum(_revenue()).alias("revenue"),
         )
     )
 
@@ -231,6 +237,6 @@ def northwind_territory_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region_description")
         .agg(
             F.count_distinct("order_id").alias("n_orders"),
-            dsum(_REVENUE).alias("revenue"),
+            dsum(_revenue()).alias("revenue"),
         )
     )
