@@ -557,6 +557,55 @@ def test_redact_pii_counts_and_text(spark):
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
 
 
+def test_redact_pii_no_overlap_double_count(spark):
+    """Counts reflect what each replacement actually fired on: a
+    dotted-quad inside an email address is consumed by the email
+    redaction and must NOT also tally as an IP."""
+    from ultimate_data_engineering_project_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail 10.0.0.1@example.com and host 192.168.0.7 up")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(df).collect()[0]
+    assert r["n_email"] == 1
+    assert r["n_ipv4"] == 1  # only the standalone quad
+    assert r["redacted"] == "mail [EMAIL] and host [IP] up"
+
+
+def test_connected_components_warns_on_iteration_cap(spark):
+    """Hitting max_iterations without a fixed point must warn, not
+    silently return under-merged components."""
+    import warnings
+
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i + 1, i) for i in range(30)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        connected_components(df, max_iterations=1).collect()
+    # and a converging run stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        connected_components(df).collect()
+
+
+def test_centroid_trainer_string_ids_and_tiny_corpus(spark):
+    """The IVF trainer must accept non-numeric ids and clamp the
+    centroid count to the corpus size instead of duplicating points."""
+    from ultimate_data_engineering_project_spark.operators.similarity import (
+        _train_centroids_numpy,
+    )
+
+    rows = [(f"doc-{i}", [float(i), float(i * 2)]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "vec"])
+    cents = _train_centroids_numpy(df, "vec_id", "vec", n_centroids=16, seed=7)
+    assert 1 <= len(cents) <= 5
+    assert len({tuple(c) for c in cents}) == len(cents)  # no duplicates
+
+
 def test_ngram_contamination_planted(spark):
     from ultimate_data_engineering_project_spark.operators.dedup import (
         ngram_contamination,

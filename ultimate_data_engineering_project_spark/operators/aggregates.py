@@ -66,15 +66,15 @@ def hll_distinct_rollup(
     union-merged global estimate.
     """
     sk = df.groupBy(*group_cols).agg(
-        F.expr(f"hll_sketch_agg({count_col}, {lg_k})").alias("__sk"),
+        F.hll_sketch_agg(count_col, F.lit(lg_k)).alias("__sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     per_group = sk.select(
         *group_cols,
         "n_rows",
-        F.expr("hll_sketch_estimate(__sk)").alias("approx_distinct"),
+        F.hll_sketch_estimate("__sk").alias("approx_distinct"),
     )
     total = sk.agg(
-        F.expr("hll_union_agg(__sk, true)").alias("__u")
-    ).select(F.expr("hll_sketch_estimate(__u)").alias("approx_distinct_total"))
+        F.hll_union_agg("__sk", F.lit(True)).alias("__u")
+    ).select(F.hll_sketch_estimate("__u").alias("approx_distinct_total"))
     return per_group, total

@@ -637,12 +637,28 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = None
+    converged = False
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = _fingerprint(e)
         if fp == prev:
+            converged = True
             break
         prev = fp
+    if not converged:
+        # large-star/small-star converges in O(log n) rounds, so hitting
+        # the cap means either a pathological graph or a bug — either
+        # way the returned components may be UNDER-merged.  Surface it
+        # rather than silently returning partial clusters.
+        import warnings
+
+        warnings.warn(
+            f"connected_components stopped at max_iterations="
+            f"{max_iterations} without a fixed point; components may be "
+            "under-merged — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # e is now a star forest oriented large->small: (node, root).  Roots
     # themselves have no outgoing edge; give each a self-row.

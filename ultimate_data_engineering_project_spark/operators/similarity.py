@@ -271,11 +271,25 @@ def _train_centroids_numpy(
             F.col(id_col).alias("__i"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
-        .orderBy(F.pmod(F.xxhash64(F.col("__i") + seed), F.lit(1_000_003)), "__i")
+        # hash the STRING form of the id with the seed as a second hash
+        # input — works for string/uuid ids too (the previous `id +
+        # seed` arithmetic required a numeric id)
+        .orderBy(
+            F.pmod(
+                F.xxhash64(F.col("__i").cast("string"), F.lit(seed)),
+                F.lit(1_000_003),
+            ),
+            "__i",
+        )
         .limit(max_train)
         .collect()
     )
     X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    # a corpus smaller than the requested centroid count would otherwise
+    # duplicate training points as centroids (k-means++ D^2 weights go
+    # to zero): clamp k to the sample size — callers size inverted
+    # lists from the returned list, so a shorter list is well-defined
+    n_centroids = min(n_centroids, len(X))
     # seeded k-means++ init (D^2 sampling): spread starting centroids
     # like MLlib's k-means|| — plain "first rows" init costs real recall
     rng = np.random.RandomState(seed)

@@ -204,12 +204,19 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     to evaluate identically in RE2, so an external engine can verify
     the scrub byte-for-byte (see the ``docs_pii_redaction`` oracle).
     Adds ``redacted`` plus the count columns; original column kept.
+
+    Counts are taken on the PROGRESSIVELY-redacted text, not the
+    original: each ``n_<kind>`` is the number of replacements the
+    corresponding ``regexp_replace`` actually performed.  (Counting on
+    the original double-counts overlaps — e.g. a dotted-quad inside an
+    email address would tally as both email and IP even though only the
+    email replacement fires.)
     """
     out = df
     redacted = F.col(text_col)
     for name, pat, repl in PII_PATTERNS:
         out = out.withColumn(
-            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            f"n_{name}", F.regexp_count(redacted, F.lit(pat)).cast("long")
         )
         redacted = F.regexp_replace(redacted, pat, repl.replace("$", "\\$"))
     return out.withColumn("redacted", redacted)

@@ -822,17 +822,21 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pii_oracle() -> str:
     """Build the redaction oracle from the SAME pattern table the
-    operator uses (single source of truth: text.PII_PATTERNS)."""
-    counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in text.PII_PATTERNS
-    )
+    operator uses (single source of truth: text.PII_PATTERNS).  Counts
+    run over the progressively-redacted text exactly like the operator:
+    each n_<kind> is the number of replacements that step performed, so
+    overlapping matches are never double-counted."""
+    counts = []
     redacted = "text"
-    for _, pat, repl in text.PII_PATTERNS:
+    for name, pat, repl in text.PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({redacted}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
         redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts_sql = ",\n           ".join(counts)
     return f"""
     SELECT doc_id,
-           {counts},
+           {counts_sql},
            md5({redacted}) AS redacted_md5
     FROM documents
     """
