@@ -140,6 +140,39 @@ def test_timeseries_blocked_pair_join_is_equi(spark, sf_dir):
         ), (entry, p)
 
 
+def test_salted_join_plan_vs_unsalted(spark, sf_dir):
+    """The salted skew entry must actually join on (skew_key, __salt) —
+    spreading the hot key over salt_buckets shuffle partitions — while
+    the semantically-identical unsalted twin joins on skew_key alone.
+    If salting silently stopped reaching the join keys, results would
+    stay correct but the skew resilience (the entry's whole point)
+    would be gone; this pins the plan, the oracle pins the results."""
+    df = SPECS["salted_join_skewed_events"].fn(spark, sf_dir)
+    p = physical(df)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[skew_key#\d+L?, __salt", p
+    ), p
+    assert "explode" in p.lower(), p  # dim side replicated per salt
+
+    events = load_table(spark, sf_dir, "events")
+    skew_key = F.when(F.col("event_id") % 3 == 0, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    fact = events.select(skew_key.alias("skew_key"), "value")
+    dim = fact.select("skew_key").distinct().withColumn(
+        "segment", F.col("skew_key") % 10
+    )
+    plain = (
+        fact.join(dim, "skew_key")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    pp = physical(plain)
+    assert "__salt" not in pp
+    # same shape otherwise: an equi-join on the skew key
+    assert re.search(r"Join", pp), pp
+
+
 def test_no_accidental_cartesian_joins(spark, sf_dir):
     """Catalog-wide guard: no query may plan CartesianProduct or
     BroadcastNestedLoopJoin unless explicitly allowlisted — an

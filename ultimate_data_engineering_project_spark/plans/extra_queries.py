@@ -406,3 +406,59 @@ def fakestream_ledger_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ledger_running_balance_clamped(_fx(spark, _TRX))
+
+
+@register(
+    "salted_join_skewed_events",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS skew_key,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END
+                   AS skew_key
+        FROM events
+    ),
+    dim_attrs AS (SELECT skew_key, skew_key % 10 AS segment FROM dim)
+    SELECT d.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(f.value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+               AS sum_value
+    FROM fact f JOIN dim_attrs d ON f.skew_key = d.skew_key
+    GROUP BY d.segment
+    """,
+)
+def salted_join_skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted equi-join (operators/relational.salted_join)
+    over a DELIBERATELY skewed key: a third of all events collapse onto
+    hot key 0 (the reference's high-activity-account shape,
+    oltp_seeder.py:369-379), which in a plain shuffle join would land
+    that whole volume in one partition.  The fact side is salted into 16
+    buckets and the dim side replicated per salt, so the hot key spreads
+    across 16 tasks; salting is semantically invisible, so the oracle is
+    the PLAIN join — a full hash-match proves result equivalence, and
+    tests/test_physical_plans.py asserts the salted plan actually joins
+    on (skew_key, __salt) while the unsalted twin does not."""
+    from ultimate_data_engineering_project_spark.operators.relational import (
+        salted_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    skew_key = F.when(F.col("event_id") % 3 == 0, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    fact = events.select(skew_key.alias("skew_key"), "value")
+    dim = fact.select("skew_key").distinct().withColumn(
+        "segment", F.col("skew_key") % 10
+    )
+    # merge hint: at fixture scale the dim would auto-broadcast, and a
+    # broadcast join has no shuffle to skew — the salted SHUFFLE join is
+    # the scenario this entry demonstrates (at 100 TB the dim side of a
+    # skewed fact join routinely exceeds the broadcast threshold)
+    joined = salted_join(fact, dim.hint("merge"), "skew_key", salt_buckets=16)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
