@@ -40,7 +40,15 @@ HEADLINE = [
     # thing round-over-round perf should track, not just brute force.
     "ann_topk_lsh",
     "ann_topk_ivf",
+    # round 4+: the remaining LLM-pipeline heavyweights join the set
+    # (totals NOT comparable to r03's 20-query set — see JSON note)
+    "dedup_clusters",
+    "docs_pii_redaction",
+    "training_sequence_packing",
 ]
+
+
+N_RUNS = 3  # round 4+: was 2 through r03; min-of-3 damps host noise
 
 
 def main() -> None:
@@ -60,13 +68,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # best of 2 runs: the first run pays one-time JIT/codegen class
+        # best of 3 runs: the first run pays one-time JIT/codegen class
         # loading for the query's operators, and single runs on a busy
         # host carry multi-second scheduler/GC noise; the min is the
         # engine's achievable latency (plan + execute, nothing cached —
         # each run re-plans and re-reads the parquet).
         best = None
-        for _ in range(2):
+        for _ in range(N_RUNS):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -85,13 +93,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
-                # methodology, so round-over-round compares like-for-like
-                # (r01 used the same best-of-2; r02+ adds the 2 ANN
-                # entries to the headline set — totals are NOT directly
-                # comparable to r01's 18-query total)
-                "n_runs": 2,
+                # methodology, so round-over-round compares like-for-like:
+                # r01-r03 used best-of-2; r04+ uses best-of-3 AND adds
+                # dedup_clusters / docs_pii_redaction /
+                # training_sequence_packing — the 23-query total is NOT
+                # directly comparable to r03's 20-query best-of-2 total;
+                # compare per-query timings instead
+                "n_runs": N_RUNS,
                 "aggregation": "min",
                 "n_queries": len(timings),
+                "comparability_note": (
+                    "r04+: n_runs=3 and 3 added queries; totals not "
+                    "comparable to earlier rounds, compare per-query"
+                ),
             }
         )
     )
