@@ -212,9 +212,15 @@ def minhash_lsh_pairs(
     computes the (shingles × num_hashes) min-fold in one vectorized
     numpy batch per Arrow chunk; ``'sql'`` is the pure-Catalyst HOF
     fold.  Both use the same universal-hash coefficients and produce
-    bit-identical signatures (asserted in tests); arrow is ~2-4x faster
-    because the fold is the per-row hot loop and Catalyst interprets
-    higher-order functions.
+    bit-identical signatures (asserted in tests).  Measured at sf0.1
+    (5k short docs) the two kernels are within noise of each other
+    (~1.2s min either way): the pair search is stage-overhead-bound
+    there, not fold-bound.  The arrow kernel's payoff grows with
+    document length × num_hashes (the fold is the only per-row
+    superlinear term, and Catalyst interprets HOF lambdas per element
+    while numpy runs one (shingles × hashes) batch per Arrow chunk);
+    the sql kernel keeps everything JVM-side with zero Python workers —
+    pick it when Python worker memory is the scarce resource.
 
     Plan shape: per-doc signature (map-only) -> explode to `bands` rows
     -> self equi-join on (band_id, band_hash) -> distinct pairs ->
