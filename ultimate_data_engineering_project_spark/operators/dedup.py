@@ -437,6 +437,19 @@ def ngram_jaccard_pairs(
     )
     sizes = base.select("__id", F.size("__sh").alias("__n"))
     inv = base.select("__id", F.explode(F.col("__sh")).alias("__sh64"))
+    # df>1 prune behind a count window: a shingle hash held by exactly
+    # one doc can never form a pair, so dropping it is exact (sizes
+    # above pre-date the prune), and the window's hashpartitioning on
+    # the join key is reused by BOTH self-join sides — one exchange,
+    # one pass over the shingle pipeline.
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("__sh64")
+    inv = (
+        inv.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("__df") > 1)
+        .drop("__df")
+    )
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (

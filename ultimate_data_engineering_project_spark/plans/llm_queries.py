@@ -361,7 +361,21 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # df>1 prune behind a count window: shingles in exactly one doc can
+    # never produce a pair, so dropping them is exact (sizes above are
+    # taken BEFORE the prune).  The real win is structural — the window
+    # materializes ONE hashpartitioning(shingle) exchange that both
+    # self-join sides reuse, instead of re-shuffling (and re-computing
+    # the shingle pipeline for) each side: ~1.7x at sf0.1.
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("shingle")
+    sh_indexed = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("__df") > 1)
+        .drop("__df")
+    )
+    a, b = sh_indexed.alias("a"), sh_indexed.alias("b")
     inter = (
         a.join(
             b,
