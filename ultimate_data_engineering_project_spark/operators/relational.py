@@ -85,6 +85,7 @@ def fuzzy_pairs(
         F.col(id_col).alias("__id"),
         F.col(name_col).alias("__name"),
         block_expr.alias("__block"),
+        F.length(F.col(name_col)).alias("__len"),
     )
     a = slim.alias("a")
     b = slim.alias("b")
@@ -94,12 +95,22 @@ def fuzzy_pairs(
             on=[
                 F.col("a.__block") == F.col("b.__block"),
                 F.col("a.__id") < F.col("b.__id"),
+                # length band: |len(a)-len(b)| is a Levenshtein lower
+                # bound, so this prunes in-block pairs BEFORE the DP
+                # without changing the result
+                F.abs(F.col("a.__len") - F.col("b.__len"))
+                <= F.lit(max_distance),
             ],
         )
         .withColumn(
-            "distance", F.levenshtein(F.col("a.__name"), F.col("b.__name"))
+            # thresholded Levenshtein: the DP early-exits once the
+            # distance provably exceeds max_distance (banded O(d*n)
+            # instead of O(n^2) per pair, -1 when over) — the dominant
+            # cost in a weak-canopy block where most pairs are far
+            "distance",
+            F.levenshtein(F.col("a.__name"), F.col("b.__name"), max_distance),
         )
-        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") >= 0)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
