@@ -618,14 +618,21 @@ def connected_components(
     def _sym(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
+    # each star op attaches min(N(u) ∪ {u}) via a partition-only window
+    # (no ordering, so no sort) instead of groupBy+self-join: one
+    # exchange on u serves the whole op, where the agg+join form costs
+    # two.  Iteration latency, not data volume, dominates CC rounds.
+    from pyspark.sql import Window
+
+    u_w = Window.partitionBy("u")
+
     def _large_star(df: DataFrame) -> DataFrame:
         nbrs = _sym(df)
-        mins = nbrs.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        with_min = nbrs.withColumn(
+            "m", F.least(F.min("v").over(u_w), F.col("u"))
         )
         return (
-            nbrs.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
+            with_min.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
@@ -636,11 +643,12 @@ def connected_components(
         directed = df.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        with_min = directed.withColumn("m", F.min("v").over(u_w))
         out = (
-            directed.join(mins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(
+                with_min.select(F.col("u"), F.col("m").alias("v")).distinct()
+            )
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
