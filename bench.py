@@ -45,6 +45,12 @@ HEADLINE = [
     "dedup_clusters",
     "docs_pii_redaction",
     "training_sequence_packing",
+    # round 5+: the two former worst lines join the watchdog set so
+    # their regressions are caught — fuzzy dedup (now distinct-first,
+    # was 24.5s row-level in r4, never benched) and the time-series
+    # top-k on its blocked scale path (was exact all-pairs in r4)
+    "fuzzy_dedup_part_names",
+    "timeseries_similar_users",
 ]
 
 
@@ -103,8 +109,12 @@ def main() -> None:
                 "aggregation": "min",
                 "n_queries": len(timings),
                 "comparability_note": (
-                    "r04+: n_runs=3 and 3 added queries; totals not "
-                    "comparable to earlier rounds, compare per-query"
+                    "r04+: n_runs=3 and 3 added queries; r05+ adds "
+                    "fuzzy_dedup_part_names (semantics changed r05: "
+                    "distinct-first vocabulary pairs, not row pairs) and "
+                    "timeseries_similar_users (blocked path from r05); "
+                    "totals not comparable to earlier rounds, compare "
+                    "per-query"
                 ),
             }
         )

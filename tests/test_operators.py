@@ -431,6 +431,47 @@ def test_timeseries_degenerate_bucket_cap(spark):
     assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 / 2
 
 
+def test_timeseries_portable_blocked_recall_and_exactness(spark):
+    """The engine-portable blocked path (md5 over integer-quantized PAA,
+    the oracle-checked scale entry) must recall planted near-identical
+    pairs, agree with the exact Euclidean on every pair it emits, and
+    produce deterministic block keys across invocations."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    rng = __import__("random").Random(11)
+    rows = []
+    for pair in range(10):
+        base = [rng.uniform(-50, 50) for _ in range(8)]
+        for which in (0, 1):
+            uid = 2 * pair + which
+            for i, v in enumerate(base):
+                rows.append(Row(user_id=uid, event_id=uid * 100 + i,
+                                ts=ts(f"2024-01-01T10:0{i % 6}:00"),
+                                value=round(v + which * 0.01, 4)))
+    ev = spark.createDataFrame(rows)
+    exact = {(r["user_a"], r["user_b"]): r["euclidean"]
+             for r in timeseries.series_pairs_euclidean(ev).collect()}
+    port = {(r["user_a"], r["user_b"]): r["euclidean"]
+            for r in timeseries.series_pairs_euclidean_blocked(
+                ev, portable=True).collect()}
+    planted = [(2 * p, 2 * p + 1) for p in range(10)]
+    recalled = [p for p in planted if p in port]
+    assert len(recalled) >= 8, f"portable path recalled only {len(recalled)}/10"
+    for pair, dist in port.items():
+        assert dist == exact[pair], f"{pair}: portable={dist} exact={exact[pair]}"
+    # block keys are a pure function of the series — rerun must match
+    s = timeseries.user_series(ev)
+    k1 = sorted(map(tuple, timeseries.series_block_keys_md5(s).collect()))
+    k2 = sorted(map(tuple, timeseries.series_block_keys_md5(s).collect()))
+    assert k1 == k2
+    # portable top-k ranks each recalled planted user's partner first
+    top1 = {r["user_id"]: r["similar_user_id"]
+            for r in timeseries.series_topk_similar(
+                ev, k=1, blocked=True, portable=True).collect()}
+    for ua, ub in recalled:
+        assert top1.get(ua) == ub and top1.get(ub) == ua
+
+
 def test_connected_components_vs_union_find(spark):
     """Randomized graphs: large-star/small-star must agree with a
     pure-Python union-find on every node's component minimum."""

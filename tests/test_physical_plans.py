@@ -115,7 +115,7 @@ NESTED_LOOP_ALLOWED = {
     "part_value_share",
     "wealthy_segment_summary",
     "timeseries_dtw_pairs",
-    "timeseries_similar_users",
+    "timeseries_similar_users_exact",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep
@@ -127,7 +127,7 @@ def test_timeseries_blocked_pair_join_is_equi(spark, sf_dir):
     EQUI-join on (band_id, block_key) — no cartesian or nested-loop
     join anywhere, unlike the exact broadcast theta-join path."""
     for entry in ("timeseries_blocked_pairs", "timeseries_topk_blocked",
-                  "timeseries_dtw_blocked"):
+                  "timeseries_dtw_blocked", "timeseries_similar_users"):
         df = SPECS[entry].fn(spark, sf_dir)
         p = physical(df)
         assert "BroadcastNestedLoopJoin" not in p, (entry, p)

@@ -69,6 +69,7 @@ def fuzzy_pairs(
     name_col: str,
     block_expr: Column,
     max_distance: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Fuzzy-duplicate pairs via blocked Levenshtein (J6 — the
     reference's declared 'deduplicate customers (fuzzy matching)',
@@ -80,6 +81,15 @@ def fuzzy_pairs(
     pattern that keeps fuzzy dedup out of O(n²) at 100 TB.  For
     token-level fuzziness over long text use MinHash (operators.dedup)
     instead.
+
+    ``max_block_size`` caps degenerate canopies: blocks with more
+    members than the cap are dropped entirely (deterministic — no
+    sampling), the same contract as the degenerate-bucket cap in
+    timeseries block joins.  Within-block work is quadratic, so one
+    popular key must not be allowed to own the runtime; an oracle
+    mirrors the cap with a COUNT window.  For row-level dedup of a
+    heavily duplicated column, prefer :func:`fuzzy_vocab_pairs` —
+    capping treats the symptom, distinct-first removes it.
     """
     slim = df.select(
         F.col(id_col).alias("__id"),
@@ -87,6 +97,15 @@ def fuzzy_pairs(
         block_expr.alias("__block"),
         F.length(F.col(name_col)).alias("__len"),
     )
+    if max_block_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__block")
+        slim = (
+            slim.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= max_block_size)
+            .drop("__bn")
+        )
     a = slim.alias("a")
     b = slim.alias("b")
     return (
@@ -117,6 +136,67 @@ def fuzzy_pairs(
             F.col("a.__name").alias("name_a"),
             F.col("b.__name").alias("name_b"),
             F.col("distance").cast("long").alias("distance"),
+        )
+    )
+
+
+def fuzzy_vocab_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_expr: Column,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Distinct-first fuzzy dedup: blocked Levenshtein over the DISTINCT
+    value vocabulary, with per-value occurrence counts (J6 at scale).
+
+    Row-level fuzzy self-joins amplify duplicated strings
+    quadratically: k copies of a value pair with k copies of a near
+    neighbour → k² output rows that all encode ONE string-level fact.
+    On a column whose vocabulary grows sublinearly with the table (the
+    normal case for names/categories — this repo's `part.p_name` has 64
+    distinct values at every SF), the scale-correct plan is:
+
+      1. ``GROUP BY value`` → (value, n_rows) — a tiny vocabulary frame
+         (map-side partial agg, narrow shuffle on the value);
+      2. blocked thresholded Levenshtein over the vocabulary — the
+         quadratic step now runs on |vocab|, not |table|;
+      3. if row-level assignment is needed, broadcast the pair map back
+         onto the fact table (a broadcast equi-join, no extra shuffle).
+
+    Output: one row per unordered near-duplicate VALUE pair —
+    (name_a, name_b, distance, n_a, n_b) — constant-size where the
+    row-level formulation grows O(table²).
+    """
+    vocab = df.groupBy(name_col).agg(F.count(F.lit(1)).alias("__n"))
+    vocab = vocab.select(
+        F.col(name_col).alias("__name"),
+        F.col("__n"),
+        block_expr.alias("__block"),
+        F.length(F.col(name_col)).alias("__len"),
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__block") == F.col("b.__block"),
+                F.col("a.__name") < F.col("b.__name"),
+                F.abs(F.col("a.__len") - F.col("b.__len"))
+                <= F.lit(max_distance),
+            ],
+        )
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("a.__name"), F.col("b.__name"), max_distance),
+        )
+        .filter(F.col("distance") >= 0)
+        .select(
+            F.col("a.__name").alias("name_a"),
+            F.col("b.__name").alias("name_b"),
+            F.col("distance").cast("long").alias("distance"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
         )
     )
 

@@ -141,6 +141,66 @@ def series_block_keys(
     )
 
 
+def series_block_keys_md5(
+    series_df: DataFrame,
+    *,
+    n_paa: int = 8,
+    bands: int = 4,
+    value_scale: int = 10_000,
+    bucket_width: int = 500_000,
+) -> DataFrame:
+    """(user_id, band_id, block_key) — ENGINE-PORTABLE series blocking:
+    integer-quantized PAA + md5 band keys (the `minhash_lsh_pairs_md5`
+    trick applied to X6, dedup.py:306).
+
+    Each value is quantized exactly (`ROUND(v * value_scale)` as BIGINT
+    — exact when values carry <= log10(value_scale) fractional digits,
+    which the events fixture does); each PAA segment is an integer SUM
+    (order-independent, engine-exact); each quantized segment
+    ``q_j = FLOOR(seg_sum / bucket_width)`` uses IEEE double division of
+    exactly-representable integers, identical on any engine; the band
+    key is ``md5(band || ',' || q…)``.  No Gaussian projections, no
+    float accumulation — a SQL oracle reproduces the candidate set
+    hash-for-hash.  Same banded equi-join scale shape as
+    `series_block_keys`; that p-stable variant remains the
+    tighter-recall production kernel."""
+    per_band = n_paa // bands
+    if per_band * bands != n_paa:
+        raise ValueError(f"n_paa ({n_paa}) must be divisible by bands ({bands})")
+    ints = F.transform(
+        F.col("series"),
+        lambda v: F.round(v * F.lit(float(value_scale))).cast("long"),
+    )
+    df = series_df.withColumn("__ints", ints)
+    n = F.size(F.col("__ints"))
+
+    def seg_sum(j):
+        lo = F.floor(F.lit(j) * n / F.lit(n_paa))
+        width = F.floor(F.lit(j + 1) * n / F.lit(n_paa)) - lo
+        seg = F.slice(F.col("__ints"), lo.cast("int") + 1, width.cast("int"))
+        return F.aggregate(seg, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    qs = [
+        F.floor(seg_sum(j) / F.lit(float(bucket_width))).cast("long")
+        for j in range(n_paa)
+    ]
+    out = []
+    for b in range(bands):
+        comps = [F.lit(str(b))] + [
+            qs[b * per_band + r].cast("string") for r in range(per_band)
+        ]
+        out.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *comps).cast("binary")).alias("block_key"),
+            )
+        )
+    return (
+        df.select("user_id", F.explode(F.array(*out)).alias("__blk"))
+        .select("user_id", "__blk.band_id", "__blk.block_key")
+    )
+
+
 def _blocked_candidate_pairs(
     events: DataFrame,
     max_len: int = 256,
@@ -151,6 +211,7 @@ def _blocked_candidate_pairs(
     bucket_width: float = 4.0,
     seed: int = 42,
     max_bucket_size: int = 1024,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH-blocked candidate user pairs with both series attached:
     (user_a, user_b, series_a, series_b).  The shared pair generator
@@ -177,14 +238,17 @@ def _blocked_candidate_pairs(
     # keyed repartition = materialization barrier (see dedup.py): stops
     # projection collapse from recomputing the grouped sort per band.
     s = s.repartition("user_id")
-    keys = series_block_keys(
-        s,
-        n_paa=n_paa,
-        bands=bands,
-        rows_per_band=rows_per_band,
-        bucket_width=bucket_width,
-        seed=seed,
-    )
+    if portable:
+        keys = series_block_keys_md5(s, n_paa=n_paa, bands=bands)
+    else:
+        keys = series_block_keys(
+            s,
+            n_paa=n_paa,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            bucket_width=bucket_width,
+            seed=seed,
+        )
     bucket_w = Window.partitionBy("band_id", "block_key")
     keys = (
         keys.withColumn("__bsz", F.count(F.lit(1)).over(bucket_w))
@@ -221,10 +285,14 @@ def series_pairs_euclidean_blocked(
     bucket_width: float = 4.0,
     seed: int = 42,
     max_bucket_size: int = 1024,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate user pairs via LSH blocking, with exact aligned-prefix
     Euclidean computed on the survivors (X6 scale path).  See
-    `_blocked_candidate_pairs` for the plan shape and bucket cap."""
+    `_blocked_candidate_pairs` for the plan shape and bucket cap;
+    ``portable=True`` selects the engine-portable md5 block keys
+    (`series_block_keys_md5`) so a SQL oracle can reproduce the
+    candidate set."""
     cand = _blocked_candidate_pairs(
         events,
         max_len,
@@ -234,6 +302,7 @@ def series_pairs_euclidean_blocked(
         bucket_width=bucket_width,
         seed=seed,
         max_bucket_size=max_bucket_size,
+        portable=portable,
     )
     return cand.select(
         "user_a",

@@ -149,6 +149,9 @@ _PRIORITY = [
     "embedding_near_dup_pairs",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    # r05: the exact all-pairs baseline keeps its oracle outside the
+    # prefix; the blocked scale path carries the prefix entry now
+    "timeseries_similar_users_exact",
 ]
 
 

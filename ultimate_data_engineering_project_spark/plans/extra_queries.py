@@ -259,6 +259,88 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, (list(value ORDER BY ts, event_id, value))[1:256] AS series
         FROM events GROUP BY user_id
     ),
+    q AS (
+        SELECT user_id,
+               list_transform(
+                   range(0, 8),
+                   j -> CAST(FLOOR(COALESCE(list_sum(
+                            list_transform(series, v -> CAST(ROUND(v * 10000) AS BIGINT))
+                            [CAST(FLOOR(j * len(series) / 8) AS BIGINT) + 1 :
+                             CAST(FLOOR((j + 1) * len(series) / 8) AS BIGINT)]
+                        ), 0) / 500000.0) AS BIGINT)
+               ) AS qs
+        FROM s
+    ),
+    k AS (
+        SELECT user_id, bands.band_id,
+               md5(CAST(bands.band_id AS VARCHAR) || ',' ||
+                   CAST(qs[bands.band_id * 2 + 1] AS VARCHAR) || ',' ||
+                   CAST(qs[bands.band_id * 2 + 2] AS VARCHAR)) AS block_key
+        FROM q, (SELECT unnest([0, 1, 2, 3]) AS band_id) bands
+    ),
+    kc AS (
+        SELECT user_id, band_id, block_key FROM k
+        QUALIFY COUNT(*) OVER (PARTITION BY band_id, block_key) <= 1024
+    ),
+    p AS (
+        SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+        FROM kc a JOIN kc b
+          ON a.band_id = b.band_id AND a.block_key = b.block_key
+         AND a.user_id < b.user_id
+    ),
+    d AS (
+        SELECT p.user_a, p.user_b,
+               ROUND(sqrt(list_sum(list_transform(
+                   range(1, least(len(sa.series), len(sb.series)) + 1),
+                   i -> (sa.series[i] - sb.series[i]) * (sa.series[i] - sb.series[i])
+               ))), 6) AS euclidean
+        FROM p
+        JOIN s sa ON sa.user_id = p.user_a
+        JOIN s sb ON sb.user_id = p.user_b
+    ),
+    sym AS (
+        SELECT user_a, user_b, euclidean FROM d
+        UNION ALL
+        SELECT user_b AS user_a, user_a AS user_b, euclidean FROM d
+    )
+    SELECT user_a AS user_id, user_b AS similar_user_id, euclidean,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_a ORDER BY euclidean, user_b
+        ) AS rank
+        FROM sym
+    )
+    WHERE rank <= 3
+    """,
+)
+def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 most similar users by aligned-prefix Euclidean,
+    ranked over LSH-BLOCKED candidate pairs with ENGINE-PORTABLE block
+    keys (X6 scale path — the hash-checked entry since round 5).
+
+    Block keys are md5 over integer-quantized PAA segment sums
+    (`series_block_keys_md5`): exact integer arithmetic end-to-end, so
+    the DuckDB oracle reproduces the LSH candidate set hash-for-hash —
+    the approximate scale path itself is what the oracle checks, the
+    same trick as `minhash_near_dup_md5` (dedup.py:306).  Pair
+    generation is an equi-join on (band_id, block_key) with a
+    degenerate-bucket cap; the O(U²) enumeration never materializes.
+    The exact all-pairs baseline lives on as
+    `timeseries_similar_users_exact`."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    return timeseries.series_topk_similar(events, k=3, blocked=True, portable=True)
+
+
+@register(
+    "timeseries_similar_users_exact",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, (list(value ORDER BY ts, event_id, value))[1:256] AS series
+        FROM events GROUP BY user_id
+    ),
     p AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
                a.series AS sa, b.series AS sb
@@ -288,9 +370,11 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rank <= 3
     """,
 )
-def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def timeseries_similar_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user top-3 most similar users by aligned-prefix Euclidean
-    over event-value series (X6 JVM expression path).  Distances are
+    over the EXACT all-pairs distance table (X6 JVM expression path —
+    the small-cardinality baseline; the blocked twin
+    `timeseries_similar_users` is the scale path).  Distances are
     ROUNDed before ranking with a user tiebreak, so top-k selection is
     engine-independent (catalog hash-match convention)."""
     from ultimate_data_engineering_project_spark.operators import timeseries
