@@ -1,0 +1,165 @@
+"""S12/S13/S14 surface: Kafka option contracts, Confluent wire-format
+strip, CDC source injection, and the multi-dialect JDBC URL builder —
+everything verifiable without a broker or a live database."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ultimate_data_engineering_project_spark.sources.kafka import (
+    kafka_sink_options,
+    kafka_source,
+    kafka_source_options,
+    strip_confluent_envelope,
+)
+from ultimate_data_engineering_project_spark.sources.readers import jdbc_url
+from ultimate_data_engineering_project_spark.streaming.pipelines import (
+    run_cdc_stream,
+)
+
+
+def _frame(msg: bytes, schema_id: int = 7) -> bytes:
+    return b"\x00" + struct.pack(">I", schema_id) + msg
+
+
+def test_kafka_source_options_contract():
+    opts = kafka_source_options(
+        ["broker-a:9092", "broker-b:9092"],
+        "transactions",
+        "latest",
+        fail_on_data_loss=False,
+        max_offsets_per_trigger=10_000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-a:9092,broker-b:9092",
+        "subscribe": "transactions",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    # string brokers + defaults (the reference's localhost:29092 shape,
+    # cdc/test.py:8)
+    opts = kafka_source_options("localhost:29092", "test")
+    assert opts["kafka.bootstrap.servers"] == "localhost:29092"
+    assert opts["startingOffsets"] == "earliest"
+
+
+def test_kafka_sink_options_contract():
+    opts = kafka_sink_options("k:9092", "out", "/tmp/ckpt")
+    assert opts == {
+        "kafka.bootstrap.servers": "k:9092",
+        "topic": "out",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+
+
+def test_kafka_source_fails_clearly_without_connector(spark):
+    """In-container there is no spark-sql-kafka jar: the builder must
+    surface Spark's own missing-data-source error (on a cluster with
+    the package the same call just works)."""
+    with pytest.raises(Exception, match="(?i)kafka"):
+        kafka_source(spark, "localhost:29092", "test")
+
+
+def test_confluent_strip_good_frames(spark):
+    rows = [(_frame(b"payload-a", 1),), (_frame(b"", 0x01020304),)]
+    df = spark.createDataFrame(rows, "value binary")
+    got = strip_confluent_envelope(df).select("schema_id", "payload").collect()
+    by_id = {r["schema_id"]: bytes(r["payload"]) for r in got}
+    assert by_id == {1: b"payload-a", 0x01020304: b""}
+
+
+def test_confluent_strip_bad_magic_modes(spark):
+    rows = [(_frame(b"good", 5),), (b"\x01junkjunk",), (b"\x00\x00",)]
+    df = spark.createDataFrame(rows, "value binary")
+    # drop: only the well-formed frame survives
+    kept = strip_confluent_envelope(df, bad_magic="drop").collect()
+    assert len(kept) == 1 and bytes(kept[0]["payload"]) == b"good"
+    # keep: bad rows pass through with NULL id/payload for quarantine
+    quarantined = strip_confluent_envelope(df, bad_magic="keep").collect()
+    assert sorted(
+        (r["schema_id"] is None, r["payload"] is None) for r in quarantined
+    ) == [(False, False), (True, True), (True, True)]
+    # error: the first bad frame raises
+    with pytest.raises(Exception, match="magic"):
+        strip_confluent_envelope(df, bad_magic="error").collect()
+    with pytest.raises(ValueError, match="bad_magic"):
+        strip_confluent_envelope(df, bad_magic="nonsense")
+
+
+_ROW_SCHEMA = T.StructType(
+    [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+)
+
+
+def test_cdc_stream_accepts_injected_source(spark, tmp_path):
+    """run_cdc_stream(source=...) — the Kafka integration seam: any
+    streaming frame with a ``value`` column drives the same envelope
+    parse + foreachBatch upsert (in-container the injected frame is a
+    file stream; on a cluster it is kafka_source(...))."""
+    env_dir = tmp_path / "env"
+    env_dir.mkdir()
+    (env_dir / "b1.jsonl").write_text(
+        '{"op":"c","ts_ms":1,"before":null,"after":"{\\"k\\":1,\\"v\\":\\"a\\"}"}\n'
+    )
+    injected = spark.readStream.format("text").load(str(env_dir))
+    table_dir = str(tmp_path / "table")
+    q = run_cdc_stream(
+        spark, None, _ROW_SCHEMA, ["k"], table_dir,
+        str(tmp_path / "ckpt"), source=injected,
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: "a"}
+
+
+def test_cdc_corrupt_table_image_propagates(spark, tmp_path):
+    """A table dir that EXISTS but cannot be read must fail the batch,
+    not silently re-seed an empty image (that would masquerade data
+    loss as a first run); only PATH_NOT_FOUND means fresh table."""
+    env_dir = tmp_path / "env"
+    env_dir.mkdir()
+    (env_dir / "b1.jsonl").write_text(
+        '{"op":"c","ts_ms":1,"before":null,"after":"{\\"k\\":1,\\"v\\":\\"a\\"}"}\n'
+    )
+    table_dir = tmp_path / "table"
+    table_dir.mkdir()
+    (table_dir / "part-0000.parquet").write_text("this is not parquet")
+    q = run_cdc_stream(
+        spark, str(env_dir), _ROW_SCHEMA, ["k"], str(table_dir),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="(?i)footer|FAILED_READ_FILE"):
+        q.awaitTermination(120)
+    # and the corrupt image was left untouched for forensics
+    assert (table_dir / "part-0000.parquet").read_text() == "this is not parquet"
+
+
+def test_jdbc_url_three_dialects():
+    pg = jdbc_url("postgresql", "db-host", "finance_db", user="u", password="p")
+    assert pg == {
+        "url": "jdbc:postgresql://db-host:5432/finance_db",
+        "driver": "org.postgresql.Driver",
+        "user": "u",
+        "password": "p",
+    }
+    my = jdbc_url("mysql", "db-host", "finance_db", port=3307)
+    assert my["url"] == "jdbc:mysql://db-host:3307/finance_db"
+    assert my["driver"] == "com.mysql.cj.jdbc.Driver"
+    ms = jdbc_url("mssql", "db-host", "finance_db")
+    assert ms["url"] == "jdbc:sqlserver://db-host:1433;databaseName=finance_db;encrypt=false"
+    assert ms["driver"] == "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+
+
+def test_jdbc_url_ssl_and_errors():
+    assert jdbc_url("postgresql", "h", "d", ssl=True)["url"].endswith("?sslmode=require")
+    assert jdbc_url("mysql", "h", "d", ssl=True)["url"].endswith("?sslMode=REQUIRED")
+    ms = jdbc_url("mssql", "h", "d", ssl=True)["url"]
+    assert "encrypt=true" in ms and "trustServerCertificate=false" in ms
+    with pytest.raises(ValueError, match="unsupported platform"):
+        jdbc_url("oracle", "h", "d")
+    # credentials must never be interpolated into the URL
+    out = jdbc_url("postgresql", "h", "d", user="alice", password="s3cret")
+    assert "s3cret" not in out["url"] and "alice" not in out["url"]

@@ -166,6 +166,24 @@ def test_minhash_kernels_bit_identical(spark, near_dup_docs, sf_dir):
         dedup.minhash_lsh_pairs(near_dup_docs, "doc_id", kernel="nope")
 
 
+def test_minhash_rejects_ragged_bands(spark, near_dup_docs):
+    """num_hashes not divisible by bands would silently ignore trailing
+    signature elements (xxhash path) or emit a ragged extra band that
+    diverges from the oracle (md5 path) — both must refuse up front."""
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(near_dup_docs, "doc_id", num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs_md5(near_dup_docs, "doc_id", num_hashes=10, bands=4)
+
+
+def test_ivf_empty_training_sample_raises(spark):
+    """An all-null / empty corpus must fail with a clear message, not an
+    opaque numpy zero-size error mid-k-means."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="training sample is empty"):
+        similarity.ivf_topk(empty, empty, k=3)
+
+
 def test_ngram_jaccard_exact(spark, near_dup_docs):
     pairs = dedup.ngram_jaccard_pairs(
         near_dup_docs, "doc_id", jaccard_threshold=0.3

@@ -110,11 +110,15 @@ def arrow_schema(struct) -> pa.Schema:
 
 def main() -> None:
     tables: dict[str, list[list[object]]] = {t: [] for t in schemas.NORTHWIND_SCHEMAS}
+    n_matched = n_insert_lines = 0
     with open(DUMP, encoding="utf-8") as fh:
         for line in fh:
+            if line.startswith("INSERT INTO"):
+                n_insert_lines += 1
             m = _INSERT_RE.match(line)
             if not m:
                 continue
+            n_matched += 1
             table, body = m.group(1), m.group(2)
             struct = schemas.NORTHWIND_SCHEMAS[table]
             raws = split_values(body)
@@ -122,6 +126,19 @@ def main() -> None:
             tables[table].append(
                 [convert(r, f.dataType) for r, f in zip(raws, struct.fields)]
             )
+    # the line-anchored regex silently skips statements that span lines
+    # or deviate in shape — a regenerated dump would corrupt fixtures
+    # quietly.  Two guards: every INSERT line must have matched, and the
+    # total must equal the committed dump's statement count.
+    assert n_matched == n_insert_lines, (
+        f"{n_insert_lines - n_matched} INSERT statements did not match the "
+        "single-line INSERT regex — the dump format changed; fix the parser "
+        "before regenerating fixtures"
+    )
+    assert n_matched == 3362, (
+        f"expected 3362 INSERT statements in the committed dump, matched "
+        f"{n_matched} — dump changed; re-verify row counts before freezing"
+    )
     os.makedirs(OUT_DIR, exist_ok=True)
     for table, rows in sorted(tables.items()):
         struct = schemas.NORTHWIND_SCHEMAS[table]

@@ -83,6 +83,55 @@ def compare_strict(spark_df, duck_pdf) -> list[str]:
     return probs
 
 
+_SKETCH_EXACT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def check_sketch_tolerance(spark_df, con) -> list[str]:
+    """approx_sketch_battery cannot hash-match an exact oracle by
+    design (sketch estimates are engine-specific), but it CAN be bound:
+    every estimate must land within the sketch's documented error of
+    DuckDB's exact answer.  HLL (approx_count_distinct, default
+    rsd=0.05) gets |approx-exact|/exact <= 0.15 (3 sigma); the KLL-style
+    percentile_approx(accuracy=10000) gets 5% relative value error
+    (rank error 1e-4 on a smooth price distribution is far tighter —
+    the bound is deliberately loose so only a broken sketch trips it).
+    """
+    eps = {
+        ("approx_orders", "exact_orders"): 0.15,
+        ("approx_parts", "exact_parts"): 0.15,
+        ("p50", "p50"): 0.05,
+        ("p90", "p90"): 0.05,
+        ("p99", "p99"): 0.05,
+    }
+    s = spark_df.toPandas().set_index("l_returnflag")
+    exact = con.execute(_SKETCH_EXACT_SQL).df().set_index("l_returnflag")
+    probs: list[str] = []
+    if set(s.index) != set(exact.index):
+        return [f"group keys differ: spark={sorted(s.index)} duck={sorted(exact.index)}"]
+    for flag in sorted(exact.index):
+        for (a_col, e_col), bound in eps.items():
+            a = float(s.loc[flag, a_col])
+            e = float(exact.loc[flag, e_col])
+            rel = abs(a - e) / e
+            if rel > bound:
+                probs.append(
+                    f"{flag}.{a_col}: approx={a} exact={e} rel={rel:.4f} > {bound}"
+                )
+    return probs
+
+
+#: rows-only entries that still carry an executable correctness bound
+TOLERANCE_CHECKS = {"approx_sketch_battery": check_sketch_tolerance}
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -110,7 +159,26 @@ def main() -> None:
         if only and name not in only:
             continue
         if spec.oracle is None:
-            results[name] = {"status": "no_oracle", "problems": None}
+            if name in TOLERANCE_CHECKS:
+                try:
+                    probs = TOLERANCE_CHECKS[name](spec.fn(spark, sf_dir), con)
+                except Exception as e:  # noqa: BLE001
+                    probs = [f"EXC {e!r}"[:200]]
+                if probs:
+                    n_bad += 1
+                    results[name] = {
+                        "status": "TOLERANCE_FAIL",
+                        "problems": probs[:6],
+                    }
+                    print(
+                        f"TOLERANCE-FAIL {name}: " + " | ".join(probs[:4]),
+                        flush=True,
+                    )
+                else:
+                    n_ok += 1
+                    results[name] = {"status": "tolerance_ok", "problems": None}
+            else:
+                results[name] = {"status": "no_oracle", "problems": None}
             continue
         try:
             probs = compare_strict(spec.fn(spark, sf_dir), con.execute(spec.oracle).df())

@@ -231,6 +231,11 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= jaccard_threshold.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature elements would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     # shingle-hash arrays (array<long>) are the working representation:
     # Jaccard over 64-bit shingle hashes equals Jaccard over shingles up
@@ -238,8 +243,21 @@ def minhash_lsh_pairs(
     # cheaper than string arrays (shingle strings are never built).
     # round-robin spread BEFORE the heavy per-row work: a corpus landing
     # as few large files (or one) would otherwise run the whole
-    # shingle+signature pipeline on as few cores.
-    n_spread = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # shingle+signature pipeline on as few cores.  The spread WIDTH is
+    # sized from the scan's own split count, not the session's
+    # shuffle.partitions: an explicit repartition(n) is exempt from AQE
+    # coalescing, so conf-width (32 here, thousands on a cluster) over a
+    # small corpus pays a full task wave per stage for partitions
+    # holding a handful of docs (~25% of query latency at sf0.1,
+    # measured).  4x the input splits spreads a skinny scan without
+    # over-fragmenting; the conf stays the ceiling so a wide cluster
+    # corpus still fans out to conf width.
+    n_conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_input = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic sources without RDD view
+        n_input = n_conf
+    n_spread = max(8, min(n_conf, 4 * n_input))
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .repartition(n_spread)
@@ -291,8 +309,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = sig.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
-    sh_b = sig.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
+    # verify reads the PRE-signature frame: exact-Jaccard only needs the
+    # shingle arrays, and keeping the Python map node out of these
+    # branches matters — in the AQE final plan the broadcast-side verify
+    # branches do NOT reuse the post-signature exchange (their canonical
+    # subtree differs once AQEShuffleRead is inserted), so routing them
+    # through `sig` re-ran the Arrow fold + an extra exchange per branch.
+    # Reading `base` re-derives shingles from the reused spread exchange
+    # with zero Python passes.
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
     verified = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
@@ -331,6 +357,11 @@ def minhash_lsh_pairs_md5(
     64-bit ints on the wire) — this entry exists for *auditability*,
     the xxhash64+Arrow path is the production kernel.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a ragged extra band would diverge from the default-bound oracle"
+        )
     rows_per_band = num_hashes // bands
     toks = F.split(F.col("__text"), " ")
     base = (

@@ -285,6 +285,11 @@ def _train_centroids_numpy(
         .collect()
     )
     X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError(
+            "IVF centroid training sample is empty (corpus has no rows "
+            "with a non-null embedding) — nothing to cluster"
+        )
     # a corpus smaller than the requested centroid count would otherwise
     # duplicate training points as centroids (k-means++ D^2 weights go
     # to zero): clamp k to the sample size — callers size inverted
@@ -443,16 +448,15 @@ def ann_topk(
         # partitioning on query_id co-locates every (query_id,
         # neighbor_id) pair, so the multi-table dedup aggregation AND
         # the top-k window both run exchange-free on top of it.
-        matched = cb.join(F.broadcast(qb), on=["table_id", "bucket"]).filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        cand = (
-            matched.repartition("query_id")
-            .groupBy("query_id", "neighbor_id")
-            .agg(
-                F.first("__v_query_id").alias("__v_query_id"),
-                F.first("__v_neighbor_id").alias("__v_neighbor_id"),
-            )
+        # Cosine is computed BEFORE the multi-table dedup: a candidate
+        # seen in t tables costs t cheap 64-dim dot products map-side,
+        # but only narrow (query_id, neighbor_id, sim) rows cross the
+        # exchange — the two 64-float vectors never shuffle and never
+        # pass through an array-typed aggregate.  Duplicates carry the
+        # identical rounded sim, so first() is deterministic.
+        matched = (
+            cb.join(F.broadcast(qb), on=["table_id", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn(
                 "cosine_sim",
                 F.round(
@@ -460,12 +464,17 @@ def ann_topk(
                     round_digits,
                 ),
             )
+            .select("query_id", "neighbor_id", "cosine_sim")
+        )
+        cand = (
+            matched.repartition("query_id")
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.first("cosine_sim").alias("cosine_sim"))
         )
     else:
         cand = (
             qb.join(cb, on=["table_id", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"])
             .withColumn(
                 "cosine_sim",
                 F.round(
@@ -473,6 +482,8 @@ def ann_topk(
                     round_digits,
                 ),
             )
+            .select("query_id", "neighbor_id", "cosine_sim")
+            .dropDuplicates(["query_id", "neighbor_id"])
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

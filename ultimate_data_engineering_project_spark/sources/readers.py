@@ -223,3 +223,63 @@ def jdbc_options(
         )
     opts.update(options)
     return opts
+
+
+#: platform -> (default port, JDBC driver class) — the Spark-side twin
+#: of the reference's SQLAlchemy DSN builder (database.py:9-32, which
+#: dispatches postgresql/mysql/mssql with the same default ports).
+_JDBC_DIALECTS = {
+    "postgresql": (5432, "org.postgresql.Driver"),
+    "mysql": (3306, "com.mysql.cj.jdbc.Driver"),
+    "mssql": (1433, "com.microsoft.sqlserver.jdbc.SQLServerDriver"),
+}
+
+
+def jdbc_url(
+    platform: str,
+    host: str,
+    database: str,
+    *,
+    port: int | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """Multi-dialect JDBC connection options (S14 — reference
+    database.py:9-32 builds pg/mysql/mssql SQLAlchemy DSNs; this is the
+    ``spark.read.format("jdbc")`` equivalent).
+
+    Returns {"url", "driver"} plus "user"/"password" when given —
+    merge-ready for :func:`jdbc_options`/:func:`read_jdbc`.
+    Credentials ride as separate options, NEVER interpolated into the
+    URL (they would leak into plans, logs, and the Spark UI).  ``ssl``
+    appends each dialect's own transport-encryption flavor; mssql
+    defaults to ``encrypt=false`` because its driver rejects plaintext
+    by default and the flag must be explicit either way."""
+    try:
+        default_port, driver = _JDBC_DIALECTS[platform.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unsupported platform: {platform!r} "
+            f"(expected one of {sorted(_JDBC_DIALECTS)})"
+        ) from None
+    p = port or default_port
+    if platform.lower() == "mssql":
+        enc = "true" if ssl else "false"
+        url = f"jdbc:sqlserver://{host}:{p};databaseName={database};encrypt={enc}"
+        if ssl:
+            url += ";trustServerCertificate=false"
+    elif platform.lower() == "mysql":
+        url = f"jdbc:mysql://{host}:{p}/{database}"
+        if ssl:
+            url += "?sslMode=REQUIRED"
+    else:
+        url = f"jdbc:postgresql://{host}:{p}/{database}"
+        if ssl:
+            url += "?sslmode=require"
+    opts = {"url": url, "driver": driver}
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts

@@ -218,12 +218,13 @@ def cdc_bucket_expr(keys: list[str], n_buckets: int):
 
 def run_cdc_stream(
     spark: SparkSession,
-    envelope_dir: str,
+    envelope_dir: str | None,
     row_schema: T.StructType,
     keys: list[str],
     table_dir: str,
     checkpoint: str,
     n_buckets: int | None = None,
+    source: DataFrame | None = None,
 ):
     """T1 end-to-end: a streaming CDC pipeline.  Reads Debezium-style
     envelope JSON lines from a directory (the Kafka-topic stand-in),
@@ -249,6 +250,13 @@ def run_cdc_stream(
     that already contains it is rejected up front, and a bucketed /
     unbucketed mode mismatch against an existing table image raises a
     configuration error instead of failing obscurely per-batch.
+
+    ``source`` injects an alternative streaming frame carrying the
+    envelope in a ``value`` column — e.g. ``kafka_source(spark,
+    brokers, topic)`` (sources/kafka.py, S12): the Kafka frame's binary
+    ``value`` drops straight into the same envelope parse (the
+    reference's declared front door, docker-compose.yaml:54-97).  When
+    ``source`` is given, ``envelope_dir`` is unused and may be None.
     """
     if "__bucket" in row_schema.fieldNames():
         raise ValueError(
@@ -256,16 +264,35 @@ def run_cdc_stream(
             "rename the column in row_schema"
         )
 
-    raw = (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 4)
-        .load(envelope_dir)
-    )
+    if source is not None:
+        raw = source
+    else:
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 4)
+            .load(envelope_dir)
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         changes = parse_debezium_envelope(batch_df, row_schema)
         try:
             current = spark.read.parquet(table_dir)
+        except AnalysisException as ex:
+            # ONLY a missing table path means "fresh table": any other
+            # read failure (corrupt footer, permissions, transient FS
+            # error) must propagate — silently re-seeding an empty image
+            # there would masquerade data loss as a first run.
+            cond = ex.getCondition() if hasattr(ex, "getCondition") else None
+            if cond != "PATH_NOT_FOUND":
+                raise
+            current = spark.createDataFrame([], row_schema)
+            if n_buckets is not None:
+                current = current.withColumn(
+                    "__bucket", cdc_bucket_expr(keys, n_buckets)
+                )
+        else:
             table_bucketed = "__bucket" in current.columns
             if table_bucketed and n_buckets is None:
                 raise ValueError(
@@ -278,14 +305,6 @@ def run_cdc_stream(
                     f"table at {table_dir} was written unbucketed but "
                     f"run_cdc_stream was called with n_buckets={n_buckets}; "
                     "rebuild the table image bucketed or pass n_buckets=None"
-                )
-        except ValueError:
-            raise
-        except Exception:
-            current = spark.createDataFrame([], row_schema)
-            if n_buckets is not None:
-                current = current.withColumn(
-                    "__bucket", cdc_bucket_expr(keys, n_buckets)
                 )
         if n_buckets is None:
             updated = cdc_apply_batch(current, changes, keys)
