@@ -697,7 +697,12 @@ def connected_components(
     prev = None
     converged = False
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint aggregate below is the
+        # round's first action, so it materializes the checkpoint as a
+        # side effect — one job per round instead of an eager-checkpoint
+        # job followed by a fingerprint job (iteration latency, not data
+        # volume, dominates CC rounds).
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = _fingerprint(e)
         if fp == prev:
             converged = True
