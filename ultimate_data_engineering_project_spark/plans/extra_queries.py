@@ -546,3 +546,52 @@ def salted_join_skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+
+
+@register(
+    "confluent_envelope_roundtrip",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               unhex('00') || unhex(lpad(to_hex(doc_id), 8, '0'))
+                           || encode(text) AS value
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(CONCAT('0x', substring(hex(value), 3, 8)) AS BIGINT)
+                AS INTEGER) AS schema_id,
+           decode(unhex(substring(hex(value), 11))) AS payload_text
+    FROM f
+    """,
+)
+def confluent_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire-format strip, oracle-checked cross-engine (S13 —
+    the Avro framing the reference's Debezium/Schema-Registry stack
+    emits, docker-compose.yaml:79-97).
+
+    Frames are synthesized IN the query from the documents fixture
+    (magic 0x00 + doc_id as the big-endian schema id + UTF-8 text as
+    the body), then split by `strip_confluent_envelope`
+    (sources/kafka.py) — pure binary expressions, no UDF.  The DuckDB
+    oracle builds the identical frames and strips them in hex-string
+    space, so the id extraction and payload slicing are hash-checked
+    value-for-value, not just pytest-pinned.  On a cluster the stripped
+    payload feeds `from_avro` (decode_confluent_avro)."""
+    from ultimate_data_engineering_project_spark.sources.kafka import (
+        strip_confluent_envelope,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("00")),
+            F.unhex(F.lpad(F.hex(F.col("doc_id")), 8, "0")),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("value"),
+    )
+    return strip_confluent_envelope(frames).select(
+        "doc_id",
+        "schema_id",
+        F.decode(F.col("payload"), "UTF-8").alias("payload_text"),
+    )
