@@ -89,6 +89,22 @@ def test_confluent_strip_bad_magic_modes(spark):
         strip_confluent_envelope(df, bad_magic="nonsense")
 
 
+def test_decode_confluent_avro_needs_spark_avro(spark):
+    """decode_confluent_avro composes the strip with from_avro; without
+    the spark-avro package (this container) Spark raises its own
+    AVRO_NOT_LOADED error at analysis — the strip half stays fully
+    covered by the tests above and the oracle-checked
+    confluent_envelope_roundtrip catalog entry."""
+    from ultimate_data_engineering_project_spark.sources.kafka import (
+        decode_confluent_avro,
+    )
+
+    df = spark.createDataFrame([(_frame(b"\x02", 1),)], "value binary")
+    schema = '{"type":"record","name":"t","fields":[{"name":"x","type":"long"}]}'
+    with pytest.raises(Exception, match="(?i)avro"):
+        decode_confluent_avro(df, schema).collect()
+
+
 _ROW_SCHEMA = T.StructType(
     [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
 )
