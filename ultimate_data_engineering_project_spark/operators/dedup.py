@@ -697,12 +697,12 @@ def connected_components(
     prev = None
     converged = False
     for _ in range(max_iterations):
-        # lazy checkpoint: the fingerprint aggregate below is the
-        # round's first action, so it materializes the checkpoint as a
-        # side effect — one job per round instead of an eager-checkpoint
-        # job followed by a fingerprint job (iteration latency, not data
-        # volume, dominates CC rounds).
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # eager checkpoint: each round's frame has MULTIPLE consumers
+        # (the symmetrizing union references it twice, plus the
+        # fingerprint) — a lazy checkpoint materializes per-partition on
+        # first touch and the other consumers can race into recompute;
+        # measured A/B at sf0.1, eager is equal-or-faster and stabler.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = _fingerprint(e)
         if fp == prev:
             converged = True

@@ -237,11 +237,14 @@ def _blocked_candidate_pairs(
     s = user_series(events, max_len)
     # keyed repartition = materialization barrier (see dedup.py): stops
     # projection collapse from recomputing the grouped sort per band.
-    # The lazy localCheckpoint pins the series frame to ONE computation:
+    # The localCheckpoint pins the series frame to ONE computation:
     # under AQE the attach-join branches do not exchange-reuse the keys
     # branch's subtree (their canonical forms diverge once AQEShuffleRead
-    # lands), so without it the grouped sort ran twice per query.
-    s = s.repartition("user_id").localCheckpoint(eager=False)
+    # lands), so without it the grouped sort ran twice per query.  Eager,
+    # because the frame has THREE consumers (keys + both attach joins) —
+    # a lazy checkpoint materializes per-partition on first touch and
+    # concurrent consumers can race into recompute (A/B-measured).
+    s = s.repartition("user_id").localCheckpoint(eager=True)
     if portable:
         keys = series_block_keys_md5(s, n_paa=n_paa, bands=bands)
     else:
