@@ -85,8 +85,31 @@ def test_confluent_strip_bad_magic_modes(spark):
     # error: the first bad frame raises
     with pytest.raises(Exception, match="magic"):
         strip_confluent_envelope(df, bad_magic="error").collect()
+    # ... and the guard survives column pruning: a consumer selecting
+    # ONLY payload (or counting) must still fail, not read garbage — a
+    # projection-level guard dies here, the filter-level one does not
+    with pytest.raises(Exception, match="magic"):
+        strip_confluent_envelope(df, bad_magic="error").select("payload").collect()
+    with pytest.raises(Exception, match="magic"):
+        strip_confluent_envelope(df, bad_magic="error").count()
     with pytest.raises(ValueError, match="bad_magic"):
         strip_confluent_envelope(df, bad_magic="nonsense")
+
+
+def test_confluent_strip_tombstones_pass_all_modes(spark):
+    """NULL values are Debezium delete tombstones — routine compacted-
+    topic protocol, NOT corrupt frames: they must pass through every
+    mode with NULL outputs (error mode crashing a CDC stream on the
+    first routine delete would be a production outage)."""
+    rows = [(_frame(b"good", 5),), (None,)]
+    df = spark.createDataFrame(rows, "value binary")
+    for mode in ("error", "drop", "keep"):
+        got = strip_confluent_envelope(df, bad_magic=mode).collect()
+        assert len(got) == 2, mode
+        by_null = {r["value"] is None: r for r in got}
+        assert by_null[True]["schema_id"] is None
+        assert by_null[True]["payload"] is None
+        assert bytes(by_null[False]["payload"]) == b"good"
 
 
 def test_decode_confluent_avro_needs_spark_avro(spark):
@@ -128,6 +151,27 @@ def test_cdc_stream_accepts_injected_source(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: "a"}
+
+
+def test_cdc_empty_table_dir_recovers_as_fresh(spark, tmp_path):
+    """An EXISTING but empty table dir holds no committed data (e.g. the
+    first-ever batch crashed after mkdir, before any file commit): it
+    must seed as a fresh table, not wedge every restart forever."""
+    env_dir = tmp_path / "env"
+    env_dir.mkdir()
+    (env_dir / "b1.jsonl").write_text(
+        '{"op":"c","ts_ms":1,"before":null,"after":"{\\"k\\":1,\\"v\\":\\"a\\"}"}\n'
+    )
+    table_dir = tmp_path / "table"
+    table_dir.mkdir()  # exists, zero files
+    q = run_cdc_stream(
+        spark, str(env_dir), _ROW_SCHEMA, ["k"], str(table_dir),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["k"]: r["v"] for r in spark.read.parquet(str(table_dir)).collect()}
     assert got == {1: "a"}
 
 

@@ -121,7 +121,9 @@ def check_sketch_tolerance(spark_df, con) -> list[str]:
             a = float(s.loc[flag, a_col])
             e = float(exact.loc[flag, e_col])
             rel = abs(a - e) / e
-            if rel > bound:
+            # inverted comparison so a NaN estimate FAILS: `NaN > bound`
+            # is False and would record a broken sketch as tolerance_ok
+            if not (rel <= bound):
                 probs.append(
                     f"{flag}.{a_col}: approx={a} exact={e} rel={rel:.4f} > {bound}"
                 )

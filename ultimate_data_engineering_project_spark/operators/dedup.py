@@ -249,15 +249,19 @@ def minhash_lsh_pairs(
     # coalescing, so conf-width (32 here, thousands on a cluster) over a
     # small corpus pays a full task wave per stage for partitions
     # holding a handful of docs (~25% of query latency at sf0.1,
-    # measured).  4x the input splits spreads a skinny scan without
-    # over-fragmenting; the conf stays the ceiling so a wide cluster
-    # corpus still fans out to conf width.
+    # measured).  4x the input file count spreads a skinny scan without
+    # over-fragmenting; the conf is a hard ceiling so a wide cluster
+    # corpus still fans out to conf width and a deliberately narrow
+    # session is respected.  inputFiles() is metadata-only — probing
+    # .rdd.getNumPartitions() instead would finalize the AQE plan and
+    # EXECUTE upstream exchange stages when the caller passes a derived
+    # frame (join/agg output), running that pipeline twice.
     n_conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     try:
-        n_input = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - exotic sources without RDD view
+        n_input = max(1, len(df.inputFiles()))
+    except Exception:  # pragma: no cover - sources without file listing
         n_input = n_conf
-    n_spread = max(8, min(n_conf, 4 * n_input))
+    n_spread = min(n_conf, max(8, 4 * n_input))
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .repartition(n_spread)

@@ -167,9 +167,17 @@ def series_block_keys_md5(
     per_band = n_paa // bands
     if per_band * bands != n_paa:
         raise ValueError(f"n_paa ({n_paa}) must be divisible by bands ({bands})")
+    # NULL values quantize as 0 EXPLICITLY: without the coalesce, a NULL
+    # poisons Spark's aggregate-fold segment sum (concat_ws then SKIPS
+    # the NULL q, emitting a shortened key) while DuckDB's list_sum
+    # ignores NULLs and its || concat propagates NULL — different
+    # candidate sets per engine.  COALESCE(v, 0) on both sides keeps the
+    # hash-parity contract on data with missing values.
     ints = F.transform(
         F.col("series"),
-        lambda v: F.round(v * F.lit(float(value_scale))).cast("long"),
+        lambda v: F.round(F.coalesce(v, F.lit(0.0)) * F.lit(float(value_scale))).cast(
+            "long"
+        ),
     )
     df = series_df.withColumn("__ints", ints)
     n = F.size(F.col("__ints"))
@@ -244,6 +252,11 @@ def _blocked_candidate_pairs(
     # because the frame has THREE consumers (keys + both attach joins) —
     # a lazy checkpoint materializes per-partition on first touch and
     # concurrent consumers can race into recompute (A/B-measured).
+    # Costs to know: construction now runs the grouped-sort job even if
+    # the frame is only plan-inspected; checkpoint blocks live until the
+    # session's ContextCleaner collects them; and localCheckpoint data
+    # does not survive executor loss — on a cluster with decommissioning,
+    # swap for reliable checkpoint/persist(DISK_ONLY_2).
     s = s.repartition("user_id").localCheckpoint(eager=True)
     if portable:
         keys = series_block_keys_md5(s, n_paa=n_paa, bands=bands)

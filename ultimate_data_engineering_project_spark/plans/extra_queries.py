@@ -264,7 +264,8 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(
                    range(0, 8),
                    j -> CAST(FLOOR(COALESCE(list_sum(
-                            list_transform(series, v -> CAST(ROUND(v * 10000) AS BIGINT))
+                            list_transform(series,
+                                v -> CAST(ROUND(COALESCE(v, 0) * 10000) AS BIGINT))
                             [CAST(FLOOR(j * len(series) / 8) AS BIGINT) + 1 :
                              CAST(FLOOR((j + 1) * len(series) / 8) AS BIGINT)]
                         ), 0) / 500000.0) AS BIGINT)

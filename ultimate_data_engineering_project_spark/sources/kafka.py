@@ -141,13 +141,21 @@ def strip_confluent_envelope(
     message as ``0x00 | int32 schema id (big-endian) | avro body``;
     `from_avro` must receive ONLY the body or it mis-parses.
 
-    ``bad_magic``: "error" raises on the first non-Avro-framed message
-    (corrupt producer — fail loudly), "drop" filters them, "keep"
-    passes them through with NULL schema_id/payload for a quarantine
-    split."""
+    NULL values are Kafka TOMBSTONES (Debezium emits (key, NULL) after
+    every delete on a compacted topic) — routine protocol, not corrupt
+    frames: they pass through every mode with NULL schema_id/payload so
+    the CDC apply can still see the delete marker.
+
+    ``bad_magic`` (non-NULL, non-Avro-framed values): "error" raises on
+    the first one (corrupt producer — fail loudly), "drop" filters
+    them, "keep" passes them through with NULL schema_id/payload for a
+    quarantine split.  The "error" guard is a FILTER over the input,
+    not a projection on an output column — a column-level guard dies
+    with column pruning the moment a consumer selects only payload."""
     if bad_magic not in ("error", "drop", "keep"):
         raise ValueError(f"bad_magic must be error|drop|keep, got {bad_magic!r}")
     v = F.col(value_col)
+    tombstone = v.isNull()
     ok = (F.length(v) >= _HEADER_LEN) & (
         F.hex(F.expr(f"substring({value_col}, 1, 1)")) == _MAGIC_HEX.upper()
     )
@@ -161,20 +169,28 @@ def strip_confluent_envelope(
         f"length({value_col}) - {_HEADER_LEN})"
     )
     if bad_magic == "drop":
-        df = df.filter(ok)
+        df = df.filter(tombstone | ok)
     elif bad_magic == "error":
-        schema_id = F.when(ok, schema_id).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("not Confluent-Avro framed (magic byte != 0x00): "),
-                    F.hex(F.expr(f"substring({value_col}, 1, {_HEADER_LEN})")),
-                )
-            ).cast("int")
+        # filter-level guard: filters are never column-pruned, so the
+        # error fires no matter which output columns a consumer reads
+        df = df.filter(
+            F.when(tombstone | ok, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("not Confluent-Avro framed (magic byte != 0x00): "),
+                        F.coalesce(
+                            F.hex(
+                                F.expr(f"substring({value_col}, 1, {_HEADER_LEN})")
+                            ),
+                            F.lit("<null>"),
+                        ),
+                    )
+                ).cast("boolean")
+            )
         )
-    safe = ok if bad_magic == "keep" else F.lit(True)
     return df.withColumn(
-        "schema_id", F.when(safe, schema_id)
-    ).withColumn("payload", F.when(safe, payload))
+        "schema_id", F.when(ok, schema_id)
+    ).withColumn("payload", F.when(ok, payload))
 
 
 def decode_confluent_avro(

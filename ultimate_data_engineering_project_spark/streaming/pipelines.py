@@ -280,12 +280,16 @@ def run_cdc_stream(
         try:
             current = spark.read.parquet(table_dir)
         except AnalysisException as ex:
-            # ONLY a missing table path means "fresh table": any other
-            # read failure (corrupt footer, permissions, transient FS
-            # error) must propagate — silently re-seeding an empty image
-            # there would masquerade data loss as a first run.
+            # ONLY "no committed data" means "fresh table": a missing
+            # path, or an existing-but-empty dir (UNABLE_TO_INFER_SCHEMA
+            # — e.g. the first-ever batch crashed after the dir was
+            # created but before any file committed; refusing it would
+            # wedge restart forever).  Any other read failure (corrupt
+            # footer, permissions, transient FS error) must propagate —
+            # silently re-seeding an empty image there would masquerade
+            # data loss as a first run.
             cond = ex.getCondition() if hasattr(ex, "getCondition") else None
-            if cond != "PATH_NOT_FOUND":
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
                 raise
             current = spark.createDataFrame([], row_schema)
             if n_buckets is not None:
