@@ -214,6 +214,25 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"ANN recall too low: {recall}"
 
 
+def test_ann_portable_recall_and_plan_parity(spark, sf_dir):
+    """The engine-portable int-plane LSH twin must (a) keep recall vs
+    brute force (integer directions are as good as gaussian ones for
+    sign-LSH) and (b) stay on the same bucketed-equi-join plan shape as
+    the production path — it exists for oracle auditability, not as a
+    semantic fork.  Candidate-set exactness vs DuckDB is pinned by the
+    `ann_topk_lsh_int` oracle in test_oracle_parity."""
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    ann = similarity.ann_topk(emb, queries, k=5, portable=True)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.8, f"portable ANN recall too low: {recall}"
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from ultimate_data_engineering_project_spark.sources.readers import load_table
 

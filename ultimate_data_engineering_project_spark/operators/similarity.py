@@ -94,6 +94,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _int_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> list[list[float]]:
+    """Integer-valued hyperplanes (as doubles) for the engine-portable
+    LSH twin: with embeddings quantized to round(x * 1e6) every dot
+    product is a sum of integer products < 2^36 — EXACT in IEEE double
+    regardless of summation order, so any engine computes the identical
+    sign bit and the candidate set is reproducible hash-for-hash (the
+    gaussian path's float dots are summation-order-sensitive at the
+    ULP).  Uniform integer directions are a standard substitute for
+    gaussian ones in sign-LSH: only the direction matters, and the
+    discretization (1999 values/axis) is far below the sign boundary's
+    sensitivity.  Concatenated layout: plane (t, j) at index
+    t*n_planes + j, matching `_bucket_tables_expr`."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [float(rng.randrange(-999, 1000)) for _ in range(dim)]
+        for _ in range(n_planes * n_tables)
+    ]
+
+
+#: SQL fragment quantizing a float vector column to integer-valued
+#: doubles (round half away from zero on both Spark and DuckDB).
+_QUANTIZE_SQL = "transform({vec}, x -> round(cast(x as double) * 1000000.0D, 0))"
+
+
 def _lit_matrix(rows: list[list[float]]) -> Column:
     """A list-of-lists constant as ONE array<array<double>> literal via
     a single SQL expression.  Building it element-wise with F.lit/F.array
@@ -148,16 +176,58 @@ def _plane_signs(vec: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def _bucket_tables_expr(
+    vec_sql: str, all_planes: list[list[float]], n_planes: int, n_tables: int
+) -> str:
+    """The whole multi-table bucket computation as ONE SQL expression
+    string.  Building the same tree Column-by-Column costs ~0.8s of
+    py4j round-trips per call (measured: 30 planes x 64 dims) — one
+    `F.expr` parse of a generated string is ~25ms for an identical
+    Catalyst tree.  ``vec_sql`` is any SQL expression yielding the
+    vector (a backticked column name, or e.g. a quantizing transform).
+
+    Shape: bind the concatenated sign vector once (1-element transform,
+    see `_bind`), then per table t sum bit j of signs[t*n_planes+j]."""
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")"
+        for row in all_planes
+    ) + ")"
+    signs = (
+        f"transform({planes_sql}, p -> cast(aggregate("
+        f"zip_with({vec_sql}, p, (x, w) -> cast(x as double) * w), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) >= 0 as bigint))"
+    )
+    bucket = " + ".join(
+        f"element_at(s, cast(t * {n_planes} + {j + 1} as int)) "
+        f"* cast({1 << j} as bigint)"
+        for j in range(n_planes)
+    )
+    tables = (
+        f"transform(sequence(0, {n_tables - 1}), "
+        f"t -> named_struct('table_id', cast(t as int), 'bucket', {bucket}))"
+    )
+    return f"element_at(transform(array({signs}), s -> {tables}), 1)"
+
+
 def _bucket_tables(
-    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int
+    vec: Column | str, dim: int, n_planes: int, n_tables: int, seed: int
 ) -> Column:
     """array<struct<table_id int, bucket long>>: all LSH tables' bucket
     keys computed from ONE sign vector over the concatenated plane
     matrix (n_tables*n_planes planes, same per-table values as
-    generating each table with seed+t)."""
+    generating each table with seed+t).
+
+    Pass ``vec`` as a column NAME (str) for the fast path: the whole
+    expression is generated as one SQL string (single parse, no
+    per-node py4j traffic).  A Column falls back to the builder API —
+    identical tree, slower construction."""
     all_planes = [
         plane for t in range(n_tables) for plane in _hyperplanes(dim, n_planes, seed + t)
     ]
+    if isinstance(vec, str):
+        return F.expr(
+            _bucket_tables_expr(f"`{vec}`", all_planes, n_planes, n_tables)
+        )
 
     def make_tables(signs: Column) -> Column:
         def per_table(t: Column) -> Column:
@@ -203,7 +273,7 @@ def cosine_near_dup_pairs(
     """
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     banded = base.withColumn(
-        "__t", F.explode(_bucket_tables(F.col("__v"), dim, n_planes, n_tables, seed))
+        "__t", F.explode(_bucket_tables("__v", dim, n_planes, n_tables, seed))
     ).select("__id", "__v", "__t.table_id", "__t.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -416,6 +486,7 @@ def ann_topk(
     seed: int = 42,
     round_digits: int = 6,
     broadcast_queries: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -427,17 +498,29 @@ def ann_topk(
     (3 planes x 10 tables, ~0.98 recall on the fixture) suit the
     weak-similarity regime (top-k cosine ~0.3); raise n_planes for
     corpora with strong near-duplicates to shrink buckets.
+
+    ``portable=True`` swaps gaussian planes for integer ones over
+    round(x*1e6)-quantized vectors (`_int_planes`): every sign bit is
+    exact integer arithmetic, so a SQL engine reproduces the identical
+    candidate set — the hash-checkable twin of the default path.
     """
     def with_buckets(df: DataFrame, role_id: str) -> DataFrame:
         out = df.select(
             F.col(id_col).alias(role_id), F.col(vec_col).alias(f"__v_{role_id}")
         )
-        return out.withColumn(
-            "__t",
-            F.explode(
-                _bucket_tables(F.col(f"__v_{role_id}"), dim, n_planes, n_tables, seed)
-            ),
-        ).select(role_id, f"__v_{role_id}", "__t.table_id", "__t.bucket")
+        if portable:
+            planes = _int_planes(dim, n_planes, n_tables, seed)
+            vec_sql = _QUANTIZE_SQL.format(vec=f"`__v_{role_id}`")
+            bucket_col = F.expr(
+                _bucket_tables_expr(vec_sql, planes, n_planes, n_tables)
+            )
+        else:
+            bucket_col = _bucket_tables(
+                f"__v_{role_id}", dim, n_planes, n_tables, seed
+            )
+        return out.withColumn("__t", F.explode(bucket_col)).select(
+            role_id, f"__v_{role_id}", "__t.table_id", "__t.bucket"
+        )
 
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")

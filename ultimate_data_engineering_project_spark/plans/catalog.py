@@ -148,6 +148,7 @@ _PRIORITY = [
     "fakestream_silver_transactions",
     "embedding_near_dup_pairs",
     "ann_topk_lsh",
+    "ann_topk_lsh_int",
     "ann_topk_ivf",
     # r05: the exact all-pairs baseline keeps its oracle outside the
     # prefix; the blocked scale path carries the prefix entry now

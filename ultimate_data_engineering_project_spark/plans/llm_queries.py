@@ -581,6 +581,95 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_int_oracle(
+    *,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 10,
+    seed: int = 42,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB oracle for the engine-portable LSH ANN twin.  Generated
+    from the SAME `_int_planes` constants the Spark operator uses
+    (single source of truth): with round(x*1e6) quantization every
+    plane dot is exact integer arithmetic in IEEE double, so the
+    candidate set matches Spark's hash-for-hash; cosine re-rank reuses
+    the list_cosine_similarity/ROUND(,6) formula proven portable by
+    the `cosine_topk_bruteforce` oracle."""
+    planes = similarity._int_planes(dim, n_planes, n_tables, seed)
+
+    def plane_lit(row: list[float]) -> str:
+        return "CAST([" + ", ".join(f"{x:.1f}" for x in row) + "] AS DOUBLE[])"
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(qv, {plane_lit(planes[t * n_planes + j])})"
+            f" >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+
+    union = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {bucket_expr(t)} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> round(x * 1000000.0, 0)) AS qv
+        FROM embeddings
+    ),
+    buckets AS (
+        {union}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q
+        JOIN buckets c ON q.table_id = c.table_id AND q.bucket = c.bucket
+        WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                            CAST(ce.embedding AS DOUBLE[])), 6)
+                   AS cosine_sim
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@register("ann_topk_lsh_int", oracle=_ann_lsh_int_oracle())
+def ann_topk_lsh_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN, engine-portable twin (X3): integer planes
+    over round(x*1e6)-quantized vectors make every sign bit exact
+    integer arithmetic, so the DuckDB oracle reproduces the EXACT
+    candidate set and top-k — the APPROXIMATE similarity path itself
+    is hash-checked, the `minhash_near_dup_md5` trick applied to ANN.
+    Same plan shape as `ann_topk_lsh` (bucketed equi-join, broadcast
+    queries, one exchange)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        broadcast_queries=True,
+        portable=True,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("ann_topk_ivf", oracle=None)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via IVF (X3 scale path for
