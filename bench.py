@@ -91,6 +91,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # Host-speed canary: fixed single-process numpy workload (seeded,
+    # identical every run/round).  The bench hosts differ round to
+    # round (r05's VM runs every query ~1.3-1.4x slower than r04's,
+    # uniformly, including trivially-stable 0.1s queries) — dividing
+    # per-query times by the canary ratio separates real plan
+    # regressions from host drift.
+    import numpy as np
+
+    x = np.random.default_rng(0).standard_normal((1200, 1200))
+    c0 = time.perf_counter()
+    for _ in range(3):
+        y = x @ x
+    canary = round(time.perf_counter() - c0, 3)
+    del y
     print(
         json.dumps(
             {
@@ -108,6 +123,10 @@ def main() -> None:
                 "n_runs": N_RUNS,
                 "aggregation": "min",
                 "n_queries": len(timings),
+                # seconds for a fixed seeded numpy matmul loop — a
+                # host-speed yardstick: compare rounds as
+                # time/canary, not raw seconds (hosts differ per round)
+                "host_canary_sec": canary,
                 "comparability_note": (
                     "r04+: n_runs=3 and 3 added queries; r05+ adds "
                     "fuzzy_dedup_part_names (semantics changed r05: "

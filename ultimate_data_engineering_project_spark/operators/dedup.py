@@ -666,24 +666,28 @@ def connected_components(
         with_min = nbrs.withColumn(
             "m", F.least(F.min("v").over(u_w), F.col("u"))
         )
+        # no trailing distinct: the next op (small-star) dedups on its
+        # own output anyway, and duplicate (v, m) rows change neither
+        # windows' min nor the final distinct — dropping it saves one
+        # full exchange per round (iteration latency dominates CC)
         return (
             with_min.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(df: DataFrame) -> DataFrame:
-        # orient every edge large->small: u > v
+        # orient every edge large->small: u > v.  No distinct here
+        # either: the u_w window's min is duplicate-insensitive and the
+        # round's single closing distinct restores set semantics (which
+        # the convergence fingerprint's xor DOES require)
         directed = df.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         with_min = directed.withColumn("m", F.min("v").over(u_w))
         out = (
             with_min.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(
-                with_min.select(F.col("u"), F.col("m").alias("v")).distinct()
-            )
+            .union(with_min.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
