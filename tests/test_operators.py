@@ -201,6 +201,27 @@ def test_simhash_properties(spark, near_dup_docs):
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])  # near-dup closer than unrelated
 
 
+def test_simhash_md5_twin_properties(spark, near_dup_docs):
+    """The portable 48-bit md5 SimHash must keep the sketch's metric
+    properties (identical text -> identical sketch; near-dups closer
+    than unrelated).  Cross-engine hash-exactness is pinned by the
+    `simhash_near_dup_md5` oracle in test_oracle_parity."""
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_md5(near_dup_docs, "doc_id").collect()
+    }
+    assert all(0 <= v < 2**48 for v in sh.values())  # BIGINT-safe range
+    assert sh[1] == sh[4]
+    ham = lambda a, b: bin((a ^ b) & (2**48 - 1)).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+    # identical docs surface as a hamming-0 pair through the block join
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs_md5(near_dup_docs, "doc_id").collect()
+    }
+    assert pairs.get((1, 4)) == 0
+
+
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     from ultimate_data_engineering_project_spark.sources.readers import load_table
 

@@ -553,6 +553,113 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     )
 
 
+def simhash_md5(
+    df: DataFrame, id_col: str, text_col: str = "text", *, n_bits: int = 48
+) -> DataFrame:
+    """Engine-portable SimHash (X2): per-token hash = first n_bits/4 hex
+    chars of md5 (exact integer on any engine), bit-vote fold, sign
+    bits.  48 bits (12 hex chars) keep every value < 2^48 — safely
+    inside BIGINT on engines without unsigned 64-bit."""
+    n_hex = n_bits // 4
+    votes = F.expr(
+        f"""
+        aggregate(
+          transform(split({text_col}, ' '),
+                    t -> cast(conv(substring(md5(cast(t as binary)), 1, {n_hex}),
+                                   16, 10) as bigint)),
+          array_repeat(CAST(0 AS INT), {n_bits}),
+          (acc, h) -> zip_with(
+            acc,
+            transform(sequence(0, {n_bits - 1}),
+                      b -> CAST((shiftright(h, b) & 1) * 2 - 1 AS INT)),
+            (x, y) -> x + y
+          )
+        )
+        """
+    )
+    sim = F.expr(
+        f"""
+        aggregate(
+          zip_with(__votes, sequence(0, {n_bits - 1}),
+                   (v, b) -> IF(v > 0,
+                                shiftleft(CAST(1 AS BIGINT), b),
+                                CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc | x
+        )
+        """
+    )
+    return df.withColumn("__votes", votes).select(
+        F.col(id_col), sim.alias("simhash")
+    )
+
+
+def simhash_near_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    max_hamming: int = 9,
+    n_bits: int = 48,
+    block_bits: int = 12,
+) -> DataFrame:
+    """SimHash near-dup pairs, engine-portable twin of
+    `simhash_near_pairs` — every step (md5-derived token hashes, bit
+    votes, block keys, bit_count hamming) is exact integer arithmetic a
+    SQL engine reproduces hash-for-hash, so the APPROXIMATE SimHash
+    path itself carries a full oracle (the `minhash_lsh_pairs_md5`
+    pattern).  Blocks on n_bits/block_bits slices (pigeonhole recall);
+    same banded-equi-join scale shape as the xxhash64 production path.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b,
+    hamming <= max_hamming."""
+    if n_bits % block_bits:
+        raise ValueError(
+            f"n_bits ({n_bits}) must be divisible by block_bits ({block_bits})"
+        )
+    n_blocks = n_bits // block_bits
+    mask = (1 << block_bits) - 1
+    sh = simhash_md5(df, id_col, text_col, n_bits=n_bits)
+    blocked = sh.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("simhash", q * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block"),
+                    )
+                    for q in range(n_blocks)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "simhash", "__b.q", "__b.block")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.q") == F.col("b.q"),
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,

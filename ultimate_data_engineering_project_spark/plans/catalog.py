@@ -147,6 +147,7 @@ _PRIORITY = [
     "fakestream_balance_histogram",
     "fakestream_silver_transactions",
     "embedding_near_dup_pairs",
+    "simhash_near_dup_md5",
     "ann_topk_lsh",
     "ann_topk_lsh_int",
     "ann_topk_ivf",

@@ -481,6 +481,54 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(docs, "doc_id", max_hamming=12)
 
 
+@register(
+    "simhash_near_dup_md5",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, bb.b AS b,
+               SUM(((h >> bb.b) & 1) * 2 - 1) AS vote
+        FROM hashed, UNNEST(range(0, 48)) AS bb(b)
+        GROUP BY doc_id, bb.b
+    ),
+    sketches AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    blocked AS (
+        SELECT doc_id, simhash, qq.q AS q,
+               (simhash >> (qq.q * 12)) & 4095 AS block
+        FROM sketches, UNNEST(range(0, 4)) AS qq(q)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM blocked a
+        JOIN blocked b ON a.q = b.q AND a.block = b.block
+                      AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 9
+    """,
+)
+def simhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, engine-portable twin (X2): md5-derived
+    48-bit sketches make the bit votes, block keys, and hamming
+    distances exact integer arithmetic on any engine, so the DuckDB
+    oracle reproduces the APPROXIMATE SimHash candidate set and output
+    hash-for-hash — completing the hash-checked-twin set (MinHash md5,
+    ANN int planes, series md5 blocks).  The xxhash64 64-bit path
+    (`simhash_near_dup_pairs`) remains the production kernel."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs_md5(docs, "doc_id", max_hamming=9)
+
+
 @register("ngram_jaccard_pairs", oracle=None)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inverted index (X2 exact
