@@ -201,6 +201,48 @@ def test_simhash_properties(spark, near_dup_docs):
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])  # near-dup closer than unrelated
 
 
+def test_hash_split_group_cohesion(spark, sf_dir):
+    """hash_split must put every key in exactly ONE split, at roughly
+    the requested proportions, deterministically."""
+    from ultimate_data_engineering_project_spark.functions.scalar import hash_split
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.withColumn(
+        "split", hash_split("user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    # cohesion: no user carries two labels
+    spans = (
+        labeled.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert spans == 0
+    # proportions over USERS (the hashed key), loose bounds for small N
+    by = {
+        r["split"]: r["n"]
+        for r in labeled.groupBy("split")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    total = sum(by.values())
+    assert 0.7 < by["train"] / total < 0.9
+    assert set(by) == {"train", "val", "test"}
+    # deterministic: rerun produces identical labels
+    again = {
+        (r["user_id"], r["split"])
+        for r in ev.withColumn(
+            "split", hash_split("user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        ).select("user_id", "split").distinct().collect()
+    }
+    first = {
+        (r["user_id"], r["split"])
+        for r in labeled.select("user_id", "split").distinct().collect()
+    }
+    assert again == first
+
+
 def test_simhash_md5_twin_properties(spark, near_dup_docs):
     """The portable 48-bit md5 SimHash must keep the sketch's metric
     properties (identical text -> identical sketch; near-dups closer

@@ -87,3 +87,38 @@ def md5_bucket(col: Column | str, n_hex: int = 4) -> Column:
     sampling step needs for auditability."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(F.md5(c.cast("string")), 1, n_hex)
+
+
+def split_thresholds(fractions: dict[str, float], n_hex: int = 4) -> list[tuple[str, str]]:
+    """(label, upper-hex-threshold) pairs for `hash_split`, cumulative
+    over ``fractions`` in insertion order; the last label absorbs any
+    rounding remainder.  Shared with oracle-SQL generation so both
+    engines carve identical boundaries."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    space = 16**n_hex
+    out, cum = [], 0.0
+    for label, frac in fractions.items():
+        cum += frac
+        out.append((label, format(min(space, int(round(cum * space))), f"0{n_hex}x")))
+    return out
+
+
+def hash_split(
+    col: Column | str, fractions: dict[str, float], n_hex: int = 4
+) -> Column:
+    """Deterministic, GROUP-COHESIVE dataset split (train/val/test):
+    every row whose ``col`` hashes under a label's cumulative md5
+    threshold gets that label.  Rows sharing a key always land in the
+    SAME split — pass the entity key (user_id, document cluster,
+    domain) and cross-split leakage is structurally impossible, which a
+    row-wise ``randomSplit`` cannot guarantee.  Map-side expression
+    only: no shuffle, no state, reproducible across runs, engines, and
+    cluster sizes."""
+    bucket = md5_bucket(col, n_hex)
+    pairs = split_thresholds(fractions, n_hex)
+    expr = F.lit(pairs[-1][0])
+    for label, hi in reversed(pairs[:-1]):
+        expr = F.when(bucket < F.lit(hi), F.lit(label)).otherwise(expr)
+    return expr

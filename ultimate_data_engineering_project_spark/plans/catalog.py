@@ -154,6 +154,7 @@ _PRIORITY = [
     # r05: the exact all-pairs baseline keeps its oracle outside the
     # prefix; the blocked scale path carries the prefix entry now
     "timeseries_similar_users_exact",
+    "train_split_by_user",
 ]
 
 

@@ -807,6 +807,58 @@ def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang", "n_chars")
 
 
+def _split_oracle() -> str:
+    """Oracle for the group-cohesive split, generated from the SAME
+    `split_thresholds` boundaries the operator uses."""
+    from ultimate_data_engineering_project_spark.functions.scalar import (
+        split_thresholds,
+    )
+
+    pairs = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = "CASE "
+    for label, hi in pairs[:-1]:
+        case += (
+            f"WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '{hi}' "
+            f"THEN '{label}' "
+        )
+    case += f"ELSE '{pairs[-1][0]}' END"
+    return f"""
+    WITH labeled AS (
+        SELECT user_id, event_id, {case} AS split FROM events
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM labeled
+    GROUP BY split
+    """
+
+
+@register("train_split_by_user", oracle=_split_oracle())
+def train_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (the dataset-split step of an
+    LLM pipeline): every event is labeled by hashing its USER — rows
+    sharing a user land in the same split structurally, the guarantee
+    row-wise randomSplit cannot give (a user's near-identical events in
+    both train and eval = leakage).  Deterministic md5 thresholds, so
+    the split is reproducible across runs/engines/cluster sizes and
+    auditable; per-user cohesion is pinned in tests/test_operators.py.
+
+    Scale: the label is a map-side expression over the entity key — no
+    shuffle at 100 TB; the verifying aggregate here is one partial-agg
+    groupBy over 3 labels."""
+    from ultimate_data_engineering_project_spark.functions.scalar import hash_split
+
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.withColumn(
+        "split", hash_split("user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    return labeled.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @register(
     "dedup_clusters",
     oracle="""
