@@ -145,3 +145,57 @@ def test_hll_rollup_merges_instead_of_rescanning(spark, sf_dir):
     }
     for r in per_group.collect():
         assert abs(r["approx_distinct"] - exact[r["o_orderstatus"]]) / exact[r["o_orderstatus"]] < 0.05
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """compact_parquet must collapse a many-small-files directory to
+    ~ceil(bytes/target) files, preserve every row, and leave no temp
+    dirs behind; with sort_within_by the compacted files are internally
+    sorted (row-group stats become selective)."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from ultimate_data_engineering_project_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "bronze")
+    # simulate a streaming bronze: 40 tiny appends
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.rand(1).alias("v")
+    )
+    df.repartition(40).write.mode("overwrite").parquet(path)
+    before = glob.glob(f"{path}/*.parquet")
+    assert len(before) >= 40
+    total_before = spark.read.parquet(path).count()
+
+    n_files = compact_parquet(
+        spark, path, target_file_bytes=1 << 30, sort_within_by=["id"]
+    )
+    after = glob.glob(f"{path}/*.parquet")
+    assert n_files == len(after) == 1  # all input bytes fit one target file
+    assert spark.read.parquet(path).count() == total_before
+    assert not glob.glob(f"{path}.compact.*")
+    # rows inside the compacted file are id-sorted
+    ids = [r["id"] for r in spark.read.parquet(after[0]).collect()]
+    assert ids == sorted(ids)
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    """Hive-partitioned compaction: one file per partition directory
+    afterward, partition values intact."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from ultimate_data_engineering_project_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "part")
+    df = spark.range(900).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("day")
+    )
+    df.repartition(10).write.mode("overwrite").partitionBy("day").parquet(path)
+    assert len(glob.glob(f"{path}/day=*/*.parquet")) > 3
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30, partition_by=["day"])
+    for d in range(3):
+        files = glob.glob(f"{path}/day={d}/*.parquet")
+        assert len(files) == 1, files
+    assert spark.read.parquet(path).count() == 900
