@@ -155,6 +155,7 @@ _PRIORITY = [
     # prefix; the blocked scale path carries the prefix entry now
     "timeseries_similar_users_exact",
     "train_split_by_user",
+    "fakestream_source_read",
 ]
 
 

@@ -596,3 +596,31 @@ def confluent_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "schema_id",
         F.decode(F.col("payload"), "UTF-8").alias("payload_text"),
     )
+
+
+def _pysource_oracle() -> str:
+    from ultimate_data_engineering_project_spark.sources import pysource
+
+    return pysource._oracle_sql(2000, 1000)
+
+
+@register("fakestream_source_read", oracle=_pysource_oracle())
+def fakestream_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource END TO END, hash-checked (S-family:
+    the reference's bulk seeder, database_seeder.py:10-270, as a Spark 4
+    `spark.read.format(...)` source — sources/pysource.py).  Every row
+    is LCG arithmetic mod 2^31-1 over its id, so the DuckDB oracle
+    regenerates the source's whole output from range(n) bit-for-bit:
+    the correctness row covers the DataSource plumbing itself
+    (partition planning, Arrow batch hand-off, schema), not just a
+    downstream query.  The streaming face of the same source (the OLTP
+    tick, exactly-once replay) is pinned in tests/test_pysource.py."""
+    from ultimate_data_engineering_project_spark.sources import pysource
+
+    pysource.register(spark)
+    return (
+        spark.read.format("fakestream_txn")
+        .option("n_rows", 2000)
+        .option("n_accounts", 1000)
+        .load()
+    )
