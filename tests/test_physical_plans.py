@@ -242,3 +242,18 @@ def test_dedup_canonical_single_shuffle(spark, sf_dir):
     df = SPECS["docs_exact_dedup_canonical"].fn(spark, sf_dir)
     p = physical(df)
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """The Q17-shaped correlated scalar subquery must be rewritten by
+    Catalyst into an aggregate+join — NO per-outer-row subquery
+    re-execution (the decorrelated plan is what makes correlated SQL
+    viable at scale)."""
+    df = SPECS["correlated_small_quantity_revenue"].fn(spark, sf_dir)
+    p = plan(df)
+    # no scalar-subquery node survives optimization
+    assert "Subquery" not in p, p
+    # the correlated aggregate became a standalone aggregation joined
+    # back on the correlation key
+    assert p.count("HashAggregate") >= 2, p
+    assert "Join" in p, p

@@ -156,6 +156,7 @@ _PRIORITY = [
     "timeseries_similar_users_exact",
     "train_split_by_user",
     "fakestream_source_read",
+    "correlated_small_quantity_revenue",
 ]
 
 

@@ -279,3 +279,52 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("O"),
         F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("P"),
     )
+
+
+@register(
+    "correlated_small_quantity_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           {rev} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_brand
+    """.format(rev=dsum_sql("l.l_extendedprice")),
+)
+def correlated_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped CORRELATED scalar subquery, run through
+    Catalyst's own decorrelation (P-family coverage the hand-decorrelated
+    `correlated_order_share` does not give): the SQL text carries the
+    per-part correlated aggregate and the optimizer rewrites it into an
+    aggregate + join — no nested-loop re-execution per outer row, which
+    is what makes correlated SQL viable at 100 TB.  Decorrelation is
+    plan-asserted in tests/test_physical_plans.py.
+
+    Determinism: l_quantity is integer-valued (fixture domain 1..50),
+    so SUM over doubles is exact in any order; the division,
+    0.2-scaling, and comparison are single IEEE ops identical on both
+    engines.  Revenue accumulates in DECIMAL (dsum)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,10))) AS DOUBLE)
+                   / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM q17_lineitem l
+        JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+            FROM q17_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p.p_brand
+        """
+    )
