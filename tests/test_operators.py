@@ -807,3 +807,29 @@ def test_salted_join_spreads_hot_key(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_chunk_windows_edges(spark):
+    from ultimate_data_engineering_project_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"),  # short: 1 chunk of 1 token
+            (2, " ".join(f"t{i}" for i in range(32))),  # exact: 1 chunk
+            (3, " ".join(f"t{i}" for i in range(33))),  # 2 chunks, tail 9
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in T.chunk_windows(df, size=32, overlap=8).collect()
+    }
+    assert out[(1, 0)] == ("a", 1)
+    assert out[(2, 0)][1] == 32 and (2, 1) not in out
+    assert out[(3, 0)][1] == 32 and out[(3, 1)][1] == 9
+    # overlap: chunk 1 starts at token 24
+    assert out[(3, 1)][0].split()[0] == "t24"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.chunk_windows(df, size=8, overlap=8)

@@ -182,6 +182,58 @@ def pack_token_budget(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    *,
+    size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking (the RAG/pretraining
+    counterpart of `pack_token_budget`'s cross-document packing): each
+    document yields ceil-strided windows of ``size`` tokens with
+    ``overlap`` tokens shared between neighbors; the final window is
+    the (possibly short) tail.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens).  Pure map-side
+    explode — no shuffle, no state; chunk count per row is
+    1 + max(0, ceil((n - size) / stride)), all integer arithmetic, so
+    any engine reproduces the exact chunk set."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.col("__n")
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(size) + F.lit(stride) - 1) / F.lit(stride)).cast("int"),
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+        .select(
+            id_col,
+            "__toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id", "__start_idx"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("__toks"), F.col("__start_idx") * stride + 1, size
+            ).alias("__chunk_toks"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", F.col("__chunk_toks")).alias("chunk_text"),
+        F.size("__chunk_toks").cast("long").alias("n_chunk_tokens"),
+    )
+
+
 # PII scrub patterns — written to behave identically under Java regex
 # (Spark) and RE2 (DuckDB): character classes + bounded repetition only,
 # no backrefs or lookaround.  Replacement order is fixed (email, ip,

@@ -860,6 +860,38 @@ def train_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_chunk_windows",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, c.c AS chunk_id,
+               toks[c.c * 24 + 1 : least(c.c * 24 + 32, n)] AS ctoks
+        FROM toks_t,
+             UNNEST(range(0, 1 + greatest(0,
+                 CAST(floor((n - 32 + 23) / 24.0) AS BIGINT)))) AS c(c)
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(ctoks, ' ') AS chunk_text,
+           CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens
+    FROM chunks
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (X4/RAG prep: 32-token windows,
+    8-token overlap), the per-document counterpart of
+    `training_sequence_packing`'s cross-document packing.  Map-side
+    posexplode only — no shuffle at any scale; integer stride
+    arithmetic, so the oracle reproduces the exact chunk set and
+    texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_windows(docs, size=32, overlap=8)
+
+
+@register(
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE toks_t AS (
