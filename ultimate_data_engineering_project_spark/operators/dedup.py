@@ -599,7 +599,7 @@ def simhash_near_pairs_md5(
     id_col: str,
     text_col: str = "text",
     *,
-    max_hamming: int = 9,
+    max_hamming: int = 4,
     n_bits: int = 48,
     block_bits: int = 12,
 ) -> DataFrame:

@@ -514,7 +514,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN blocked b ON a.q = b.q AND a.block = b.block
                       AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 9
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 4
     """,
 )
 def simhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,7 +526,7 @@ def simhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN int planes, series md5 blocks).  The xxhash64 64-bit path
     (`simhash_near_dup_pairs`) remains the production kernel."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs_md5(docs, "doc_id", max_hamming=9)
+    return dedup.simhash_near_pairs_md5(docs, "doc_id", max_hamming=4)
 
 
 @register("ngram_jaccard_pairs", oracle=None)
