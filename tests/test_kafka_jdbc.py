@@ -110,6 +110,23 @@ def test_confluent_strip_tombstones_pass_all_modes(spark):
         assert by_null[True]["schema_id"] is None
         assert by_null[True]["payload"] is None
         assert bytes(by_null[False]["payload"]) == b"good"
+        assert by_null[True]["is_tombstone"] is True
+        assert by_null[False]["is_tombstone"] is False
+
+
+def test_confluent_keep_mode_distinguishes_tombstones_from_corrupt(spark):
+    """keep mode's quarantine split must be expressible on the OUTPUT
+    columns alone: corrupt frames and delete tombstones both carry NULL
+    schema_id/payload, so is_tombstone is the disambiguator — without
+    it, a consumer quarantining `schema_id IS NULL` silently swallows
+    every routine compacted-topic delete."""
+    rows = [(_frame(b"good", 5),), (b"\x01junkjunk",), (None,)]
+    df = spark.createDataFrame(rows, "value binary")
+    out = strip_confluent_envelope(df, bad_magic="keep")
+    corrupt = out.filter("schema_id IS NULL AND NOT is_tombstone").collect()
+    deletes = out.filter("is_tombstone").collect()
+    assert len(corrupt) == 1 and bytes(corrupt[0]["value"]) == b"\x01junkjunk"
+    assert len(deletes) == 1 and deletes[0]["value"] is None
 
 
 def test_decode_confluent_avro_needs_spark_avro(spark):

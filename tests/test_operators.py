@@ -833,3 +833,20 @@ def test_chunk_windows_edges(spark):
 
     with _pytest.raises(ValueError):
         T.chunk_windows(df, size=8, overlap=8)
+
+
+def test_split_thresholds_clamp_fixed_width():
+    """A cumulative fraction that rounds to the full hex space must NOT
+    emit a 5-char threshold ('10000' breaks the fixed-width
+    lexicographic compare and silently misroutes ~94% of rows)."""
+    from ultimate_data_engineering_project_spark.functions.scalar import (
+        split_thresholds,
+    )
+
+    pairs = split_thresholds({"train": 0.999999, "test": 0.000001})
+    assert all(len(hi) == 4 for _, hi in pairs)
+    assert pairs[0] == ("train", "ffff")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        split_thresholds({"a": -0.5, "b": 1.5})

@@ -120,6 +120,20 @@ def test_fuzzy_pairs_blocked(spark):
     assert got == {(1, 2): 1}
 
 
+def test_fuzzy_pairs_max_block_size_cap(spark):
+    """Degenerate-canopy cap: an over-full block is dropped ENTIRELY
+    (deterministic, no sampling), other blocks are untouched."""
+    rows = [Row(id=i, name=f"w{i} widget") for i in range(5)]  # one block of 5
+    rows += [Row(id=10, name="blue rod"), Row(id=11, name="blme rod")]
+    df = spark.createDataFrame(rows)
+    block = F.regexp_extract(F.col("name"), r"([a-z]+)$", 1)
+    capped = fuzzy_pairs(df, "id", "name", block, 2, max_block_size=4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(10, 11)}  # widget block (5 > 4) dropped whole
+    uncapped = fuzzy_pairs(df, "id", "name", block, 2)
+    assert {(r["id_a"], r["id_b"]) for r in uncapped.collect()} > got
+
+
 def test_hll_rollup_merges_instead_of_rescanning(spark, sf_dir):
     """Union-merged group sketches must estimate the GLOBAL distinct
     count within HLL tolerance — the re-aggregation property a gold

@@ -97,11 +97,23 @@ def split_thresholds(fractions: dict[str, float], n_hex: int = 4) -> list[tuple[
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("split fractions must be non-negative")
     space = 16**n_hex
     out, cum = [], 0.0
     for label, frac in fractions.items():
         cum += frac
-        out.append((label, format(min(space, int(round(cum * space))), f"0{n_hex}x")))
+        # clamp to space-1: a threshold of exactly `space` would render
+        # as n_hex+1 hex chars ('10000') and break the FIXED-WIDTH
+        # lexicographic compare in hash_split (4-char buckets compare
+        # '10000' char-by-char, so only '0…' buckets would pass —
+        # silently misrouting ~94% of rows).  The cost is granularity:
+        # fractions are resolved to 1/16^n_hex, and a non-final label
+        # whose cumulative share rounds past (space-1)/space loses the
+        # difference to the final label.
+        out.append(
+            (label, format(min(space - 1, int(round(cum * space))), f"0{n_hex}x"))
+        )
     return out
 
 

@@ -193,6 +193,30 @@ def _with_minhash_signature(
     raise ValueError(f"unknown MinHash kernel {kernel!r}; use 'arrow' or 'sql'")
 
 
+def _spread_width(df: DataFrame) -> int:
+    """Round-robin spread width for heavy map-side per-row work over a
+    possibly few-file input: 4x the scan's split count, floor 8, capped
+    by the session's shuffle.partitions.
+
+    Why not just conf width: an explicit repartition(n) is exempt from
+    AQE coalescing, so conf-width (32 here, thousands on a cluster)
+    over a small corpus pays a full task wave per stage for partitions
+    holding a handful of docs (~25% of query latency at sf0.1,
+    measured).  4x the input file count spreads a skinny scan without
+    over-fragmenting; the conf is a hard ceiling so a wide cluster
+    corpus still fans out to conf width and a deliberately narrow
+    session is respected.  inputFiles() is metadata-only — probing
+    .rdd.getNumPartitions() instead would finalize the AQE plan and
+    EXECUTE upstream exchange stages when the caller passes a derived
+    frame (join/agg output), running that pipeline twice."""
+    n_conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_input = max(1, len(df.inputFiles()))
+    except Exception:  # pragma: no cover - sources without file listing
+        n_input = n_conf
+    return min(n_conf, max(8, 4 * n_input))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -243,25 +267,9 @@ def minhash_lsh_pairs(
     # cheaper than string arrays (shingle strings are never built).
     # round-robin spread BEFORE the heavy per-row work: a corpus landing
     # as few large files (or one) would otherwise run the whole
-    # shingle+signature pipeline on as few cores.  The spread WIDTH is
-    # sized from the scan's own split count, not the session's
-    # shuffle.partitions: an explicit repartition(n) is exempt from AQE
-    # coalescing, so conf-width (32 here, thousands on a cluster) over a
-    # small corpus pays a full task wave per stage for partitions
-    # holding a handful of docs (~25% of query latency at sf0.1,
-    # measured).  4x the input file count spreads a skinny scan without
-    # over-fragmenting; the conf is a hard ceiling so a wide cluster
-    # corpus still fans out to conf width and a deliberately narrow
-    # session is respected.  inputFiles() is metadata-only — probing
-    # .rdd.getNumPartitions() instead would finalize the AQE plan and
-    # EXECUTE upstream exchange stages when the caller passes a derived
-    # frame (join/agg output), running that pipeline twice.
-    n_conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    try:
-        n_input = max(1, len(df.inputFiles()))
-    except Exception:  # pragma: no cover - sources without file listing
-        n_input = n_conf
-    n_spread = min(n_conf, max(8, 4 * n_input))
+    # shingle+signature pipeline on as few cores (width rationale in
+    # _spread_width).
+    n_spread = _spread_width(df)
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .repartition(n_spread)
@@ -464,7 +472,7 @@ def ngram_jaccard_pairs(
     not n^2.  At 100 TB you'd pre-filter hot shingles (stop-shingles) —
     exposed via `max_doc_freq`.
     """
-    n_spread = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_spread = _spread_width(df)
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .repartition(n_spread)
@@ -560,6 +568,11 @@ def simhash_md5(
     chars of md5 (exact integer on any engine), bit-vote fold, sign
     bits.  48 bits (12 hex chars) keep every value < 2^48 — safely
     inside BIGINT on engines without unsigned 64-bit."""
+    if n_bits % 4:
+        raise ValueError(
+            f"n_bits ({n_bits}) must be divisible by 4 (hex-digit granularity); "
+            "truncating would leave the top bits permanently zero"
+        )
     n_hex = n_bits // 4
     votes = F.expr(
         f"""

@@ -86,8 +86,8 @@ def fuzzy_pairs(
     members than the cap are dropped entirely (deterministic — no
     sampling), the same contract as the degenerate-bucket cap in
     timeseries block joins.  Within-block work is quadratic, so one
-    popular key must not be allowed to own the runtime; an oracle
-    mirrors the cap with a COUNT window.  For row-level dedup of a
+    popular key must not be allowed to own the runtime (cap semantics
+    pinned in tests/test_sinks_sketches.py).  For row-level dedup of a
     heavily duplicated column, prefer :func:`fuzzy_vocab_pairs` —
     capping treats the symptom, distinct-first removes it.
     """

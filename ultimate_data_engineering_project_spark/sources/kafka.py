@@ -144,7 +144,11 @@ def strip_confluent_envelope(
     NULL values are Kafka TOMBSTONES (Debezium emits (key, NULL) after
     every delete on a compacted topic) — routine protocol, not corrupt
     frames: they pass through every mode with NULL schema_id/payload so
-    the CDC apply can still see the delete marker.
+    the CDC apply can still see the delete marker.  The output carries
+    ``is_tombstone`` so "keep"-mode consumers can split quarantine
+    (NULL schema_id AND NOT is_tombstone = corrupt frame) from routine
+    deletes WITHOUT re-deriving the magic check on the raw bytes —
+    both classes share NULL schema_id/payload otherwise.
 
     ``bad_magic`` (non-NULL, non-Avro-framed values): "error" raises on
     the first one (corrupt producer — fail loudly), "drop" filters
@@ -188,9 +192,11 @@ def strip_confluent_envelope(
                 ).cast("boolean")
             )
         )
-    return df.withColumn(
-        "schema_id", F.when(ok, schema_id)
-    ).withColumn("payload", F.when(ok, payload))
+    return (
+        df.withColumn("is_tombstone", tombstone)
+        .withColumn("schema_id", F.when(ok, schema_id))
+        .withColumn("payload", F.when(ok, payload))
+    )
 
 
 def decode_confluent_avro(

@@ -83,15 +83,27 @@ def compact_parquet(
     cousin of Z-ordering for the single-column case.
 
     The rewrite lands in ``path + '.compact.tmp'`` and is swapped in via
-    two renames — atomic on HDFS/local; on S3 prefer writing a NEW
-    prefix and flipping the table location (rename is copy+delete
-    there).  Input bytes are read from the filesystem listing, not
-    estimated from row counts, so decompression ratio never skews the
-    output sizing."""
+    two LOCAL renames; remote scheme paths (hdfs://, s3a://) are
+    rejected up front — there, write a NEW prefix and flip the table
+    location (rename is copy+delete on object stores).  Input bytes are
+    read from the filesystem listing, not estimated from row counts, so
+    decompression ratio never skews the output sizing."""
     import math
     import os
+    import re
     import shutil
 
+    if re.match(r"^[a-z][a-z0-9+.-]*://", path) and not path.startswith("file://"):
+        # sizing walks the local filesystem and the swap uses local
+        # renames — on hdfs://s3a:// the walk would see zero bytes
+        # (forcing a single-task rewrite) and the swap would fail AFTER
+        # the expensive rewrite, stranding a .compact.tmp directory.
+        raise ValueError(
+            f"compact_parquet operates on local paths only (got {path!r}); "
+            "on object stores, write a new prefix and flip the table "
+            "location instead (rename is copy+delete there)"
+        )
+    path = path.removeprefix("file://")
     base = spark.read.parquet(path)
     total = sum(
         os.path.getsize(os.path.join(dirpath, f))
