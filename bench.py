@@ -51,6 +51,11 @@ HEADLINE = [
     # top-k on its blocked scale path (was exact all-pairs in r4)
     "fuzzy_dedup_part_names",
     "timeseries_similar_users",
+    # r5: the last unbenched heavy production path (the blocked
+    # 16-bit-quarter candidate join dominates; A/B-measured dedup-first
+    # ordering); the md5/int audit twins stay out — they exist for
+    # oracle parity, not throughput
+    "simhash_near_dup_pairs",
 ]
 
 
