@@ -220,7 +220,10 @@ def test_catalog_priority_prefix_covers_core_surface():
         "anti_join_customers_without_orders", "set_except_customers",
         "running_total_by_customer", "scd2_user_event_versions",
         "sessionize_events", "asof_purchase_prev_click",
-        "agg_modern_battery", "approx_sketch_battery",
+        # r5: ann_topk_lsh_int (fully hash-checkable) took the prefix
+        # slot approx_sketch_battery held (no_oracle by construction;
+        # its evidence is the strict-parity tolerance row)
+        "agg_modern_battery", "ann_topk_lsh_int",
         "fakestream_scd2_customers", "multimodal_decode_features",
         "fakestream_ledger", "fakestream_ledger_clamped",
         "fakestream_dq_report", "near_dup_pairs_verified",
@@ -235,3 +238,19 @@ def test_catalog_priority_prefix_covers_core_surface():
     }
     missing = must_have - prefix
     assert not missing, f"core queries fell out of the 50-entry prefix: {missing}"
+
+
+def test_catalog_priority_prefix_is_fully_oracle_checkable():
+    """Every one of the driver's 50 prefix slots must carry a DuckDB
+    oracle: a no_oracle entry in the prefix burns a hash-check slot on
+    a rows-only result (r5 lesson — approx_sketch_battery held a slot
+    for three rounds)."""
+    from ultimate_data_engineering_project_spark.plans.catalog import (
+        catalog,
+        oracle_sql,
+    )
+
+    names = list(catalog())[:50]
+    o = oracle_sql()
+    missing = [n for n in names if n not in o]
+    assert not missing, f"no-oracle entries in the 50-entry prefix: {missing}"

@@ -108,7 +108,12 @@ _PRIORITY = [
     "events_daily_volume",
     # round-1 red rows, now fixed
     "agg_modern_battery",
-    "approx_sketch_battery",
+    # r5: the ANN approximate path's hash-checked twin takes the prefix
+    # slot approx_sketch_battery held — the sketch battery CANNOT be
+    # hash-checked by the driver by construction (no_oracle; its
+    # evidence is the strict-parity tolerance row), while every prefix
+    # slot should carry a full hash check.  It moved to overflow below.
+    "ann_topk_lsh_int",
     "fakestream_scd2_customers",
     "multimodal_decode_features",
     # fakestream family, newly hash-checked against frozen fixtures
@@ -149,7 +154,7 @@ _PRIORITY = [
     "embedding_near_dup_pairs",
     "simhash_near_dup_md5",
     "ann_topk_lsh",
-    "ann_topk_lsh_int",
+    "approx_sketch_battery",
     "ann_topk_ivf",
     # r05: the exact all-pairs baseline keeps its oracle outside the
     # prefix; the blocked scale path carries the prefix entry now
