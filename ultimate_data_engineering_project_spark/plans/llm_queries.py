@@ -860,6 +860,32 @@ def train_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bpe_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)', 1)) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored token counting next to the whitespace count (X4 —
+    the driver contract's 'token counting (whitespace + a BPE-ish
+    regex)'; text.bpe_ish_tokens): letter/digit/punctuation runs each
+    count as one token.  The pattern uses character classes +
+    alternation only, the Java-regex/RE2 common subset, so DuckDB
+    tokenizes identically.  Map-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(text.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "docs_chunk_windows",
     oracle="""
     WITH toks_t AS (
