@@ -275,3 +275,67 @@ def test_connected_components_partition_invariant(spark, edges, n_parts):
         map(tuple, connected_components(df.repartition(n_parts)).collect())
     )
     assert base == shuffled
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40).map(
+                " ".join
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    size=st.sampled_from([4, 8]),
+    overlap=st.sampled_from([0, 2]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_windows_reconstructs_document(spark, docs, size, overlap):
+    """Lossless-coverage invariant: chunk 0's tokens plus each later
+    chunk's post-overlap tail re-concatenate to the original token
+    stream, chunk ids are dense from 0, and every chunk except the tail
+    is exactly `size` tokens."""
+    from ultimate_data_engineering_project_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_windows(df, size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    originals = dict(docs)
+    stride = size - overlap
+    for doc_id, chunks in by_doc.items():
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids)))
+        toks = []
+        for cid in ids:
+            ctoks = chunks[cid]["chunk_text"].split(" ")
+            assert len(ctoks) == chunks[cid]["n_chunk_tokens"]
+            if cid < len(ids) - 1:
+                assert len(ctoks) == size
+            toks.extend(ctoks if cid == 0 else ctoks[overlap:])
+        assert " ".join(toks) == originals[doc_id]
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+    n_parts=st.sampled_from([1, 7]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_split_partition_invariant(spark, keys, n_parts):
+    """Split labels are a pure function of the key: partitioning and
+    duplicate rows never change a key's label, and every label is one
+    of the requested ones."""
+    from ultimate_data_engineering_project_spark.functions.scalar import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame([(k,) for k in keys + keys], ["k"])
+    out = df.repartition(n_parts).withColumn("s", hash_split("k", fr)).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], set()).add(r["s"])
+    assert all(len(v) == 1 for v in by_key.values())
+    assert {s for v in by_key.values() for s in v} <= set(fr)
