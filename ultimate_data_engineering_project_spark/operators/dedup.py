@@ -632,7 +632,11 @@ def simhash_near_pairs_md5(
         )
     n_blocks = n_bits // block_bits
     mask = (1 << block_bits) - 1
-    sh = simhash_md5(df, id_col, text_col, n_bits=n_bits)
+    # keyed repartition = materialization barrier (the minhash pattern):
+    # without it the self-join's two branches do NOT share the
+    # (q, block) exchange under AQE and the whole bit-vote sketch runs
+    # TWICE over the corpus — A/B-measured 1.8x slower at sf0.1
+    sh = simhash_md5(df, id_col, text_col, n_bits=n_bits).repartition(id_col)
     blocked = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",
@@ -689,8 +693,13 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: block on 16-bit quarters (pigeonhole: any
     pair within hamming distance <= 3 shares a quarter; for
     max_hamming up to 8 this is a high-recall blocking, standard
-    practice) then exact hamming check via bit_count(xor)."""
-    sh = simhash(df, id_col, text_col)
+    practice) then exact hamming check via bit_count(xor).
+
+    The keyed repartition is a materialization barrier (the minhash
+    pattern): without it the self-join's two branches do not share the
+    (q, block) exchange under AQE and the sketch fold runs TWICE over
+    the corpus — A/B-measured 1.8x slower at sf0.1."""
+    sh = simhash(df, id_col, text_col).repartition(id_col)
     blocked = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",
