@@ -91,3 +91,13 @@ def test_frame_sample_plan_explodes_video_rows(spark):
     # doc 1: frames at 0,1000,2000 (+ terminal 2500 if inclusive); doc 2 (no duration) excluded
     assert all(d == 1 for d, _ in got)
     assert {f for _, f in got} >= {0, 1000, 2000}
+
+
+def test_engine_explain_returns_full_plan(spark, sf_dir):
+    from ultimate_data_engineering_project_spark.api import Engine
+
+    eng = Engine(spark)
+    p = eng.explain("filter_open_orders", sf_dir)
+    assert "PushedFilters" in p and "ReadSchema" in p  # untruncated detail
+    with pytest.raises(KeyError, match="unknown catalog query"):
+        eng.explain("nope", sf_dir)

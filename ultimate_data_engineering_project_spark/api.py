@@ -127,3 +127,14 @@ class Engine:
                 f"unknown catalog query {name!r}; see Engine.catalog_queries()"
             )
         return qs[name](self.spark, sf_dir)
+
+    def explain(self, name: str, sf_dir: str, mode: str = "formatted") -> str:
+        """Formatted Catalyst plan of a packaged catalog query (the
+        EXPLAIN face of F12/F14 introspection): the full per-node
+        detail including scan PushedFilters/ReadSchema, which
+        ``DataFrame.explain()``'s truncating toString() drops.  Modes:
+        'formatted' | 'extended' | 'simple' | 'cost' | 'codegen'."""
+        df = self.catalog_query(name, sf_dir)
+        return self.spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )

@@ -111,11 +111,18 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+def _positive(options, key: str, default: int) -> int:
+    v = int(options.get(key, default))
+    if v <= 0:
+        raise ValueError(f"option {key!r} must be positive, got {v}")
+    return v
+
+
 class FakestreamBatchReader(DataSourceReader):
     def __init__(self, options):
-        self.n_rows = int(options.get("n_rows", 10_000))
-        self.n_accounts = int(options.get("n_accounts", 1_000))
-        self.n_partitions = int(options.get("n_partitions", 8))
+        self.n_rows = _positive(options, "n_rows", 10_000)
+        self.n_accounts = _positive(options, "n_accounts", 1_000)
+        self.n_partitions = _positive(options, "n_partitions", 8)
 
     def partitions(self):
         per = max(1, -(-self.n_rows // self.n_partitions))
@@ -134,9 +141,11 @@ class FakestreamStreamReader(SimpleDataSourceStreamReader):
     persists the range -> replays regenerate identical rows."""
 
     def __init__(self, options):
-        self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+        self.rows_per_batch = _positive(options, "rows_per_batch", 1_000)
         self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
-        self.n_accounts = int(options.get("n_accounts", 1_000))
+        if self.max_rows < 0:
+            raise ValueError(f"option 'max_rows' must be >= 0, got {self.max_rows}")
+        self.n_accounts = _positive(options, "n_accounts", 1_000)
 
     def initialOffset(self):
         return {"next": 0}
