@@ -111,3 +111,72 @@ def test_stream_rows_match_batch_rows(registered, tmp_path):
     )
     batch = sorted(map(tuple, _batch_df(spark, n_rows=100).collect()))
     assert streamed == batch
+
+
+def test_stream_source_through_windowed_pipeline(registered, tmp_path):
+    """Integration: the simulator SOURCE feeds the engine's own
+    watermarked streaming aggregation (simulator -> streaming analytics
+    end-to-end in-container, no broker) and the result matches the
+    batch twin over the same 100 generated rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        stream_daily_volume,
+    )
+
+    spark = registered
+    src = (
+        spark.readStream.format("fakestream_txn")
+        .option("rows_per_batch", 40)
+        .option("max_rows", 100)
+        .load()
+        .select(
+            F.col("created_at").alias("ts"),
+            F.col("status").alias("event_type"),
+            F.col("amount").alias("value"),
+        )
+    )
+    # complete mode: append would only emit CLOSED windows, and a
+    # bounded source never advances the watermark past its single day
+    q2 = (
+        stream_daily_volume(src)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pysource_vol_complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(
+                "SELECT COALESCE(SUM(n_events), 0) AS n FROM pysource_vol_complete"
+            ).first()["n"] >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+
+    got = {
+        (r["event_type"], str(r["window_start"])): (
+            r["n_events"],
+            round(r["sum_value"], 2),
+        )
+        for r in spark.sql("SELECT * FROM pysource_vol_complete").collect()
+    }
+    batch = (
+        spark.read.format("fakestream_txn")
+        .option("n_rows", 100)
+        .load()
+        .groupBy(
+            F.window(F.col("created_at"), "1 day").alias("win"),
+            F.col("status").alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("amount"), 2).alias("s"))
+        .collect()
+    )
+    want = {
+        (r["event_type"], str(r["win"]["start"])): (r["n"], r["s"]) for r in batch
+    }
+    assert got == want and sum(n for n, _ in got.values()) == 100
