@@ -133,7 +133,11 @@ class Engine:
         EXPLAIN face of F12/F14 introspection): the full per-node
         detail including scan PushedFilters/ReadSchema, which
         ``DataFrame.explain()``'s truncating toString() drops.  Modes:
-        'formatted' | 'extended' | 'simple' | 'cost' | 'codegen'."""
+        'formatted' | 'extended' | 'simple' | 'cost' | 'codegen'.
+        Classic (JVM-bridged) sessions only."""
+        valid = ("formatted", "extended", "simple", "cost", "codegen")
+        if mode not in valid:
+            raise ValueError(f"mode must be one of {valid}, got {mode!r}")
         df = self.catalog_query(name, sf_dir)
         return self.spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), mode

@@ -195,26 +195,53 @@ def _with_minhash_signature(
 
 def _spread_width(df: DataFrame) -> int:
     """Round-robin spread width for heavy map-side per-row work over a
-    possibly few-file input: 4x the scan's split count, floor 8, capped
-    by the session's shuffle.partitions.
+    possibly few-file input: 4x the scan's estimated SPLIT count (file
+    count, or bytes/maxPartitionBytes for large splittable files),
+    floor 8, capped by the session's shuffle.partitions.
 
     Why not just conf width: an explicit repartition(n) is exempt from
     AQE coalescing, so conf-width (32 here, thousands on a cluster)
     over a small corpus pays a full task wave per stage for partitions
     holding a handful of docs (~25% of query latency at sf0.1,
-    measured).  4x the input file count spreads a skinny scan without
-    over-fragmenting; the conf is a hard ceiling so a wide cluster
-    corpus still fans out to conf width and a deliberately narrow
-    session is respected.  inputFiles() is metadata-only — probing
-    .rdd.getNumPartitions() instead would finalize the AQE plan and
-    EXECUTE upstream exchange stages when the caller passes a derived
-    frame (join/agg output), running that pipeline twice."""
-    n_conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    measured).  Why splits and not files: ONE 10 GB parquet file is ~80
+    scan splits — sizing from the file count alone would collapse the
+    heavy pipeline to 8-wide on a cluster with hundreds of cores.
+    Local file sizes come from the filesystem; for remote schemes
+    (sizes not cheaply listable driver-side) this falls back to conf
+    width, the pre-existing behavior.  inputFiles() is metadata-only —
+    probing .rdd.getNumPartitions() instead would finalize the AQE plan
+    and EXECUTE upstream exchange stages when the caller passes a
+    derived frame (join/agg output), running that pipeline twice."""
+    import os
+    import re
+    from urllib.parse import urlsplit
+
+    spark = df.sparkSession
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
-        n_input = max(1, len(df.inputFiles()))
+        files = df.inputFiles()
     except Exception:  # pragma: no cover - sources without file listing
-        n_input = n_conf
-    return min(n_conf, max(8, 4 * n_input))
+        return n_conf
+    if not files:
+        return n_conf
+    total = 0
+    for f in files:
+        u = urlsplit(f)
+        if u.scheme.lower() not in ("", "file"):
+            return n_conf
+        try:
+            total += os.path.getsize(u.path or f)
+        except OSError:  # pragma: no cover - listing raced a rewrite
+            return n_conf
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw.strip().lower())
+    if m:
+        mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+        max_split = int(m.group(1)) * mult[m.group(2)]
+    else:  # pragma: no cover - unexpected conf format
+        max_split = 128 * 1024 * 1024
+    n_splits = max(len(files), -(-total // max_split))
+    return min(n_conf, max(8, 4 * n_splits))
 
 
 def minhash_lsh_pairs(

@@ -37,8 +37,11 @@ def bpe_ish_tokens(text: Column) -> Column:
     """A BPE-flavored pre-tokenizer: letter runs, digit runs, and
     punctuation runs each become tokens (GPT-2-style contraction
     handling omitted).  For token *counting* on natural text."""
+    # explicit whitespace class, NOT \s: Java's \s includes \x0B
+    # (vertical tab) while RE2's does not — the oracle would tokenize
+    # VT-bearing text differently and break hash parity
     return F.regexp_extract_all(
-        text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)"), F.lit(1)
+        text, F.lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]+)"), F.lit(1)
     )
 
 

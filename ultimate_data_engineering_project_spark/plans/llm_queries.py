@@ -864,7 +864,7 @@ def train_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
-                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)', 1)) AS BIGINT)
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]+)', 1)) AS BIGINT)
                AS n_bpe_tokens,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
     FROM documents

@@ -90,20 +90,26 @@ def compact_parquet(
     decompression ratio never skews the output sizing."""
     import math
     import os
-    import re
     import shutil
+    from urllib.parse import urlsplit
 
-    if re.match(r"^[a-z][a-z0-9+.-]*://", path) and not path.startswith("file://"):
-        # sizing walks the local filesystem and the swap uses local
-        # renames — on hdfs://s3a:// the walk would see zero bytes
-        # (forcing a single-task rewrite) and the swap would fail AFTER
-        # the expensive rewrite, stranding a .compact.tmp directory.
+    # sizing walks the local filesystem and the swap uses local renames
+    # — on hdfs://s3a:// the walk would see zero bytes (forcing a
+    # single-task rewrite) and the swap would fail AFTER the expensive
+    # rewrite, stranding a .compact.tmp directory.  urlsplit handles
+    # the forms a bare regex missed: case-insensitive schemes
+    # ('S3A://'), single-slash 'file:/x' URIs, and 'file://host/x'
+    # (a REMOTE host — also rejected).
+    parts = urlsplit(path)
+    scheme = parts.scheme.lower()
+    if scheme not in ("", "file") or (scheme == "file" and parts.netloc):
         raise ValueError(
             f"compact_parquet operates on local paths only (got {path!r}); "
             "on object stores, write a new prefix and flip the table "
             "location instead (rename is copy+delete there)"
         )
-    path = path.removeprefix("file://")
+    if scheme == "file":
+        path = parts.path
     base = spark.read.parquet(path)
     total = sum(
         os.path.getsize(os.path.join(dirpath, f))
