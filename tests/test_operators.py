@@ -612,11 +612,20 @@ def test_connected_components_vs_union_find(spark):
                 expected[v] = min(expected.get(v, r), r)
 
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        # fast (bounded driver union-find) path — the default here
         got = {
             r["id"]: r["component"]
             for r in connected_components(df).collect()
         }
         assert got == expected, f"trial {trial}: {got} != {expected}"
+        # distributed alternating-star path must agree exactly
+        dist = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                df, small_graph_threshold=0
+            ).collect()
+        }
+        assert dist == expected, f"trial {trial} (distributed): {dist}"
 
 
 def test_connected_components_chain_and_isolated_clusters(spark):
@@ -629,7 +638,11 @@ def test_connected_components_chain_and_isolated_clusters(spark):
     chain = [(i + 1, i) for i in range(30)]          # 0-1-2-...-30
     clique = [(100, 101), (101, 102), (100, 102)]
     df = spark.createDataFrame(chain + clique, ["id_a", "id_b"])
-    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    # the distributed path: chains are the O(log n)-round worst case
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
     assert all(got[i] == 0 for i in range(31))
     assert all(got[i] == 100 for i in (100, 101, 102))
 
@@ -726,10 +739,13 @@ def test_connected_components_warns_on_iteration_cap(spark):
     chain = [(i + 1, i) for i in range(30)]
     df = spark.createDataFrame(chain, ["id_a", "id_b"])
     with pytest.warns(RuntimeWarning, match="max_iterations"):
-        connected_components(df, max_iterations=1).collect()
-    # and a converging run stays silent
+        connected_components(
+            df, max_iterations=1, small_graph_threshold=0
+        ).collect()
+    # and a converging run stays silent (both paths)
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
+        connected_components(df, small_graph_threshold=0).collect()
         connected_components(df).collect()
 
 
