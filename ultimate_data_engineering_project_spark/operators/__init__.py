@@ -8,8 +8,10 @@ plan (pushdown, pruning, broadcast selection, AQE).
 from ultimate_data_engineering_project_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
+    multimodal,
     relational,
     similarity,
     text,
+    timeseries,
     windows,
 )
