@@ -812,12 +812,15 @@ def connected_components(
     aggregate per round (edge count + order-independent xxhash64 xor).
 
     Graphs whose DEDUPED edge count is at most
-    ``small_graph_threshold`` (narrow longs; 200k edges ~ 3 MB) take a
-    bounded driver union-find instead: each alternating-star round
-    costs multiple jobs of pure scheduling latency, which dwarfs a
-    microsecond union-find when the graph is tiny — the same
-    bounded-collect contract as the IVF centroid trainer.  The count
-    gate runs over the already-checkpointed frame (no extra scan), the
+    ``small_graph_threshold`` take a bounded driver union-find instead:
+    each alternating-star round costs multiple jobs of pure scheduling
+    latency, which dwarfs a union-find when the graph is tiny — the
+    same bounded-collect contract as the IVF centroid trainer.  Driver
+    cost at the 200k default is a few tens of MB of Python objects
+    (Rows + the parent dict), so size the threshold to the driver, not
+    to the wire bytes.  The gate is a LIMIT-bounded probe over the
+    already-checkpointed frame — it scans at most threshold+1 rows, so
+    a billion-edge graph pays nothing to learn it is big.  The
     distributed path is unchanged for anything bigger, and both paths
     are asserted identical in tests.  Pass 0 to force the distributed
     path.
@@ -828,7 +831,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if small_graph_threshold and e.count() <= small_graph_threshold:
+    if (
+        small_graph_threshold
+        and e.limit(small_graph_threshold + 1).count() <= small_graph_threshold
+    ):
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
