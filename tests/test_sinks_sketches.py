@@ -213,3 +213,35 @@ def test_compact_parquet_partitioned(spark, tmp_path):
         files = glob.glob(f"{path}/day={d}/*.parquet")
         assert len(files) == 1, files
     assert spark.read.parquet(path).count() == 900
+
+
+def test_shuffled_export_global_order_and_determinism(spark, tmp_path):
+    """shuffled_export must produce files that replay a GLOBAL
+    deterministic pseudo-random order when read in filename order —
+    the reproducible-epoch contract — with no single-task sort."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from ultimate_data_engineering_project_spark.sources.sinks import shuffled_export
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+
+    def run(tag, seed):
+        path = str(tmp_path / tag)
+        shuffled_export(df, path, key_col="doc_id", seed=seed, n_files=4)
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert len(files) > 1  # parallel writers, not one global sorter
+        seq = []
+        for f in files:
+            seq += [
+                (r["shuffle_key"], r["doc_id"])
+                for r in spark.read.parquet(f).collect()
+            ]
+        return seq
+
+    a = run("a", seed=0)
+    keys = [k for k, _ in a]
+    assert keys == sorted(keys)  # files in name order = global order
+    assert sorted(i for _, i in a) == list(range(1000))  # nothing lost
+    assert a == run("b", seed=0)  # same seed -> identical epoch order
+    assert [i for _, i in a] != [i for _, i in run("c", seed=1)]  # new seed

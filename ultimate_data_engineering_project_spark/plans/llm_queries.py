@@ -860,6 +860,34 @@ def train_split_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_shuffle_keys",
+    oracle="""
+    SELECT doc_id,
+           md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    """,
+)
+def training_shuffle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle keys (the reproducible global
+    shuffle every training run needs): shuffle_key = md5(seed || ':' ||
+    doc_id), identical on any engine/rerun/cluster size — so an epoch's
+    order is auditable, unlike rand()-based shuffling.  The write-side
+    half (repartitionByRange + sortWithinPartitions on this key, files
+    replaying the global order in name order with NO single-task sort)
+    is `sources.sinks.shuffled_export`, pinned in
+    tests/test_sinks_sketches.py.  Map-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("shuffle_key"),
+    )
+
+
+@register(
     "docs_bpe_token_stats",
     oracle=r"""
     SELECT doc_id,

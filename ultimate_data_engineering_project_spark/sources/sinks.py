@@ -146,6 +146,48 @@ def compact_parquet(
     )
 
 
+def shuffled_export(
+    df,
+    path: str,
+    *,
+    key_col: str,
+    seed: int = 0,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic GLOBAL shuffle of a training corpus at write time.
+
+    Training runs need the corpus in a reproducible pseudo-random order
+    (same order on every rerun/engine/cluster size — a seeded epoch).
+    A driver-side orderBy + single writer or a global row_number window
+    would serialize on one task; the scale-correct form is:
+
+      shuffle_key = md5(seed || ':' || key)   (uniform, deterministic)
+      repartitionByRange(shuffle_key)         (range exchange, sampled
+                                               bounds — parallel)
+      sortWithinPartitions(shuffle_key)       (local sort, no merge)
+
+    Files are then globally ordered by shuffle_key: reading partitions
+    in filename order replays the identical shuffled sequence.  The
+    column is kept in the output so loaders can verify order.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")).cast(
+                "binary"
+            )
+        ),
+    )
+    if n_files:
+        out = out.repartitionByRange(n_files, "shuffle_key")
+    else:
+        out = out.repartitionByRange("shuffle_key")
+    out.sortWithinPartitions("shuffle_key").write.mode(mode).parquet(path)
+
+
 def merge_overwrite(
     current: DataFrame,
     updates: DataFrame,
