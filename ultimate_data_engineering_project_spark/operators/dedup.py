@@ -555,19 +555,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """
     # SQL-expression form: the Python API's shiftright/shiftleft only
     # accept literal ints for the shift amount, the SQL functions accept
-    # any expression.
+    # any expression.  Vote layout: per-BIT scalar aggregates over the
+    # once-bound token-hash array (votes_b = 2*ones_b - n), NOT a
+    # per-token 64-slot array fold — the fold allocates an array per
+    # token per row and measured 2x slower at sf0.1; both forms are
+    # bit-identical (asserted when this kernel landed).
     votes = F.expr(
         f"""
-        aggregate(
-          transform(split({text_col}, ' '), t -> xxhash64(t)),
-          array_repeat(CAST(0 AS INT), 64),
-          (acc, h) -> zip_with(
-            acc,
-            transform(sequence(0, 63),
-                      b -> CAST((shiftright(h, b) & 1) * 2 - 1 AS INT)),
-            (x, y) -> x + y
-          )
-        )
+        element_at(transform(
+          array(transform(split({text_col}, ' '), t -> xxhash64(t))),
+          th -> transform(sequence(0, 63),
+            b -> CAST(2 * aggregate(th, CAST(0 AS BIGINT),
+                                    (acc, h) -> acc + (shiftright(h, b) & 1))
+                      - size(th) AS INT))), 1)
         """
     )
     sim = F.expr(
@@ -601,20 +601,19 @@ def simhash_md5(
             "truncating would leave the top bits permanently zero"
         )
     n_hex = n_bits // 4
+    # per-bit scalar aggregates over the once-bound token-hash array
+    # (see `simhash` — 2x faster than the per-token array fold,
+    # bit-identical)
     votes = F.expr(
         f"""
-        aggregate(
-          transform(split({text_col}, ' '),
-                    t -> cast(conv(substring(md5(cast(t as binary)), 1, {n_hex}),
-                                   16, 10) as bigint)),
-          array_repeat(CAST(0 AS INT), {n_bits}),
-          (acc, h) -> zip_with(
-            acc,
-            transform(sequence(0, {n_bits - 1}),
-                      b -> CAST((shiftright(h, b) & 1) * 2 - 1 AS INT)),
-            (x, y) -> x + y
-          )
-        )
+        element_at(transform(
+          array(transform(split({text_col}, ' '),
+                t -> cast(conv(substring(md5(cast(t as binary)), 1, {n_hex}),
+                               16, 10) as bigint))),
+          th -> transform(sequence(0, {n_bits - 1}),
+            b -> CAST(2 * aggregate(th, CAST(0 AS BIGINT),
+                                    (acc, h) -> acc + (shiftright(h, b) & 1))
+                      - size(th) AS INT))), 1)
         """
     )
     sim = F.expr(
