@@ -77,29 +77,38 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(th), per_row), 1)
 
 
-def _minhash_signature(shingle_hashes: Column, num_hashes: int, seed: int) -> Column:
+def _minhash_signature(shingle_hashes: str, num_hashes: int, seed: int) -> Column:
     """num_hashes MinHash values via universal hashing
     h_i(x) = (a_i*x + b_i) mod p (Broder's linear-permutation family).
 
-    ONE fold over the shingle array computes all num_hashes minima
-    (zip_with against literal coefficient arrays).  The naive form —
-    num_hashes separate array_min(transform(...)) expressions — is
-    O(num_hashes) passes AND gets the upstream shingle pipeline inlined
-    into every pass by Catalyst's projection collapse: ~30x slower.
+    Layout: the shingle array is bound ONCE, then num_hashes scalar
+    min-aggregates run over it (one per permutation).  The earlier
+    array-accumulator fold (zip_with per shingle) allocated two
+    num_hashes-slot arrays per SHINGLE per row — the same pathology
+    fixed in `simhash`, ~2x slower.  The naive formulation —
+    num_hashes separate array_min(transform(...)) expressions over the
+    un-bound input — is worse still: Catalyst's projection collapse
+    inlines the whole upstream shingle pipeline into every pass
+    (~30x).  Coefficients ship as one literal-array expression; all
+    three forms are value-identical, and bit-identity with the Arrow
+    kernel is pinned in tests.
     """
-    a_l, b_l = _minhash_coeffs(num_hashes, seed)
-    a_arr = F.array(*[F.lit(a).cast("long") for a in a_l])
-    b_arr = F.array(*[F.lit(b).cast("long") for b in b_l])
-
-    def merge(acc: Column, h: Column) -> Column:
-        masked = h.bitwiseAND(F.lit(_MERSENNE31))
-        perms = F.zip_with(
-            a_arr, b_arr, lambda a, b: (a * masked + b) % F.lit(_MERSENNE31)
+    if not isinstance(shingle_hashes, str):
+        raise TypeError(
+            "_minhash_signature takes the shingle-hash COLUMN NAME (the "
+            "expression is generated as one SQL string)"
         )
-        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
-
-    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
-    return F.aggregate(shingle_hashes, init, merge)
+    a_l, b_l = _minhash_coeffs(num_hashes, seed)
+    a_sql = "array(" + ", ".join(f"{a}L" for a in a_l) + ")"
+    b_sql = "array(" + ", ".join(f"{b}L" for b in b_l) + ")"
+    p = _MERSENNE31
+    return F.expr(
+        f"element_at(transform(array(`{shingle_hashes}`), sh -> "
+        f"transform(sequence(0, {num_hashes - 1}), i -> "
+        f"aggregate(sh, CAST({p} AS BIGINT), (acc, x) -> least(acc, "
+        f"(element_at({a_sql}, i + 1) * (x & {p}) "
+        f"+ element_at({b_sql}, i + 1)) % {p})))), 1)"
+    )
 
 
 def _minhash_coeffs(num_hashes: int, seed: int):
@@ -180,7 +189,7 @@ def _with_minhash_signature(
 
     if kernel == "sql":
         return df.withColumn(
-            "__sig", _minhash_signature(F.col("__shh"), num_hashes, seed)
+            "__sig", _minhash_signature("__shh", num_hashes, seed)
         )
     if kernel == "arrow":
         out_schema = T.StructType(
