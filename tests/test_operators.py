@@ -866,3 +866,66 @@ def test_split_thresholds_clamp_fixed_width():
 
     with _pytest.raises(ValueError, match="non-negative"):
         split_thresholds({"a": -0.5, "b": 1.5})
+
+
+def test_bin_range_join_matches_naive_and_boundaries(spark):
+    """bin_range_join must equal the naive inequality join exactly —
+    inclusive start, exclusive end, intervals spanning many bins, and
+    no duplicate (point, interval) pairs from multi-bin intervals."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators.relational import (
+        bin_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 10, 99, 100, 101, 250, 999])],
+        "pid int, p long",
+    )
+    # windows: [0,10) single-bin, [5,300) multi-bin, [100,101) tiny,
+    # [990,1010) straddles a bin edge
+    intervals = spark.createDataFrame(
+        [(0, 0, 10), (1, 5, 300), (2, 100, 101), (3, 990, 1010)],
+        "iid int, s long, e long",
+    )
+    got = sorted(
+        bin_range_join(
+            points, intervals, point_col="p", start_col="s", end_col="e", bin_width=64
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    naive = sorted(
+        points.join(
+            intervals, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    assert got == naive
+    pairs = {(r.pid, r.iid) for r in got}
+    assert len(pairs) == len(got), "multi-bin interval produced duplicate pairs"
+    # boundary semantics: start inclusive (p=0 in [0,10)), end exclusive
+    # (p=10 NOT in [0,10)); p=100 in [100,101) but p=101 not
+    assert (0, 0) in pairs and (2, 0) not in pairs
+    assert (4, 2) in pairs and (5, 2) not in pairs
+    # semi form returns each surviving point once
+    semi = bin_range_join(
+        points,
+        intervals,
+        point_col="p",
+        start_col="s",
+        end_col="e",
+        bin_width=64,
+        how="left_semi",
+    )
+    assert sorted(r.pid for r in semi.collect()) == sorted(
+        {r.pid for r in naive}
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left_semi"):
+        bin_range_join(
+            points, intervals, point_col="p", start_col="s", end_col="e",
+            bin_width=64, how="left",
+        )

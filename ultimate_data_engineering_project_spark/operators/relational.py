@@ -246,6 +246,75 @@ def salted_join(
     return salted_fact.join(exploded_other, on=[on, "__salt"], how=how).drop("__salt")
 
 
+def bin_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join WITHOUT an equi key, as a bin-bucketed
+    equi-join (the prompt-level "range join" custom operator; complements
+    plans/advanced_queries.interval_join_purchase_clicks, whose equi half
+    (user_id) already keys the shuffle).
+
+    With no equi column at all, Spark plans an inequality-only join as
+    BroadcastNestedLoopJoin — O(|points| x |intervals|) compared rows, a
+    100 TB non-starter.  Binning restores an equi key: every point lands
+    in exactly one ``bin_width``-sized bucket of its numeric domain, every
+    interval is exploded to the buckets it touches, the join runs
+    hash-partitioned on the bucket id, and the exact predicate
+    ``start <= point < end`` filters inside the match.
+
+    Duplicate-free BY CONSTRUCTION: a point has exactly one bin and an
+    interval covers a given bin at most once, so each qualifying
+    (point, interval) pair meets in exactly one bucket — no
+    ``dropDuplicates`` pass (interval-interval overlap joins would need
+    one; this operator is deliberately the point-in-interval case).
+
+    ``point_col``/``start_col``/``end_col`` must be integral (e.g.
+    epoch micros via ``unix_micros``) so bucket ids are exact — float
+    bucketing would disagree across engines at bin boundaries.  Interval
+    replication cost is ceil(len/bin_width)+1 rows; pick ``bin_width``
+    near the typical interval length so intervals land in 1-2 buckets.
+    Skewed buckets (rush-hour points) are ordinary equi-join skew: AQE
+    skew splitting or salted_join applies unchanged.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bin_range_join supports inner/left_semi; got {how!r} — outer "
+            "forms would need a dedup-bearing formulation"
+        )
+    extra_on = list(extra_on or [])
+    pt = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bin_width)).cast("long"),
+                # end is exclusive, but a point in the end-boundary bin can
+                # still precede it; ceil-to-bin via floor(end/w) keeps the
+                # last touched bucket
+                F.floor(F.col(end_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    joined = pt.join(iv, on=["__bin", *extra_on], how="inner").filter(
+        (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    if how == "left_semi":
+        # semi semantics on the ORIGINAL rows: distinct surviving points
+        keep = joined.select(*points.columns).dropDuplicates(points.columns)
+        return keep
+    return joined.drop("__bin")
+
+
 def union_distinct(*dfs: DataFrame) -> DataFrame:
     """ANSI UNION (distinct) across homogeneous frames (§2.7)."""
     out = dfs[0]

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ultimate_data_engineering_project_spark.functions.scalar import dsum, dsum_sql
-from ultimate_data_engineering_project_spark.operators import aggregates
+from ultimate_data_engineering_project_spark.operators import aggregates, relational
 from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
 
@@ -508,6 +508,60 @@ def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("click_ts") < F.col("purchase_ts")),
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+@register(
+    "range_join_error_windows",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        FROM events
+    )
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           p.us AS purchase_us,
+           e.us AS error_us
+    FROM ev p
+    JOIN ev e
+      ON p.event_type = 'purchase'
+     AND e.event_type = 'error'
+     AND p.us >= e.us
+     AND p.us < e.us + 600000000
+    """,
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key (J9 hard case): every purchase paired
+    with every system-wide error whose 10-minute impact window covers it.
+    Unlike interval_join_purchase_clicks there is no per-user key to
+    hash-partition on — incidents are global — so the naive inequality
+    join is a BroadcastNestedLoopJoin comparing |purchases| x |errors|
+    rows.  operators/relational.bin_range_join restores an equi key by
+    time-bucketing: points land in one 10-minute bucket, windows explode
+    into the (<=2) buckets they touch, and the exact predicate filters
+    inside the hash match.  Plan-asserted nested-loop-free
+    (tests/test_physical_plans.py).  DuckDB's IEJoin runs the same query
+    natively — the oracle is the plain inequality join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("us").alias("purchase_us")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("us").alias("error_us"),
+        (F.col("us") + F.lit(600_000_000)).alias("win_end"),
+    )
+    return relational.bin_range_join(
+        purchases,
+        errors,
+        point_col="purchase_us",
+        start_col="error_us",
+        end_col="win_end",
+        bin_width=600_000_000,
+    ).select("purchase_id", "error_id", "purchase_us", "error_us")
 
 
 @register(
