@@ -929,3 +929,34 @@ def test_bin_range_join_matches_naive_and_boundaries(spark):
             points, intervals, point_col="p", start_col="s", end_col="e",
             bin_width=64, how="left",
         )
+
+
+def test_repetition_stats_edges(spark):
+    """Repetition gates on corner docs: empty-ish, single-token,
+    all-same-token, and a known mixed case — fractions computed by
+    hand."""
+    from ultimate_data_engineering_project_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "x"),                      # no bigrams/trigrams -> 0.0
+            (2, "a b"),                    # 1 bigram, no trigram
+            (3, "a a a a"),                # 3 identical bigrams, dup trigrams
+            (4, "a b c d a b c d"),        # repeated phrase
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].top_bigram_frac == 0.0 and got[1].dup_trigram_frac == 0.0
+    assert not got[1].is_repetitive
+    assert got[2].top_bigram_frac == 1.0 and got[2].dup_trigram_frac == 0.0
+    # "a a a a": bigrams [aa,aa,aa] -> top 3/3; trigrams [aaa,aaa] -> 1/2 dup
+    assert got[3].top_bigram_frac == 1.0 and got[3].dup_trigram_frac == 0.5
+    assert got[3].is_repetitive
+    # 7 bigrams: ab,bc,cd,da,ab,bc,cd -> top(ab)=2/7; 6 trigrams:
+    # abc,bcd,cda,dab,abc,bcd -> 2 dups / 6
+    assert got[4].top_bigram_frac == round(2 / 7, 6)
+    assert got[4].dup_trigram_frac == round(2 / 6, 6)
+    assert got[4].is_repetitive  # 2/7 > 0.18

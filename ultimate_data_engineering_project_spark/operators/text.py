@@ -138,6 +138,78 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021, §A1.1
+    "repetition removal"): per document, the fraction of bigrams taken
+    by the single most frequent bigram (``top_bigram_frac``) and the
+    fraction of trigram occurrences that are repeats of an
+    already-seen trigram (``dup_trigram_frac``), plus a boolean
+    ``is_repetitive`` flag at the published-style thresholds
+    (0.18 / 0.30).  Boilerplate, keyboard-mash, and template spam score
+    high on these even when token-level distinct_ratio looks healthy.
+
+    Pure column expressions — the most-frequent-bigram count is a fold
+    over the SORTED bigram array (longest run of equal neighbors), not
+    an explode+groupBy, so the whole operator is map-side: zero
+    shuffle, embarrassingly parallel at 100 TB.  Per-document arrays
+    are bounded by document length, not corpus size.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def grams(k: int):
+        # k-grams as strings (tokens are whitespace-free, so ' '-joined
+        # k-grams are collision-free); empty array when the doc is
+        # shorter than k tokens
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigrams = F.array_sort(grams(2))
+    trigrams = grams(3)
+    # longest run of equal neighbors in the sorted array == max bigram
+    # multiplicity; struct-accumulator fold, evaluated in codegen
+    top_count = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bi = F.size(bigrams)
+    n_tri = F.size(trigrams)
+    top_frac = F.when(n_bi > 0, top_count.cast("double") / n_bi).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n_tri > 0,
+        (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+    ).withColumn(
+        "is_repetitive",
+        (F.col("top_bigram_frac") > 0.18) | (F.col("dup_trigram_frac") > 0.30),
+    )
+
+
 def pack_token_budget(
     df: DataFrame,
     budget: int,
@@ -275,3 +347,69 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         redacted = F.regexp_replace(redacted, pat, repl.replace("$", "\\$"))
     return out.withColumn("redacted", redacted)
+
+
+def source_reputation(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_dup_rate: float = 0.25,
+    min_distinct_rate: float = 0.43,
+) -> DataFrame:
+    """Per-SOURCE reputation for corpus curation (the CCNet/RefinedWeb
+    move of scoring whole domains, not documents): exact-duplicate rate
+    and corpus-level distinct-token rate per source, with an
+    ``is_blocked`` verdict.  Sources that are mostly mirrored content
+    (high dup rate) or template soup (low distinct rate) get dropped
+    wholesale before any per-document work.
+
+    Every aggregate is INTEGER-sum based (doc counts, distinct-text
+    counts via md5, token counts) so the final ratios are single exact
+    long/long divisions — bit-identical on any engine, no
+    float-summation-order hazard.  One map-side-combinable shuffle on
+    ``source_col``; the result is |sources| rows — broadcast material.
+    """
+    toks = tokens(F.col(text_col))
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+        F.sum(F.size(toks).cast("long")).alias("tok_total"),
+        F.sum(F.size(F.array_distinct(toks)).cast("long")).alias("dist_total"),
+    )
+    dup_rate = (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")
+    dist_rate = F.col("dist_total").cast("double") / F.col("tok_total")
+    return per_src.select(
+        source_col,
+        "n_docs",
+        F.round(dup_rate, 6).alias("dup_rate"),
+        F.round(dist_rate, 6).alias("distinct_rate"),
+        ((dup_rate > max_dup_rate) | (dist_rate < min_distinct_rate)).alias(
+            "is_blocked"
+        ),
+    )
+
+
+def filter_by_source_reputation(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_dup_rate: float = 0.25,
+    min_distinct_rate: float = 0.43,
+) -> DataFrame:
+    """Drop every document whose source is blocked by
+    ``source_reputation``.  The reputation table is |sources| rows, so
+    the filter is a BROADCAST left-anti join — the 100 TB document side
+    never shuffles; corpus-level curation costs one aggregate plus a
+    map-side probe."""
+    from pyspark.sql.functions import broadcast
+
+    blocked = source_reputation(
+        df,
+        source_col=source_col,
+        text_col=text_col,
+        max_dup_rate=max_dup_rate,
+        min_distinct_rate=min_distinct_rate,
+    ).filter(F.col("is_blocked")).select(source_col)
+    return df.join(broadcast(blocked), on=source_col, how="left_anti")

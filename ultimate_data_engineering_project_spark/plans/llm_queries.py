@@ -135,6 +135,106 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_repetition_stats",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        FROM toks_t, UNNEST(range(1, len(toks))) AS u(i)
+    ),
+    bg_top AS (
+        SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_c
+        FROM (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2)
+        GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg
+        FROM toks_t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    tri_c AS (
+        SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT tg) AS n_tri_d
+        FROM tri GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0), 6)
+               AS top_bigram_frac,
+           ROUND(COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0), 6)
+               AS dup_trigram_frac,
+           (COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0) > 0.18
+            OR COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0) > 0.30)
+               AS is_repetitive
+    FROM toks_t t
+    LEFT JOIN bg_top b USING (doc_id)
+    LEFT JOIN tri_c c USING (doc_id)
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (X4): top-bigram fraction and
+    duplicate-trigram fraction per document, flagged at the published
+    thresholds (Rae et al. 2021 §A1.1).  operators/text.repetition_stats
+    is a zero-shuffle fold over sorted per-document k-gram arrays; the
+    oracle spells the same counts as unnest+group (the oracle may
+    shuffle — the engine must not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+_SOURCE_REP_SQL = """
+    WITH t AS (
+        SELECT source, md5(text) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS d
+        FROM documents
+    ),
+    s AS (
+        SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique,
+               SUM(n) AS tok_total, SUM(d) AS dist_total
+        FROM t GROUP BY source
+    )
+    SELECT source, n_docs,
+           ROUND(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6) AS dup_rate,
+           ROUND(CAST(dist_total AS DOUBLE) / tok_total, 6) AS distinct_rate,
+           (CAST(n_docs - n_unique AS DOUBLE) / n_docs > 0.25
+            OR CAST(dist_total AS DOUBLE) / tok_total < 0.43) AS is_blocked
+    FROM s
+"""
+
+
+@register("source_reputation_stats", oracle=_SOURCE_REP_SQL)
+def source_reputation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain-level curation stats (X4 — the CCNet/RefinedWeb
+    domain-reputation move): exact-dup rate and corpus distinct-token
+    rate per source with a block verdict.  All ratios are exact
+    long/long divisions (integer sums only), so both engines produce
+    bit-identical doubles — no float-summation-order hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_reputation(docs)
+
+
+@register(
+    "docs_reputation_filter",
+    oracle=f"""
+    WITH rep AS ({_SOURCE_REP_SQL})
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN rep r ON r.source = d.source
+    WHERE NOT r.is_blocked
+    """,
+)
+def docs_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-source filtering: drop every document from a blocked
+    source.  The reputation table is |sources| rows -> broadcast
+    left-anti join; the 100 TB fact side never shuffles (one aggregate
+    pass + a map-side probe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.filter_by_source_reputation(docs).select("doc_id", "source")
+
+
+@register(
     "docs_fingerprints",
     oracle="""
     SELECT doc_id, md5(text) AS fp_md5
