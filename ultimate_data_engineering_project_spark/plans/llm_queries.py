@@ -1045,10 +1045,10 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_windows(docs, size=32, overlap=8)
 
 
-@register(
-    "dedup_clusters",
-    oracle="""
-    WITH RECURSIVE toks_t AS (
+# Shared recursive-CTE chain: verified near-dup pairs -> transitive
+# closure -> per-doc cluster id (min doc_id in the component).  Used by
+# dedup_clusters and dedup_cluster_representatives.
+_CC_CTES = """toks_t AS (
         SELECT doc_id, string_split(text, ' ') AS toks
         FROM documents
         WHERE len(string_split(text, ' ')) >= 3
@@ -1081,7 +1081,14 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
     ),
-    comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+    comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)"""
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _CC_CTES
+    + """
     SELECT d.doc_id,
            CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
            (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_canonical,
@@ -1121,6 +1128,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
         )
+    )
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle="WITH RECURSIVE "
+    + _CC_CTES
+    + """,
+    labeled AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    q AS (
+        SELECT doc_id,
+               ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 32.0, 1.0) * 0.4
+                     + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN ({stop}))) AS DOUBLE)
+                            / len(string_split(text, ' '))) * 0.2
+                     + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' '))) * 0.4, 6) AS quality_score
+        FROM documents
+    )
+    SELECT l.doc_id, l.cluster_id, q.quality_score,
+           (ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                ORDER BY q.quality_score DESC, l.doc_id) = 1) AS is_kept
+    FROM labeled l JOIN q USING (doc_id)
+    """.format(stop=_STOPWORD_LIST),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (X1/X2/X4 composed — the final
+    step of a production dedup pipeline): within every near-dup cluster
+    keep the HIGHEST-quality document, not the lowest id.  Survivors of
+    `dedup_clusters` + `docs_quality_scores` joined on doc_id, argmax by
+    (rounded quality_score, doc_id tiebreak) via one row_number window
+    partitioned by cluster — clusters are small, so the window never
+    sees corpus-scale partitions.  Both engines order on the ROUNDED
+    score (per-doc arithmetic is bit-identical), so the survivor set is
+    deterministic cross-engine."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    scores = docs_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        clusters.join(scores, "doc_id")
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality_score", "is_kept")
     )
 
 
