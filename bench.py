@@ -56,6 +56,13 @@ HEADLINE = [
     # ordering); the md5/int audit twins stay out — they exist for
     # oracle parity, not throughput
     "simhash_near_dup_pairs",
+    # r6: the new no-equi-key binned range join, the Gopher repetition
+    # gates, and the quality-argmax cluster-representative step (the
+    # dedup pipeline's true end state — strictly more work than
+    # dedup_clusters, so it watches the same regression surface)
+    "range_join_error_windows",
+    "docs_repetition_stats",
+    "dedup_cluster_representatives",
 ]
 
 

@@ -960,3 +960,39 @@ def test_repetition_stats_edges(spark):
     assert got[4].top_bigram_frac == round(2 / 7, 6)
     assert got[4].dup_trigram_frac == round(2 / 6, 6)
     assert got[4].is_repetitive  # 2/7 > 0.18
+
+
+def test_minhash_index_persisted_roundtrip(spark, sf_dir, tmp_path):
+    """The incremental-dedup contract: a band index written to parquet
+    and RELOADED must produce exactly the pairs the full-corpus md5
+    path finds between the two halves (old x new), with identical
+    jaccard values."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators import dedup
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    k = int(0.8 * (mx + 1))
+    old = docs.filter(F.col("doc_id") < k)
+    new = docs.filter(F.col("doc_id") >= k)
+
+    idx_dir = str(tmp_path / "band_index")
+    dedup.minhash_band_index_md5(old, "doc_id").write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    got = sorted(
+        (r.new_id, r.old_id, r.jaccard)
+        for r in dedup.minhash_match_index_md5(
+            new, index, old, "doc_id", jaccard_threshold=0.5
+        ).collect()
+    )
+    full = dedup.minhash_lsh_pairs_md5(docs, "doc_id", jaccard_threshold=0.5)
+    # full path emits id_a < id_b; crossing pairs have old=id_a, new=id_b
+    want = sorted(
+        (r.id_b, r.id_a, r.jaccard)
+        for r in full.collect()
+        if r.id_a < k <= r.id_b
+    )
+    assert got == want and len(got) > 0

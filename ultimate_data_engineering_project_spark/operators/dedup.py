@@ -377,6 +377,171 @@ def minhash_lsh_pairs(
     )
 
 
+def _md5_shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(__id, shingle) rows — distinct word-level shingles per doc, docs
+    shorter than ``shingle_n`` tokens excluded (cross-engine shingle
+    semantics shared by the md5 full-corpus and incremental paths)."""
+    toks = F.split(F.col("__text"), " ")
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .filter(F.size(toks) >= shingle_n)
+        .select(
+            "__id", F.explode(shingles(F.col("__text"), shingle_n)).alias("shingle")
+        )
+    )
+
+
+def _md5_band_frame(
+    shingle_frame: DataFrame, *, num_hashes: int, bands: int
+) -> DataFrame:
+    """(__id, band_id, band_key) rows from a (__id, shingle) frame:
+    permutation i of a shingle is md5(i ':' shingle), the signature
+    element is the lexicographic MIN per (doc, i), and each band of
+    ``rows_per_band`` consecutive elements hashes back through md5.
+    Engine-portable (md5 only) — this IS the persisted index layout for
+    the incremental dedup path."""
+    rows_per_band = num_hashes // bands
+    perms = shingle_frame.select(
+        "__id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    ).select(
+        "__id",
+        "i",
+        F.md5(
+            F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    sigs = perms.groupBy("__id", "i").agg(F.min("h").alias("s"))
+    return (
+        sigs.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("__id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "s"))),
+                        lambda x: x["s"],
+                    ),
+                ).cast("binary")
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_band_index_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Build the persistable LSH band INDEX for a corpus: one
+    (id, band_id, band_key) row per doc-band, ready to be written as
+    parquet (partition/bucket by band_key for co-located probes).  The
+    100 TB incremental-dedup contract: index the historical corpus
+    ONCE; each new batch probes it with
+    ``minhash_match_index_md5`` instead of re-LSHing 100 TB per batch.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    return _md5_band_frame(
+        _md5_shingle_frame(df, id_col, text_col, shingle_n),
+        num_hashes=num_hashes,
+        bands=bands,
+    ).select(F.col("__id").alias("id"), "band_id", "band_key")
+
+
+def minhash_match_index_md5(
+    new_docs: DataFrame,
+    index: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch of documents
+    against a pre-built corpus band index (``minhash_band_index_md5``
+    output, typically re-read from parquet), returning verified
+    (new_id, old_id, jaccard) pairs.
+
+    Scale shape: the new batch (small) is banded and equi-joined against
+    the index on (band_id, band_key) — the historical corpus
+    contributes only its narrow index rows, never its text.  Exact
+    Jaccard verification re-reads OLD documents only for candidate ids
+    (a semi-join-bounded subset), so per-batch cost is
+    O(|batch| + |candidates|), not O(|corpus|).  Within-batch pairs are
+    NOT reported — run the batch through the full pair path for those;
+    this operator is the batch-vs-history half of incremental dedup.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    new_sh = _md5_shingle_frame(new_docs, id_col, text_col, shingle_n)
+    new_bands = _md5_band_frame(new_sh, num_hashes=num_hashes, bands=bands)
+    cand = (
+        new_bands.alias("n")
+        .join(
+            index.alias("o"),
+            on=[
+                F.col("n.band_id") == F.col("o.band_id"),
+                F.col("n.band_key") == F.col("o.band_key"),
+            ],
+        )
+        .select(
+            F.col("n.__id").alias("new_id"), F.col("o.id").alias("old_id")
+        )
+        .distinct()
+    )
+    # verify: shingle sets of the new batch (already built) + ONLY the
+    # candidate old docs (semi-join prune before the heavy re-shingle)
+    old_cand = old_docs.join(
+        cand.select(F.col("old_id").alias(id_col)).distinct(), on=id_col, how="left_semi"
+    )
+    old_sh = _md5_shingle_frame(old_cand, id_col, text_col, shingle_n)
+    n_new = new_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_a"))
+    n_old = old_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        cand.join(
+            new_sh.select(F.col("__id").alias("new_id"), "shingle"), "new_id"
+        )
+        .join(
+            old_sh.select(F.col("__id").alias("old_id"), "shingle"),
+            ["old_id", "shingle"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(n_new.select(F.col("__id").alias("new_id"), "n_a"), "new_id")
+        .join(n_old.select(F.col("__id").alias("old_id"), "n_b"), "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame,
     id_col: str,
@@ -410,43 +575,8 @@ def minhash_lsh_pairs_md5(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             "a ragged extra band would diverge from the default-bound oracle"
         )
-    rows_per_band = num_hashes // bands
-    toks = F.split(F.col("__text"), " ")
-    base = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .filter(F.size(toks) >= shingle_n)
-        .select("__id", F.explode(shingles(F.col("__text"), shingle_n)).alias("shingle"))
-    )
-    # (doc, i) -> lexicographic min md5 over the doc's shingles
-    perms = base.select(
-        "__id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-    ).select(
-        "__id",
-        "i",
-        F.md5(
-            F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")).cast(
-                "binary"
-            )
-        ).alias("h"),
-    )
-    sigs = perms.groupBy("__id", "i").agg(F.min("h").alias("s"))
-    bands_df = (
-        sigs.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("__id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "s"))),
-                        lambda x: x["s"],
-                    ),
-                ).cast("binary")
-            ).alias("band_key")
-        )
-    )
+    base = _md5_shingle_frame(df, id_col, text_col, shingle_n)
+    bands_df = _md5_band_frame(base, num_hashes=num_hashes, bands=bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (

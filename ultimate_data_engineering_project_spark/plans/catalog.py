@@ -89,7 +89,7 @@ _PRIORITY = [
     "star_join_revenue_by_nation",
     "conditional_dq_aggregate",
     "agg_sum_coalesce",
-    "rollup_order_status_priority",
+    "range_join_error_windows",
     "distinct_counts_lineitem",
     "set_except_customers",
     "string_functions",
@@ -114,10 +114,10 @@ _PRIORITY = [
     # evidence is the strict-parity tolerance row), while every prefix
     # slot should carry a full hash check.  It moved to overflow below.
     "ann_topk_lsh_int",
-    "fakestream_scd2_customers",
+    "docs_repetition_stats",
     "multimodal_decode_features",
     # fakestream family, newly hash-checked against frozen fixtures
-    "fakestream_ledger",
+    "source_reputation_stats",
     "fakestream_ledger_clamped",
     "fakestream_dq_report",
     # LLM-pipeline headliners previously unreached; timeseries gives X6
@@ -136,6 +136,16 @@ _PRIORITY = [
     "timeseries_similar_users",
     "docs_prep_pipeline",
     # overflow (reached only if the driver budget extends past 50)
+    # r6: three redundant-family rows ceded their prefix slots to the
+    # new range-join / repetition / source-reputation entries (A5 keeps
+    # flagship+pricing_summary, W1 keeps scd2_user_event_versions, the
+    # ledger keeps its harder clamped form); they stay fully
+    # oracle-checked here and in STRICT_PARITY
+    "rollup_order_status_priority",
+    "fakestream_scd2_customers",
+    "fakestream_ledger",
+    "dedup_cluster_representatives",
+    "docs_reputation_filter",
     "filter_month_bucket",
     "join_customers_per_region",
     "group_topk_parts_by_brand",

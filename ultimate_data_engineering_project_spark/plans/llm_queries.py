@@ -560,6 +560,80 @@ def minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs_md5(docs, "doc_id", jaccard_threshold=0.5)
 
 
+@register(
+    "incremental_near_dup_md5",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS k
+        FROM documents
+    ),
+    toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM toks_t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    sigs AS (
+        SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS s
+        FROM sh, UNNEST(range(0, 16)) AS t(i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // 4 AS band_id,
+               md5(string_agg(s, ',' ORDER BY i)) AS band_key
+        FROM sigs GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n
+        JOIN bands o ON n.band_id = o.band_id AND n.band_key = o.band_key
+        CROSS JOIN k
+        WHERE n.doc_id >= k.k AND o.doc_id < k.k
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.new_id, c.old_id, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.new_id
+        JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+        GROUP BY c.new_id, c.old_id
+    )
+    SELECT i.new_id, i.old_id,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.new_id
+    JOIN sizes sb ON sb.doc_id = i.old_id
+    WHERE ROUND(CAST(i.n_inter AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.5
+    """,
+)
+def incremental_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (X1/X2 at production cadence): the
+    newest 20% of documents ("today's batch") probe a band index built
+    from the other 80% ("the historical corpus") — verified
+    (new_id, old_id, jaccard) pairs, never re-LSHing history.  The
+    index layout is `dedup.minhash_band_index_md5` (persistable
+    parquet; the persisted-reload contract is pinned in
+    tests/test_operators.py); the probe is
+    `dedup.minhash_match_index_md5` — banded equi-join against narrow
+    index rows, old text re-read ONLY for candidate ids via a semi
+    join.  md5-portable, so DuckDB reproduces the exact candidate set
+    and verified pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]  # one-row scalar
+    k = int(0.8 * (mx + 1))
+    old = docs.filter(F.col("doc_id") < k)
+    new = docs.filter(F.col("doc_id") >= k)
+    index = dedup.minhash_band_index_md5(old, "doc_id")
+    return dedup.minhash_match_index_md5(
+        new, index, old, "doc_id", jaccard_threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries (no SQL oracle: Spark-specific hashing / approximate)
 # ---------------------------------------------------------------------------
