@@ -996,3 +996,31 @@ def test_minhash_index_persisted_roundtrip(spark, sf_dir, tmp_path):
         if r.id_a < k <= r.id_b
     )
     assert got == want and len(got) > 0
+
+
+def test_minhash_max_band_size_caps_degenerate_band(spark):
+    """A template-spam slab (many identical docs) degenerates one band
+    bucket to the slab size; max_band_size must bound the self-join
+    without touching healthy bands, and the default (None) must be
+    unchanged."""
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    spam = [(i, "the same spam template line repeated here") for i in range(30)]
+    pair = [
+        (100, "completely different unique text about alpha beta gamma delta"),
+        (101, "completely different unique text about alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(spam + pair, "doc_id long, text string")
+    full = minhash_lsh_pairs(df, "doc_id", jaccard_threshold=0.4)
+    capped = minhash_lsh_pairs(
+        df, "doc_id", jaccard_threshold=0.4, max_band_size=8
+    )
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # uncapped: the 30-doc slab yields 435 spam pairs + the healthy pair
+    assert (100, 101) in full_pairs and len(full_pairs) == 435 + 1
+    # capped: every spam band bucket holds 30 > 8 docs -> dropped; the
+    # healthy pair's buckets hold 2 docs -> kept
+    assert capped_pairs == {(100, 101)}

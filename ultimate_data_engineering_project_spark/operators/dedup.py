@@ -264,6 +264,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     jaccard_threshold: float = 0.5,
     kernel: str = "arrow",
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding (X2),
     verified with exact shingle-set Jaccard.
@@ -342,6 +343,23 @@ def minhash_lsh_pairs(
             )
         ).alias("__band"),
     ).select("__id", "__band.band_id", "__band.band_hash")
+
+    if max_band_size is not None:
+        # degenerate-band guard (same contract as timeseries
+        # max_bucket_size): a band key shared by a template-spam slab of
+        # documents would make the self-join quadratic in the slab.
+        # Dropping oversized bands bounds within-band work at
+        # O(max_band_size^2); a true near-dup pair loses only the
+        # recall that band carried (it still meets in its other
+        # bands), and the exact-Jaccard verify keeps precision at 1.0.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_band_size)
+            .drop("__bn")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
