@@ -1024,3 +1024,53 @@ def test_minhash_max_band_size_caps_degenerate_band(spark):
     # capped: every spam band bucket holds 30 > 8 docs -> dropped; the
     # healthy pair's buckets hold 2 docs -> kept
     assert capped_pairs == {(100, 101)}
+
+
+def test_pq_topk_recall_and_persisted_codes(spark, sf_dir):
+    """PQ+re-rank must reach high recall vs exact L2, and serving from
+    PERSISTED codes + codebooks must reproduce the in-query result
+    exactly (the compressed-index deployment contract)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators import similarity
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.pq_topk(
+        emb, queries, k=5, m=16, n_codes=64, rerank=50
+    ).collect()
+    assert len(got) == 25
+
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    hits = 0
+    for qid in range(5):
+        d = sorted(
+            (float(((v - data[qid]) ** 2).sum()), nid)
+            for nid, v in data.items()
+            if nid != qid
+        )
+        exact = {nid for _, nid in d[:5]}
+        hits += len(exact & {r.neighbor_id for r in got if r.query_id == qid})
+    assert hits / 25.0 >= 0.9  # seeded → deterministic (measured 0.96)
+
+    # persisted-index contract: train once, encode once, reload codes
+    books = similarity.pq_train(emb, m=16, n_codes=64)
+    encoded = similarity.pq_encode(emb, books)
+    again = similarity.pq_topk(
+        emb, queries, k=5, codebooks=books, encoded=encoded, rerank=50
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(key, again)) == sorted(map(key, got))
+    assert {tuple(r) for r in again} == {tuple(r) for r in got}
+
+    # codes are m ints in [0, n_codes)
+    one = encoded.first()
+    assert len(one.pq_codes) == 16
+    assert all(0 <= c < 64 for c in one.pq_codes)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train(emb, m=7)

@@ -116,10 +116,15 @@ NESTED_LOOP_ALLOWED = {
     "wealthy_segment_summary",
     "timeseries_dtw_pairs",
     "timeseries_similar_users_exact",
+    # PQ's ADC stage is the intended full-scan shape: corpus codes x a
+    # broadcast handful of queries, O(m) lookups per pair — the
+    # nested-loop is over the TINY query side, same family as
+    # cosine_topk_bruteforce
+    "ann_topk_pq",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep
-PLAN_SWEEP_SKIP = {"ann_topk_ivf"}
+PLAN_SWEEP_SKIP = {"ann_topk_ivf", "ann_topk_pq"}
 
 
 def test_timeseries_blocked_pair_join_is_equi(spark, sf_dir):

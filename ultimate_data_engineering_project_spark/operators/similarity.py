@@ -334,27 +334,7 @@ def _train_centroids_numpy(
     MLlib KMeans fit whose per-iteration Spark jobs dominated wall
     clock at small-to-mid scale (and which collects to the driver
     internally anyway)."""
-    import numpy as np
-
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("__i"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        )
-        # hash the STRING form of the id with the seed as a second hash
-        # input — works for string/uuid ids too (the previous `id +
-        # seed` arithmetic required a numeric id)
-        .orderBy(
-            F.pmod(
-                F.xxhash64(F.col("__i").cast("string"), F.lit(seed)),
-                F.lit(1_000_003),
-            ),
-            "__i",
-        )
-        .limit(max_train)
-        .collect()
-    )
-    X = np.array([r["__v"] for r in rows], dtype=np.float64)
+    X = _train_sample(corpus, id_col, vec_col, seed, max_train)
     if len(X) == 0:
         raise ValueError(
             "IVF centroid training sample is empty (corpus has no rows "
@@ -365,24 +345,61 @@ def _train_centroids_numpy(
     # to zero): clamp k to the sample size — callers size inverted
     # lists from the returned list, so a shorter list is well-defined
     n_centroids = min(n_centroids, len(X))
-    # seeded k-means++ init (D^2 sampling): spread starting centroids
-    # like MLlib's k-means|| — plain "first rows" init costs real recall
+    cents = _kmeans_pp_numpy(X, n_centroids, seed, iters)
+    return [list(map(float, c)) for c in cents]
+
+
+def _train_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, seed: int, max_train: int
+):
+    """Bounded deterministic training sample as a numpy matrix: the top
+    ``max_train`` rows by hashed id — a TakeOrdered, O(N log k)
+    map-side, never a full sort — so training cost is independent of
+    corpus size and identical across runs/cluster layouts.  The hash
+    runs on the STRING form of the id so string/uuid ids work too."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__i"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .orderBy(
+            F.pmod(
+                F.xxhash64(F.col("__i").cast("string"), F.lit(seed)),
+                F.lit(1_000_003),
+            ),
+            "__i",
+        )
+        .limit(max_train)
+        .collect()
+    )
+    return np.array([r["__v"] for r in rows], dtype=np.float64)
+
+
+def _kmeans_pp_numpy(X, k: int, seed: int, iters: int):
+    """Seeded k-means++ init (D^2 sampling) + Lloyd iterations over an
+    in-memory sample.  Shared by the IVF coarse quantizer and the PQ
+    sub-quantizers; RNG sequence is a compatibility contract (seeded
+    results are pinned by tests/bench)."""
+    import numpy as np
+
     rng = np.random.RandomState(seed)
-    cents = np.empty((n_centroids, X.shape[1]), dtype=np.float64)
+    cents = np.empty((k, X.shape[1]), dtype=np.float64)
     cents[0] = X[rng.randint(len(X))]
     d2 = ((X - cents[0]) ** 2).sum(axis=1)
-    for c in range(1, n_centroids):
+    for c in range(1, k):
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
         cents[c] = X[rng.choice(len(X), p=probs)]
         d2 = np.minimum(d2, ((X - cents[c]) ** 2).sum(axis=1))
     for _ in range(iters):
         d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
-        for c in range(n_centroids):
+        for c in range(k):
             members = X[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
-    return [list(map(float, c)) for c in cents]
+    return cents
 
 
 def ivf_topk(
@@ -575,4 +592,208 @@ def ann_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_train: int = 2048,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` equal sub-spaces and run an independent seeded
+    k-means (``n_codes`` sub-centroids) in each, over the same bounded
+    deterministic sample as the IVF coarse quantizer.
+
+    Returns ``m`` codebooks of ``n_codes`` sub-centroids each —
+    m × n_codes × (dim/m) doubles, a driver-side constant at any corpus
+    scale (the FAISS training recipe: sample-train, ship as literals).
+    """
+    X = _train_sample(corpus, id_col, vec_col, seed, max_train)
+    if len(X) == 0:
+        raise ValueError(
+            "PQ training sample is empty (corpus has no rows with a "
+            "non-null embedding) — nothing to quantize"
+        )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"vector dim ({dim}) must be divisible by m ({m})")
+    d_sub = dim // m
+    k = min(n_codes, len(X))
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = X[:, j * d_sub : (j + 1) * d_sub]
+        cents = _kmeans_pp_numpy(sub, k, seed + j, iters)
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def _pq_codebooks_lit(codebooks: list[list[list[float]]]) -> Column:
+    """The full codebook set as ONE nested literal column
+    array<array<array<double>>> — shared across expressions so the plan
+    carries a single constant."""
+    return F.array(*[_lit_matrix(book) for book in codebooks])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` small codes (nearest sub-centroid
+    per sub-space) — the compressed representation PQ serves from.
+
+    Returns (id_col, pq_codes array<int>).  Pure map-side expressions
+    (argmin via array_sort of (dist2, code) structs — deterministic
+    ties); at 100 TB the codes column is what you PERSIST: m ints per
+    row instead of dim floats (codes fit a byte each at n_codes<=256 —
+    a 32x storage cut at dim=64/m=8 before parquet even compresses),
+    and every downstream scan prunes to it."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    codes = F.array(
+        *[
+            F.array_sort(
+                F.transform(
+                    _lit_matrix(codebooks[j]),
+                    lambda c, i: F.struct(
+                        _centroid_dist2(F.slice(vec, j * d_sub + 1, d_sub), c).alias(
+                            "dist2"
+                        ),
+                        i.alias("code"),
+                    ),
+                )
+            )[0]["code"]
+            for j in range(m)
+        ]
+    )
+    return corpus.select(F.col(id_col), codes.alias("pq_codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+    rerank: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): the
+    compressed-corpus scale path, completing the X3 family (brute =
+    exact, LSH = data-independent, IVF = clustered, PQ = compressed).
+
+    Each broadcast QUERY row precomputes its distance look-up table
+    once — ``lut[j][c]`` = squared L2 between the query's j-th
+    sub-vector and sub-centroid c (m × n_codes doubles, an expression
+    over the tiny query side).  Each CORPUS row then costs ``m`` array
+    lookups + adds — NOT a dim-wide float walk: the classic ADC trade
+    that makes full-scan ANN viable over 100 TB of codes.  Ranking
+    rounds the ADC distance and breaks ties on neighbor id, so results
+    are deterministic on any engine/cluster.
+
+    ``encoded``/``codebooks`` accept a pre-trained, persisted index
+    (see ``pq_encode``); by default both are built in-query.
+
+    ``rerank`` > k turns on the standard two-stage recipe: ADC keeps the
+    top ``rerank`` candidates per query (compressed scan), then exact
+    squared-L2 over the ORIGINAL vectors of only those candidates picks
+    the final k — the re-rank join touches rerank x |queries| rows, so
+    full-precision vectors are read for a vanishing fraction of the
+    corpus.  This is how PQ serves high recall without giving up the
+    compressed scan.
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, id_col, vec_col, m=m, n_codes=n_codes, seed=seed
+        )
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    if encoded is None:
+        encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+    enc = encoded.select(
+        F.col(id_col).alias("neighbor_id"), F.col("pq_codes").alias("__codes")
+    )
+    cb = _pq_codebooks_lit(codebooks)
+    qv = F.col("__qv")
+    lut = F.transform(
+        cb,
+        lambda book, j: F.transform(
+            book,
+            lambda c: _centroid_dist2(F.slice(qv, j * d_sub + 1, d_sub), c),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__lut", lut).drop("__qv")
+    scored = (
+        enc.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_dist2",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.element_at(F.col("__lut"), j + 1),
+                        F.element_at(F.col("__codes"), j + 1) + 1,
+                    ),
+                ),
+                round_digits,
+            ),
+        )
+        .drop("__lut", "__codes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    if rerank <= k:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist2", "rank")
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv_side = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv_side = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    exact = (
+        cand.join(cv_side, "neighbor_id")
+        .join(F.broadcast(qv_side), "query_id")
+        .withColumn(
+            "dist2",
+            F.round(_centroid_dist2(F.col("__qv"), F.col("__cv")), round_digits),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
     )

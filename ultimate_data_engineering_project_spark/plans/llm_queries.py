@@ -892,6 +892,26 @@ def ann_topk_lsh_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("ann_topk_pq", oracle=None)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via product quantization with
+    exact re-rank (X3 compressed-corpus scale path: sub-space codebooks
+    -> per-row code arrays -> ADC look-up-table scan -> exact squared-L2
+    re-rank of a bounded candidate pool; recall vs exact L2 asserted in
+    tests/test_operators.py).  The corpus is served from codes (m small
+    ints per row), so a 100 TB scan reads a fraction of the bytes the
+    brute-force path would."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        m=16,
+        n_codes=64,
+        rerank=50,
+    )
+
+
 @register("ann_topk_ivf", oracle=None)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via IVF (X3 scale path for
