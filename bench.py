@@ -63,6 +63,8 @@ HEADLINE = [
     "range_join_error_windows",
     "docs_repetition_stats",
     "dedup_cluster_representatives",
+    "ann_topk_pq",
+    "incremental_near_dup_md5",
 ]
 
 

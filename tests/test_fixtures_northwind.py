@@ -224,8 +224,14 @@ def test_catalog_priority_prefix_covers_core_surface():
         # slot approx_sketch_battery held (no_oracle by construction;
         # its evidence is the strict-parity tolerance row)
         "agg_modern_battery", "ann_topk_lsh_int",
-        "fakestream_scd2_customers", "multimodal_decode_features",
-        "fakestream_ledger", "fakestream_ledger_clamped",
+        # r6: three same-family redundancies ceded their slots to the
+        # new range-join / repetition / source-reputation entries
+        # (fakestream_scd2_customers, fakestream_ledger and
+        # rollup_order_status_priority moved to overflow, still
+        # oracle-checked there)
+        "range_join_error_windows", "multimodal_decode_features",
+        "docs_repetition_stats", "source_reputation_stats",
+        "fakestream_ledger_clamped",
         "fakestream_dq_report", "near_dup_pairs_verified",
         "dedup_clusters", "training_mixture_sample",
         "training_sequence_packing",

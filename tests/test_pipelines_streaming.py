@@ -466,3 +466,55 @@ def test_multimodal_decode(spark, sf_dir):
     assert by_id[probe]["n_bytes"] == len(src[probe].encode())
     assert by_id[probe]["content_sha"] == hashlib.sha256(src[probe].encode()).hexdigest()
     assert len(by_id[probe]["feature"]) == multimodal.FEATURE_DIM
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming incremental dedup (foreachBatch index probe +
+    extend) must emit exactly the cross-batch pairs the BATCH
+    full-corpus md5 path finds — batches only dedup against HISTORY,
+    so within-batch pairs are absent and ordering (new vs old) follows
+    arrival order."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators import dedup
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    third = n // 3
+    src = str(tmp_path / "docs_src")
+    # stage three files = three deterministic micro-batches (file order
+    # by name; maxFilesPerTrigger=1)
+    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, n)]):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(src + f"/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = run_incremental_dedup_stream(
+        spark,
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+
+    full = dedup.minhash_lsh_pairs_md5(docs, "doc_id", jaccard_threshold=0.5)
+    batch_of = lambda d: 0 if d < third else (1 if d < 2 * third else 2)
+    want = {
+        (r.id_b, r.id_a, r.jaccard)
+        for r in full.collect()
+        if batch_of(r.id_a) != batch_of(r.id_b)  # cross-batch only
+    }
+    assert got == want and len(want) > 0

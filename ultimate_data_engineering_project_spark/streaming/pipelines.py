@@ -420,3 +420,93 @@ def cdc_apply_batch(
         how="left_anti",
     )
     return kept.unionByName(upserts).join(deletes, on=keys, how="left_anti")
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """X1/X2 on a stream: near-dup dedup of an ARRIVING corpus against
+    everything seen so far, via the persisted band index
+    (operators/dedup.minhash_band_index_md5 layout).
+
+    Per micro-batch (foreachBatch — the cross-batch state is the index
+    table itself, exactly the CDC pattern of run_cdc_stream):
+      1. probe: batch docs banded and equi-joined against the on-disk
+         index; candidates verify with exact Jaccard (old text re-read
+         only for candidate ids) -> verified (new_id, old_id, jaccard)
+         pairs APPENDED to ``pairs_dir``;
+      2. extend: the batch's own band rows + its (id, text) snapshot
+         append to the index, so later batches dedup against it.
+
+    Within-batch duplicates are handled by the batch pair path upstream
+    (or a stream_dedup stage); this operator owns the batch-vs-history
+    half.  State never lives in executor memory: the index is parquet,
+    so a restart resumes from the checkpoint with full history intact;
+    index/docs reads dedup by id so a replayed batch is idempotent (a
+    replay may re-append verified pairs — consumers key on
+    (new_id, old_id), which stays exact).
+    At 100 TB the index is narrow band rows (partition by band_key
+    range for co-located probes) — the corpus text is stored once in
+    the companion ``_docs`` table and touched only per-candidate.
+    """
+    import os
+
+    from ultimate_data_engineering_project_spark.operators import dedup
+
+    docs_dir = index_dir.rstrip("/") + "_docs"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        have_index = os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        )
+        if have_index:
+            # foreachBatch append sinks are at-least-once on retry: a
+            # replayed batch would double its band/doc rows and skew
+            # the Jaccard counts (sizes and intersections are
+            # row-counted).  Dedup on read makes replays idempotent.
+            index = spark.read.parquet(index_dir).dropDuplicates(
+                ["id", "band_id"]
+            )
+            old = spark.read.parquet(docs_dir).dropDuplicates([id_col])
+            pairs = dedup.minhash_match_index_md5(
+                batch_df,
+                index,
+                old,
+                id_col,
+                text_col,
+                shingle_n=shingle_n,
+                num_hashes=num_hashes,
+                bands=bands,
+                jaccard_threshold=jaccard_threshold,
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+        new_bands = dedup.minhash_band_index_md5(
+            batch_df,
+            id_col,
+            text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        new_bands.write.mode("append").parquet(index_dir)
+        batch_df.write.mode("append").parquet(docs_dir)
+
+    writer = docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
