@@ -518,3 +518,55 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
         if batch_of(r.id_a) != batch_of(r.id_b)  # cross-batch only
     }
     assert got == want and len(want) > 0
+
+
+def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
+    """Corrupt envelope frames must land in the dead-letter table with
+    their raw bytes + reason — not vanish — while good frames apply
+    normally."""
+    import json as _json
+
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        split_envelope_quarantine,
+    )
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    good = {"op": "c", "ts_ms": 1, "before": None, "after": '{"k":1,"v":"a"}'}
+    lines = [
+        _json.dumps(good),
+        "not json at all {",                                     # unparseable
+        _json.dumps({"ts_ms": 2, "after": '{"k":2,"v":"b"}'}),   # no op
+        _json.dumps({"op": "x", "ts_ms": 3, "after": '{"k":3,"v":"c"}'}),  # bad op
+        _json.dumps({"op": "u", "before": None, "after": '{"k":4,"v":"d"}'}),  # no ts
+        _json.dumps({"op": "c", "ts_ms": 5, "after": None}),     # missing after
+        _json.dumps({"op": "d", "ts_ms": 6, "before": None}),    # missing before
+    ]
+    raw = spark.createDataFrame([(x,) for x in lines], "value string")
+    changes, quarantined = split_envelope_quarantine(raw, row_schema)
+    assert changes.count() == 1
+    got = {r.value: r.reason for r in quarantined.collect()}
+    assert len(got) == 6
+    reasons = sorted(got.values())
+    assert reasons == sorted(
+        ["unparseable_envelope", "bad_op", "bad_op", "missing_ts",
+         "missing_after", "missing_before"]
+    )
+
+    # end-to-end through run_cdc_stream with quarantine_dir
+    env_dir = str(tmp_path / "env")
+    os.makedirs(env_dir)
+    with open(os.path.join(env_dir, "batch0.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+    qdir = str(tmp_path / "dlq")
+    table_dir = str(tmp_path / "table")
+    q = run_cdc_stream(
+        spark, env_dir, row_schema, ["k"], table_dir,
+        str(tmp_path / "ckpt"), quarantine_dir=qdir,
+    )
+    q.awaitTermination(120)
+    img = spark.read.parquet(table_dir)
+    assert {(r.k, r.v) for r in img.collect()} == {(1, "a")}
+    dlq = spark.read.parquet(qdir)
+    assert dlq.count() == 6 and set(dlq.columns) == {"value", "reason"}

@@ -225,6 +225,7 @@ def run_cdc_stream(
     checkpoint: str,
     n_buckets: int | None = None,
     source: DataFrame | None = None,
+    quarantine_dir: str | None = None,
 ):
     """T1 end-to-end: a streaming CDC pipeline.  Reads Debezium-style
     envelope JSON lines from a directory (the Kafka-topic stand-in),
@@ -251,6 +252,11 @@ def run_cdc_stream(
     unbucketed mode mismatch against an existing table image raises a
     configuration error instead of failing obscurely per-batch.
 
+    ``quarantine_dir`` routes corrupt envelope frames (unparseable
+    JSON, bad op, missing images) to a dead-letter parquet table with
+    their raw bytes + reason instead of silently dropping them
+    (split_envelope_quarantine); None keeps the lenient parse.
+
     ``source`` injects an alternative streaming frame carrying the
     envelope in a ``value`` column — e.g. ``kafka_source(spark,
     brokers, topic)`` (sources/kafka.py, S12): the Kafka frame's binary
@@ -276,7 +282,12 @@ def run_cdc_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        changes = parse_debezium_envelope(batch_df, row_schema)
+        if quarantine_dir is not None:
+            changes, quarantined = split_envelope_quarantine(batch_df, row_schema)
+            if quarantined.head(1):
+                quarantined.write.mode("append").parquet(quarantine_dir)
+        else:
+            changes = parse_debezium_envelope(batch_df, row_schema)
         try:
             current = spark.read.parquet(table_dir)
         except AnalysisException as ex:
@@ -387,6 +398,68 @@ def parse_debezium_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFra
         F.from_json("env.after", row_schema).alias("after"),
     )
     return parsed
+
+
+def split_envelope_quarantine(
+    raw: DataFrame, row_schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split for the CDC envelope stream: (good_changes,
+    quarantined).
+
+    ``parse_debezium_envelope`` alone silently nulls corrupt frames —
+    from_json returns NULL and the null-op rows vanish in the apply
+    filters, which is data LOSS masquerading as success.  Here every
+    raw frame either parses completely or lands in the quarantine frame
+    with its original bytes and a reason (``unparseable_envelope``,
+    ``bad_op``, ``missing_ts``, ``missing_after``, ``missing_before``),
+    so a poisoned topic is visible, re-processable, and alertable.
+    Pure expressions — one pass, no UDF; the split is two filters over
+    the same parsed projection (one scan under whole-stage codegen).
+    """
+    # PERMISSIVE from_json yields a struct of NULLS for malformed JSON
+    # (not a null struct), so unparseable frames are only detectable via
+    # the canonical corrupt-record column.
+    env_schema = T.StructType(
+        list(DEBEZIUM_ENVELOPE.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    env = F.from_json(
+        F.col("value").cast("string"),
+        env_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    parsed = raw.select(
+        F.col("value"),
+        env.alias("env"),
+    ).select(
+        "value",
+        F.col("env.op").alias("op"),
+        F.col("env.ts_ms").alias("ts_ms"),
+        F.from_json("env.before", row_schema).alias("before"),
+        F.from_json("env.after", row_schema).alias("after"),
+        (F.col("env").isNull() | F.col("env._corrupt_record").isNotNull()).alias(
+            "__no_env"
+        ),
+    )
+    reason = (
+        F.when(F.col("__no_env"), "unparseable_envelope")
+        .when(
+            F.col("op").isNull() | ~F.col("op").isin("c", "u", "d", "r"),
+            "bad_op",
+        )
+        .when(F.col("ts_ms").isNull(), "missing_ts")
+        .when((F.col("op") != "d") & F.col("after").isNull(), "missing_after")
+        .when((F.col("op") == "d") & F.col("before").isNull(), "missing_before")
+    )
+    marked = parsed.withColumn("__reason", reason)
+    good = marked.filter(F.col("__reason").isNull()).select(
+        "op", "ts_ms", "before", "after"
+    )
+    quarantined = marked.filter(F.col("__reason").isNotNull()).select(
+        F.col("value").cast("string").alias("value"),
+        F.col("__reason").alias("reason"),
+    )
+    return good, quarantined
 
 
 def cdc_apply_batch(
