@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "ann_topk_pq",
     "incremental_near_dup_md5",
+    "docs_curation_pipeline",
 ]
 
 

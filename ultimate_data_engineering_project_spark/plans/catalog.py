@@ -146,6 +146,8 @@ _PRIORITY = [
     "fakestream_ledger",
     "dedup_cluster_representatives",
     "docs_reputation_filter",
+    "docs_curation_pipeline",
+    "incremental_near_dup_md5",
     "filter_month_bucket",
     "join_customers_per_region",
     "group_topk_parts_by_brand",

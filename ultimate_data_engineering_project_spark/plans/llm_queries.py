@@ -1273,6 +1273,125 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_QUALITY_CTE = """
+        SELECT doc_id,
+               ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 32.0, 1.0) * 0.4
+                     + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN ({stop}))) AS DOUBLE)
+                            / len(string_split(text, ' '))) * 0.2
+                     + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' '))) * 0.4, 6) AS quality_score
+        FROM documents
+""".format(stop=_STOPWORD_LIST)
+
+_REPETITION_FLAG_CTE = """
+        SELECT t2.doc_id,
+               (COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0) > 0.18
+                OR COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0)
+                   > 0.30) AS is_repetitive
+        FROM toks_all t2
+        LEFT JOIN (
+            SELECT doc_id, SUM(cc) AS n_bi, MAX(cc) AS top_c
+            FROM (
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, COUNT(*) AS cc
+                FROM toks_all, UNNEST(range(1, len(toks))) AS u(i)
+                GROUP BY 1, 2
+            ) GROUP BY doc_id
+        ) b ON b.doc_id = t2.doc_id
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT tg) AS n_tri_d
+            FROM (
+                SELECT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg
+                FROM toks_all, UNNEST(range(1, len(toks) - 1)) AS u(i)
+            ) GROUP BY doc_id
+        ) c ON c.doc_id = t2.doc_id
+"""
+
+
+@register(
+    "docs_curation_pipeline",
+    oracle="WITH RECURSIVE "
+    + _CC_CTES
+    + """,
+    toks_all AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    labeled AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    q AS ("""
+    + _QUALITY_CTE
+    + """),
+    rstats AS ("""
+    + _REPETITION_FLAG_CTE
+    + """),
+    rep AS ("""
+    + _SOURCE_REP_SQL
+    + """),
+    gates AS (
+        SELECT d.doc_id, d.source, d.text, q.quality_score
+        FROM documents d
+        JOIN q USING (doc_id)
+        JOIN rstats USING (doc_id)
+        JOIN rep r ON r.source = d.source
+        WHERE NOT r.is_blocked
+          AND NOT rstats.is_repetitive
+          AND q.quality_score >= 0.5
+    ),
+    exact AS (SELECT MIN(doc_id) AS doc_id FROM gates GROUP BY text),
+    kept AS (SELECT g.* FROM gates g JOIN exact e USING (doc_id)),
+    final AS (
+        SELECT k.doc_id, k.source, l.cluster_id, k.quality_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY k.quality_score DESC, k.doc_id
+               ) AS rn
+        FROM kept k JOIN labeled l USING (doc_id)
+    )
+    SELECT doc_id, source, cluster_id, quality_score
+    FROM final WHERE rn = 1
+    """,
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation flagship (X1+X2+X4 composed end to end —
+    what a 100 TB pretraining-data run actually executes): blocked
+    sources dropped (broadcast anti-join), repetitive and low-quality
+    documents gated (map-side expressions), exact duplicates collapsed
+    to the lowest id (one hash aggregate), and finally ONE survivor per
+    corpus-wide near-dup cluster — the highest-quality gate-passing
+    member.  Every stage is an already-oracle-checked operator; this
+    entry hash-checks their COMPOSITION against a single DuckDB query
+    (recursive-CTE closure + the same gates).
+
+    Plan shape at scale: three map-side gate passes fused over one scan,
+    one aggregate for exact dedup, the banded near-dup pipeline, and
+    two small-partition windows — no operation touches more than one
+    shuffle of the full corpus at a time."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    rst = text.repetition_stats(docs).select("doc_id", "is_repetitive")
+    good_src = text.filter_by_source_reputation(docs)
+    gates = (
+        good_src.join(q, "doc_id")
+        .join(rst, "doc_id")
+        .filter((~F.col("is_repetitive")) & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "source", "text", "quality_score")
+    )
+    exact = gates.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = gates.join(exact.select("doc_id"), "doc_id", "left_semi")
+    labeled = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    final = kept.join(labeled, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        final.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "cluster_id", "quality_score")
+    )
+
+
 @register(
     "training_sequence_packing",
     oracle="""
