@@ -147,8 +147,11 @@ def main() -> None:
                     "fuzzy_dedup_part_names (semantics changed r05: "
                     "distinct-first vocabulary pairs, not row pairs) and "
                     "timeseries_similar_users (blocked path from r05); "
-                    "totals not comparable to earlier rounds, compare "
-                    "per-query"
+                    "r06 adds 6 queries (range join, repetition gates, "
+                    "cluster representatives, PQ ANN, incremental dedup, "
+                    "curation flagship); totals not comparable to earlier "
+                    "rounds, compare per-query normalized by "
+                    "host_canary_sec"
                 ),
             }
         )

@@ -411,44 +411,69 @@ def _md5_shingle_frame(
     )
 
 
-def _md5_band_frame(
-    shingle_frame: DataFrame, *, num_hashes: int, bands: int
+def _md5_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
-    """(__id, band_id, band_key) rows from a (__id, shingle) frame:
+    """(__id, __shs array<string>) — the per-doc distinct shingle SET as
+    one array column (docs shorter than ``shingle_n`` tokens excluded).
+    The array form feeds the signature expressions; explode it for the
+    set-arithmetic verify step.  Round-robin spread BEFORE the heavy
+    md5 work: a corpus landing as one file would otherwise run
+    num_hashes x |shingles| md5 calls per doc on one core (the same
+    guard as the xxhash path's _spread_width)."""
+    toks = F.split(F.col("__text"), " ")
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(_spread_width(df))
+        .filter(F.size(toks) >= shingle_n)
+        .select("__id", shingles(F.col("__text"), shingle_n).alias("__shs"))
+    )
+
+
+def _md5_band_frame(
+    shingle_sets: DataFrame, *, num_hashes: int, bands: int
+) -> DataFrame:
+    """(__id, band_id, band_key) rows from a (__id, __shs) frame:
     permutation i of a shingle is md5(i ':' shingle), the signature
     element is the lexicographic MIN per (doc, i), and each band of
     ``rows_per_band`` consecutive elements hashes back through md5.
     Engine-portable (md5 only) — this IS the persisted index layout for
-    the incremental dedup path."""
+    the incremental dedup path.
+
+    All signature/band math is per-doc ARRAY expressions over the bound
+    shingle set — zero shuffle (the former explode-to-(doc, shingle,
+    permutation) + two groupBys moved |docs|x|shingles|x num_hashes md5
+    STRINGS through an exchange; at sf0.1 that shuffle was ~4x the
+    whole operator)."""
     rows_per_band = num_hashes // bands
-    perms = shingle_frame.select(
-        "__id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-    ).select(
-        "__id",
-        "i",
-        F.md5(
-            F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")).cast(
-                "binary"
-            )
-        ).alias("h"),
-    )
-    sigs = perms.groupBy("__id", "i").agg(F.min("h").alias("s"))
-    return (
-        sigs.withColumn("band_id", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("__id", "band_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "s"))),
-                        lambda x: x["s"],
-                    ),
-                ).cast("binary")
-            ).alias("band_key")
+
+    # factory closure, NOT a default-arg lambda — PySpark reads a
+    # lambda's arity to decide (element) vs (element, index) HOF form,
+    # so `lambda sx, _i=i:` silently becomes the 2-arg variant
+    def perm_fn(j: int):
+        return lambda sx: F.md5(F.concat(F.lit(f"{j}:"), sx).cast("binary"))
+
+    def band_structs(shs):
+        sig = [
+            F.array_min(F.transform(shs, perm_fn(i))) for i in range(num_hashes)
+        ]
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", *sig[b * rows_per_band : (b + 1) * rows_per_band]
+                        ).cast("binary")
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
         )
+
+    bound = F.element_at(F.transform(F.array(F.col("__shs")), band_structs), 1)
+    return shingle_sets.select("__id", F.explode(bound).alias("__b")).select(
+        "__id", "__b.band_id", "__b.band_key"
     )
 
 
@@ -473,7 +498,7 @@ def minhash_band_index_md5(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     return _md5_band_frame(
-        _md5_shingle_frame(df, id_col, text_col, shingle_n),
+        _md5_shingle_sets(df, id_col, text_col, shingle_n),
         num_hashes=num_hashes,
         bands=bands,
     ).select(F.col("__id").alias("id"), "band_id", "band_key")
@@ -509,8 +534,9 @@ def minhash_match_index_md5(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    new_sh = _md5_shingle_frame(new_docs, id_col, text_col, shingle_n)
-    new_bands = _md5_band_frame(new_sh, num_hashes=num_hashes, bands=bands)
+    new_sets = _md5_shingle_sets(new_docs, id_col, text_col, shingle_n)
+    new_sh = new_sets.select("__id", F.explode("__shs").alias("shingle"))
+    new_bands = _md5_band_frame(new_sets, num_hashes=num_hashes, bands=bands)
     cand = (
         new_bands.alias("n")
         .join(
@@ -593,8 +619,9 @@ def minhash_lsh_pairs_md5(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             "a ragged extra band would diverge from the default-bound oracle"
         )
-    base = _md5_shingle_frame(df, id_col, text_col, shingle_n)
-    bands_df = _md5_band_frame(base, num_hashes=num_hashes, bands=bands)
+    sets = _md5_shingle_sets(df, id_col, text_col, shingle_n)
+    base = sets.select("__id", F.explode("__shs").alias("shingle"))
+    bands_df = _md5_band_frame(sets, num_hashes=num_hashes, bands=bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (

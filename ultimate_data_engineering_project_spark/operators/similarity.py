@@ -647,18 +647,58 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Encode every vector as ``m`` small codes (nearest sub-centroid
     per sub-space) — the compressed representation PQ serves from.
 
-    Returns (id_col, pq_codes array<int>).  Pure map-side expressions
-    (argmin via array_sort of (dist2, code) structs — deterministic
-    ties); at 100 TB the codes column is what you PERSIST: m ints per
-    row instead of dim floats (codes fit a byte each at n_codes<=256 —
-    a 32x storage cut at dim=64/m=8 before parquet even compresses),
-    and every downstream scan prunes to it."""
+    Returns (id_col, pq_codes array<int>).  At 100 TB the codes column
+    is what you PERSIST: m ints per row instead of dim floats (codes
+    fit a byte each at n_codes<=256 — a 32x storage cut at dim=64/m=8
+    before parquet even compresses), and every downstream scan prunes
+    to it.
+
+    ``kernel``: ``'arrow'`` (default) runs the (rows × n_codes × d_sub)
+    distance argmin as one numpy batch per Arrow chunk — the m × n_codes
+    interpreted-HOF distance evaluations per row otherwise dominate
+    encode time (measured ~4x at sf0.1).  ``'sql'`` is the
+    pure-expression twin (zero Python workers).  Both take the FIRST
+    minimal code on ties; kernel equality on the fixture corpus is
+    pinned in tests (exact-ULP distance ties could in principle differ
+    between the sequential fold and numpy's reduction order — the
+    re-rank stage makes top-k robust to that regardless)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        cbs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        id_type = corpus.schema[id_col].dataType.simpleString()
+
+        def encode_batches(batches):
+            for pdf in batches:
+                if len(pdf):
+                    X = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                    )
+                    codes = np.empty((len(pdf), m), dtype=np.int32)
+                    for j, cb in enumerate(cbs):
+                        sub = X[:, j * d_sub : (j + 1) * d_sub]
+                        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                        codes[:, j] = d2.argmin(axis=1)
+                    yield pd.DataFrame(
+                        {id_col: pdf[id_col], "pq_codes": list(codes)}
+                    )
+                else:
+                    yield pd.DataFrame({id_col: pdf[id_col], "pq_codes": []})
+
+        return corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ).mapInPandas(encode_batches, f"{id_col} {id_type}, pq_codes array<int>")
+    if kernel != "sql":
+        raise ValueError(f"unknown PQ encode kernel {kernel!r}; use 'arrow' or 'sql'")
     vec = F.col(vec_col)
     codes = F.array(
         *[

@@ -159,54 +159,100 @@ def repetition_stats(
     toks = tokens(F.col(text_col))
     n = F.size(toks)
 
-    def grams(k: int):
-        # k-grams as strings (tokens are whitespace-free, so ' '-joined
-        # k-grams are collision-free); empty array when the doc is
-        # shorter than k tokens
+    def grams(tv: Column, k: int):
+        # k-grams as strings over the BOUND token array ``tv`` (tokens
+        # are whitespace-free, so ' '-joined k-grams are collision-free);
+        # empty array when the doc is shorter than k tokens.  tv must be
+        # a lambda variable: an unbound split(...) here would re-split
+        # the text once per gram POSITION under interpreted evaluation
+        # (no subexpression elimination in Filters) — O(len²) per row.
+        nv = F.size(tv)
         return F.when(
-            n >= k,
+            nv >= k,
             F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
+                F.sequence(F.lit(1), nv - (k - 1)),
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                    " ", *[F.element_at(tv, i + j) for j in range(k)]
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    bigrams = F.array_sort(grams(2))
-    trigrams = grams(3)
-    # longest run of equal neighbors in the sorted array == max bigram
-    # multiplicity; struct-accumulator fold, evaluated in codegen
-    top_count = F.aggregate(
-        bigrams,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    # BIND the k-gram arrays as lambda variables (1-element transform):
+    # when a consumer filters on a derived column, Catalyst inlines this
+    # whole expression into an interpreted Filter, which — unlike
+    # projections — performs no subexpression elimination, so an
+    # unbound fold input would be REBUILT per fold element: O(len²) per
+    # row, a measured ~125x blowup at sf0.1.  A lambda variable is a
+    # materialized value; the fold iterates over it in O(len).
+    def stats_of(s: Column) -> Column:
+        bigrams = s["bg"]
+        trigrams = s["tg"]
+        # longest run of equal neighbors in the sorted array == max
+        # bigram multiplicity (struct-accumulator fold)
+        top_count = F.aggregate(
+            bigrams,
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        n_bi = F.size(bigrams)
+        n_tri = F.size(trigrams)
+        top_frac = F.round(
+            F.when(n_bi > 0, top_count.cast("double") / n_bi).otherwise(F.lit(0.0)),
+            6,
+        )
+        dup_frac = F.round(
+            F.when(
+                n_tri > 0,
+                (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri,
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        return F.struct(
+            top_frac.alias("top"),
+            dup_frac.alias("dup"),
+            ((top_frac > 0.18) | (dup_frac > 0.30)).alias("rep"),
+        )
+
+    stats = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tv: F.element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            F.array_sort(grams(tv, 2)).alias("bg"),
+                            grams(tv, 3).alias("tg"),
+                        )
+                    ),
+                    stats_of,
+                ),
+                1,
+            ),
         ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
+        1,
     )
-    n_bi = F.size(bigrams)
-    n_tri = F.size(trigrams)
-    top_frac = F.when(n_bi > 0, top_count.cast("double") / n_bi).otherwise(F.lit(0.0))
-    dup_frac = F.when(
-        n_tri > 0,
-        (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri,
-    ).otherwise(F.lit(0.0))
     return df.select(
         id_col,
         n.cast("long").alias("n_tokens"),
-        F.round(top_frac, 6).alias("top_bigram_frac"),
-        F.round(dup_frac, 6).alias("dup_trigram_frac"),
-    ).withColumn(
-        "is_repetitive",
-        (F.col("top_bigram_frac") > 0.18) | (F.col("dup_trigram_frac") > 0.30),
+        stats.alias("__rep"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("__rep.top").alias("top_bigram_frac"),
+        F.col("__rep.dup").alias("dup_trigram_frac"),
+        F.col("__rep.rep").alias("is_repetitive"),
     )
 
 
