@@ -138,6 +138,93 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _grams(tv: Column, k: int) -> Column:
+    """k-grams as strings over the BOUND token array ``tv`` (tokens are
+    whitespace-free, so ' '-joined k-grams are collision-free); empty
+    array when the doc is shorter than k tokens.  tv must be a lambda
+    variable: an unbound split(...) here would re-split the text once
+    per gram POSITION under interpreted evaluation (no subexpression
+    elimination in Filters) — O(len²) per row."""
+    nv = F.size(tv)
+    return F.when(
+        nv >= k,
+        F.transform(
+            F.sequence(F.lit(1), nv - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tv, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _stats_of(s: Column) -> Column:
+    """(top_bigram_frac, dup_trigram_frac, is_repetitive) from a bound
+    struct of (sorted bigrams, trigrams).  The most-frequent-bigram
+    count is the longest run of equal neighbors in the sorted array — a
+    single struct-accumulator fold, no explode+groupBy."""
+    bigrams = s["bg"]
+    trigrams = s["tg"]
+    top_count = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bi = F.size(bigrams)
+    n_tri = F.size(trigrams)
+    top_frac = F.round(
+        F.when(n_bi > 0, top_count.cast("double") / n_bi).otherwise(F.lit(0.0)), 6
+    )
+    dup_frac = F.round(
+        F.when(
+            n_tri > 0,
+            (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return F.struct(
+        top_frac.alias("top"),
+        dup_frac.alias("dup"),
+        ((top_frac > 0.18) | (dup_frac > 0.30)).alias("rep"),
+    )
+
+
+def _repetition_struct(text_col: str) -> Column:
+    """The fully-bound repetition struct (top/dup/rep): every array —
+    the tokens, then the k-gram arrays — is a lambda variable, so the
+    computation stays O(len) per row wherever Catalyst inlines it
+    (projection OR interpreted filter)."""
+    return F.element_at(
+        F.transform(
+            F.array(tokens(F.col(text_col))),
+            lambda tv: F.element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            F.array_sort(_grams(tv, 2)).alias("bg"),
+                            _grams(tv, 3).alias("tg"),
+                        )
+                    ),
+                    _stats_of,
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+
+
 def repetition_stats(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -150,103 +237,15 @@ def repetition_stats(
     (0.18 / 0.30).  Boilerplate, keyboard-mash, and template spam score
     high on these even when token-level distinct_ratio looks healthy.
 
-    Pure column expressions — the most-frequent-bigram count is a fold
-    over the SORTED bigram array (longest run of equal neighbors), not
-    an explode+groupBy, so the whole operator is map-side: zero
-    shuffle, embarrassingly parallel at 100 TB.  Per-document arrays
-    are bounded by document length, not corpus size.
+    Pure column expressions, zero shuffle, embarrassingly parallel at
+    100 TB; per-document arrays are bounded by document length, not
+    corpus size.  See _repetition_struct for the binding discipline
+    that keeps the fold O(len) even inside interpreted Filters.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-
-    def grams(tv: Column, k: int):
-        # k-grams as strings over the BOUND token array ``tv`` (tokens
-        # are whitespace-free, so ' '-joined k-grams are collision-free);
-        # empty array when the doc is shorter than k tokens.  tv must be
-        # a lambda variable: an unbound split(...) here would re-split
-        # the text once per gram POSITION under interpreted evaluation
-        # (no subexpression elimination in Filters) — O(len²) per row.
-        nv = F.size(tv)
-        return F.when(
-            nv >= k,
-            F.transform(
-                F.sequence(F.lit(1), nv - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tv, i + j) for j in range(k)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    # BIND the k-gram arrays as lambda variables (1-element transform):
-    # when a consumer filters on a derived column, Catalyst inlines this
-    # whole expression into an interpreted Filter, which — unlike
-    # projections — performs no subexpression elimination, so an
-    # unbound fold input would be REBUILT per fold element: O(len²) per
-    # row, a measured ~125x blowup at sf0.1.  A lambda variable is a
-    # materialized value; the fold iterates over it in O(len).
-    def stats_of(s: Column) -> Column:
-        bigrams = s["bg"]
-        trigrams = s["tg"]
-        # longest run of equal neighbors in the sorted array == max
-        # bigram multiplicity (struct-accumulator fold)
-        top_count = F.aggregate(
-            bigrams,
-            F.struct(
-                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))
-                .alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        )
-        n_bi = F.size(bigrams)
-        n_tri = F.size(trigrams)
-        top_frac = F.round(
-            F.when(n_bi > 0, top_count.cast("double") / n_bi).otherwise(F.lit(0.0)),
-            6,
-        )
-        dup_frac = F.round(
-            F.when(
-                n_tri > 0,
-                (n_tri - F.size(F.array_distinct(trigrams))).cast("double") / n_tri,
-            ).otherwise(F.lit(0.0)),
-            6,
-        )
-        return F.struct(
-            top_frac.alias("top"),
-            dup_frac.alias("dup"),
-            ((top_frac > 0.18) | (dup_frac > 0.30)).alias("rep"),
-        )
-
-    stats = F.element_at(
-        F.transform(
-            F.array(toks),
-            lambda tv: F.element_at(
-                F.transform(
-                    F.array(
-                        F.struct(
-                            F.array_sort(grams(tv, 2)).alias("bg"),
-                            grams(tv, 3).alias("tg"),
-                        )
-                    ),
-                    stats_of,
-                ),
-                1,
-            ),
-        ),
-        1,
-    )
     return df.select(
         id_col,
-        n.cast("long").alias("n_tokens"),
-        stats.alias("__rep"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        _repetition_struct(text_col).alias("__rep"),
     ).select(
         id_col,
         "n_tokens",
@@ -254,6 +253,15 @@ def repetition_stats(
         F.col("__rep.dup").alias("dup_trigram_frac"),
         F.col("__rep.rep").alias("is_repetitive"),
     )
+
+
+def repetition_flag(text_col: str = "text") -> Column:
+    """``is_repetitive`` as a standalone bound Column — for one-pass
+    pipelines that fuse several gates into a single projection instead
+    of joining per-gate frames (plans.llm_queries.
+    docs_curation_pipeline).  Identical semantics/thresholds to
+    ``repetition_stats``."""
+    return _repetition_struct(text_col)["rep"]
 
 
 def pack_token_budget(

@@ -1369,12 +1369,30 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     two small-partition windows — no operation touches more than one
     shuffle of the full corpus at a time."""
     docs = load_table(spark, sf_dir, "documents")
-    q = docs_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
-    rst = text.repetition_stats(docs).select("doc_id", "is_repetitive")
-    good_src = text.filter_by_source_reputation(docs)
+    # one-pass gates: quality and repetition are map-side expressions
+    # computed in a SINGLE projection over one documents scan (joining
+    # per-gate frames would rescan the corpus once per gate); the only
+    # non-local input, per-source reputation, is a tiny aggregate that
+    # comes back as a broadcast anti-join.
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*text.STOPWORDS))).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    score = F.round(
+        F.least(n_tok.cast("double") / 32.0, F.lit(1.0)) * 0.4
+        + (1.0 - n_stop.cast("double") / n_tok) * 0.2
+        + (n_dist.cast("double") / n_tok) * 0.4,
+        6,
+    )
     gates = (
-        good_src.join(q, "doc_id")
-        .join(rst, "doc_id")
+        text.filter_by_source_reputation(docs)
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            score.alias("quality_score"),
+            text.repetition_flag("text").alias("is_repetitive"),
+        )
         .filter((~F.col("is_repetitive")) & (F.col("quality_score") >= 0.5))
         .select("doc_id", "source", "text", "quality_score")
     )
