@@ -339,3 +339,90 @@ def test_hash_split_partition_invariant(spark, keys, n_parts):
         by_key.setdefault(r["k"], set()).add(r["s"])
     assert all(len(v) == 1 for v in by_key.values())
     assert {s for v in by_key.values() for s in v} <= set(fr)
+
+
+range_join_strategy = st.tuples(
+    st.lists(st.integers(min_value=-50, max_value=500), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=500),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([7, 64, 200]),
+)
+
+
+@given(data=range_join_strategy)
+@settings(**_SETTINGS)
+def test_bin_range_join_matches_reference(spark, data):
+    """bin_range_join == the O(n*m) pure-Python inequality join for any
+    points/intervals/bin_width, including negative domains, empty
+    intervals, and bin-straddling windows."""
+    from ultimate_data_engineering_project_spark.operators.relational import (
+        bin_range_join,
+    )
+
+    pts, ivs, width = data
+    points = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "pid int, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)],
+        "iid int, s long, e long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bin_range_join(
+            points, intervals, point_col="p", start_col="s", end_col="e",
+            bin_width=width,
+        ).select("pid", "iid").collect()
+    )
+    expect = sorted(
+        (pi, ii)
+        for pi, p in enumerate(pts)
+        for ii, (s, ln) in enumerate(ivs)
+        if s <= p < s + ln
+    )
+    assert got == expect
+
+
+texts_rep_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "spam"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=texts_rep_strategy)
+@settings(**_SETTINGS)
+def test_repetition_stats_matches_reference(spark, texts):
+    """top-bigram / dup-trigram fractions == a pure-Python counter
+    reference on random small-vocab texts (small vocab forces heavy
+    k-gram collisions — the regime the fold must get right)."""
+    from collections import Counter
+
+    from ultimate_data_engineering_project_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.top_bigram_frac, r.dup_trigram_frac, r.is_repetitive)
+        for r in repetition_stats(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # NB: "".split(" ") == [""] — matches F.split
+        bis = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        tris = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        top = max(Counter(bis).values()) / len(bis) if bis else 0.0
+        dup = (len(tris) - len(set(tris))) / len(tris) if tris else 0.0
+        assert got[i][0] == round(top, 6), (i, t)
+        assert got[i][1] == round(dup, 6), (i, t)
+        assert got[i][2] == (round(top, 6) > 0.18 or round(dup, 6) > 0.30)
