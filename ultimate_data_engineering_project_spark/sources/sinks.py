@@ -233,3 +233,126 @@ def s3a_conf(
     if secret_key is not None:
         conf["fs.s3a.secret.key"] = secret_key
     return conf
+
+
+def zorder_value(
+    cols: list[str], mins: list[float], maxs: list[float], *, bits: int = 12
+) -> "F.Column":
+    """Z-order (Morton) key over 2-4 numeric columns as one JVM-side
+    expression: each column is linearly quantized to ``bits`` bits over
+    its [min, max] range (driver-known constants — one bounded aggregate
+    upstream), then the bit planes interleave so nearby (c1, c2, ...)
+    tuples get nearby keys.  len(cols) * bits must stay <= 63 (signed
+    long)."""
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError("zorder_value interleaves 2-4 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+    top = (1 << bits) - 1
+    quantized = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        span = float(mx) - float(mn)
+        if span <= 0:
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.col(c).cast("double") - float(mn)) / span * top
+        ).cast("long")
+        quantized.append(F.least(F.lit(top), F.greatest(F.lit(0), scaled)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, qc in enumerate(quantized):
+            bit = F.shiftright(qc, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def _rank_bucket(col: str, boundaries: list[float]) -> "F.Column":
+    """Equi-DEPTH bucket id of a column against driver-computed quantile
+    boundaries (count of boundaries <= x): rank quantization is what
+    makes Z-ordering robust to skew — a heavy-tailed column under
+    linear min/max quantization collapses into a handful of codes and
+    the interleave degenerates to a single-column sort."""
+    blit = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(blit, lambda b: b <= F.col(col).cast("double"))).cast(
+        "long"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 8,
+    mode: str = "overwrite",
+    quantization: str = "rank",
+) -> None:
+    """Write parquet Z-ORDERED on ``cols`` for multi-column data
+    skipping (the Delta OPTIMIZE ZORDER BY recipe, expressed with plain
+    open-source Spark): quantize + interleave into a Morton key, range-
+    partition on it, sort within partitions, write.
+
+    Why it matters at 100 TB: parquet readers prune row groups by
+    min/max stats.  A single-column sort gives perfect pruning on that
+    column and NONE on the others; the Morton layout gives good pruning
+    on EVERY interleaved column at once, so multi-predicate scans skip
+    most of the table.  The improvement is asserted quantitatively in
+    tests (per-row-group stats via pyarrow: fraction of row groups a
+    small box query must read drops vs a one-column sort layout).
+
+    ``quantization='rank'`` (default) buckets each column by its own
+    approximate quantile boundaries (equi-depth — skew-proof, the
+    range-partition-id recipe); ``'linear'`` scales by [min, max] (fine
+    for uniform columns, degenerate for heavy tails).  Both need only a
+    bounded driver round-trip of per-column constants.  Rank mode pays
+    O(2^bits) comparisons per row per column against the boundary
+    literal — the default 8 bits (256 equi-depth buckets per dimension)
+    is plenty of layout resolution at a write-once cost; raise bits
+    only with 'linear'."""
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError("write_zordered interleaves 2-4 columns")
+    if quantization == "rank":
+        k = 1 << bits
+        if n * bits > 63:
+            raise ValueError(f"{n} cols x {bits} bits overflows a signed long")
+        probs = [i / k for i in range(1, k)]
+        casted = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        )
+        bounds = casted.stat.approxQuantile(cols, probs, 0.01)
+        q = [_rank_bucket(c, bounds[i]) for i, c in enumerate(cols)]
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, qc in enumerate(q):
+                bit = F.shiftright(qc, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    elif quantization == "linear":
+        row = df.agg(
+            *[
+                F.min(F.col(c).cast("double")).alias(f"__mn{i}")
+                for i, c in enumerate(cols)
+            ],
+            *[
+                F.max(F.col(c).cast("double")).alias(f"__mx{i}")
+                for i, c in enumerate(cols)
+            ],
+        ).collect()[0]
+        mins = [row[f"__mn{i}"] for i in range(len(cols))]
+        maxs = [row[f"__mx{i}"] for i in range(len(cols))]
+        z = zorder_value(cols, mins, maxs, bits=bits)
+    else:
+        raise ValueError(
+            f"unknown quantization {quantization!r}; use 'rank' or 'linear'"
+        )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
