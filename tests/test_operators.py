@@ -922,6 +922,14 @@ def test_bin_range_join_matches_naive_and_boundaries(spark):
     assert sorted(r.pid for r in semi.collect()) == sorted(
         {r.pid for r in naive}
     )
+    # true left_semi semantics: fully-duplicate left rows are PRESERVED
+    # (one output row per input row, not per distinct value)
+    dup_pts = spark.createDataFrame([(1, 5), (1, 5), (2, 700)], "pid int, p long")
+    dup_semi = bin_range_join(
+        dup_pts, intervals, point_col="p", start_col="s", end_col="e",
+        bin_width=64, how="left_semi",
+    )
+    assert sorted(r.pid for r in dup_semi.collect()) == [1, 1]
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="inner/left_semi"):

@@ -542,16 +542,24 @@ def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
         _json.dumps({"op": "u", "before": None, "after": '{"k":4,"v":"d"}'}),  # no ts
         _json.dumps({"op": "c", "ts_ms": 5, "after": None}),     # missing after
         _json.dumps({"op": "d", "ts_ms": 6, "before": None}),    # missing before
+        # corrupt INNER images: from_json(row_schema) yields a
+        # struct-of-nulls for these, which without the corrupt-record
+        # column would upsert a NULL-key row (verified data-loss path)
+        _json.dumps({"op": "c", "ts_ms": 7, "after": "{broken json"}),
+        _json.dumps({"op": "d", "ts_ms": 8, "before": "not { json"}),
     ]
     raw = spark.createDataFrame([(x,) for x in lines], "value string")
     changes, quarantined = split_envelope_quarantine(raw, row_schema)
     assert changes.count() == 1
+    # the good side carries clean row structs (no corrupt-record field)
+    assert "_corrupt_record" not in changes.select("after.*").columns
     got = {r.value: r.reason for r in quarantined.collect()}
-    assert len(got) == 6
+    assert len(got) == 8
     reasons = sorted(got.values())
     assert reasons == sorted(
         ["unparseable_envelope", "bad_op", "bad_op", "missing_ts",
-         "missing_after", "missing_before"]
+         "missing_after", "missing_before", "corrupt_after",
+         "corrupt_before"]
     )
 
     # end-to-end through run_cdc_stream with quarantine_dir
@@ -569,4 +577,9 @@ def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
     img = spark.read.parquet(table_dir)
     assert {(r.k, r.v) for r in img.collect()} == {(1, "a")}
     dlq = spark.read.parquet(qdir)
-    assert dlq.count() == 6 and set(dlq.columns) == {"value", "reason"}
+    assert dlq.count() == 8 and set(dlq.columns) == {"value", "reason"}
+    import pytest as _pytest
+
+    bad_schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with _pytest.raises(ValueError, match="reserved"):
+        split_envelope_quarantine(raw, bad_schema)

@@ -305,13 +305,23 @@ def bin_range_join(
             )
         ),
     )
+    if how == "left_semi":
+        # a TRUE semi join: each left row survives at most once no
+        # matter how many windows (or window-bins) it hits, and
+        # fully-duplicate left rows are preserved — standard left_semi
+        # semantics (a post-join dropDuplicates would collapse them)
+        a, b = pt.alias("p"), iv.alias("i")
+        cond = (
+            (F.col("p.__bin") == F.col("i.__bin"))
+            & (F.col(f"i.{start_col}") <= F.col(f"p.{point_col}"))
+            & (F.col(f"p.{point_col}") < F.col(f"i.{end_col}"))
+        )
+        for c in extra_on:
+            cond = cond & (F.col(f"p.{c}") == F.col(f"i.{c}"))
+        return a.join(b, on=cond, how="left_semi").drop("__bin")
     joined = pt.join(iv, on=["__bin", *extra_on], how="inner").filter(
         (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) < F.col(end_col))
     )
-    if how == "left_semi":
-        # semi semantics on the ORIGINAL rows: distinct surviving points
-        keep = joined.select(*points.columns).dropDuplicates(points.columns)
-        return keep
     return joined.drop("__bin")
 
 

@@ -80,6 +80,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The scalar quality score as a standalone rounded Column — the
+    single source of truth for the scoring formula, shared by the
+    quality_score frame, the docs_quality_scores catalog entry, and the
+    one-pass curation pipeline (plans.llm_queries)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    return F.round(
+        F.least(n_tok.cast("double") / 32.0, F.lit(1.0)) * 0.4
+        + (1.0 - n_stop.cast("double") / n_tok) * 0.2
+        + (n_dist.cast("double") / n_tok) * 0.4,
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scalar quality score in [0,1]: penalize ultra-short docs, pure
     stopword soup, and heavy repetition.  Deterministic arithmetic only.

@@ -120,17 +120,12 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_dist = F.size(F.array_distinct(toks)).cast("long")
     stop_ratio = n_stop.cast("double") / n_tok
     dist_ratio = n_dist.cast("double") / n_tok
-    score = (
-        F.least(n_tok.cast("double") / 32.0, F.lit(1.0)) * 0.4
-        + (1.0 - stop_ratio) * 0.2
-        + dist_ratio * 0.4
-    )
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(dist_ratio, 6).alias("distinct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        text.quality_score_col("text").alias("quality_score"),
     )
 
 
@@ -164,8 +159,9 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS top_bigram_frac,
            ROUND(COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0), 6)
                AS dup_trigram_frac,
-           (COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0) > 0.18
-            OR COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0) > 0.30)
+           (ROUND(COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0), 6) > 0.18
+            OR ROUND(COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0), 6)
+               > 0.30)
                AS is_repetitive
     FROM toks_t t
     LEFT JOIN bg_top b USING (doc_id)
@@ -1286,9 +1282,9 @@ _QUALITY_CTE = """
 
 _REPETITION_FLAG_CTE = """
         SELECT t2.doc_id,
-               (COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0) > 0.18
-                OR COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0)
-                   > 0.30) AS is_repetitive
+               (ROUND(COALESCE(CAST(b.top_c AS DOUBLE) / b.n_bi, 0.0), 6) > 0.18
+                OR ROUND(COALESCE(CAST(c.n_tri - c.n_tri_d AS DOUBLE) / c.n_tri, 0.0),
+                         6) > 0.30) AS is_repetitive
         FROM toks_all t2
         LEFT JOIN (
             SELECT doc_id, SUM(cc) AS n_bi, MAX(cc) AS top_c
@@ -1374,23 +1370,13 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-gate frames would rescan the corpus once per gate); the only
     # non-local input, per-source reputation, is a tiny aggregate that
     # comes back as a broadcast anti-join.
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*text.STOPWORDS))).cast("long")
-    n_dist = F.size(F.array_distinct(toks)).cast("long")
-    score = F.round(
-        F.least(n_tok.cast("double") / 32.0, F.lit(1.0)) * 0.4
-        + (1.0 - n_stop.cast("double") / n_tok) * 0.2
-        + (n_dist.cast("double") / n_tok) * 0.4,
-        6,
-    )
     gates = (
         text.filter_by_source_reputation(docs)
         .select(
             "doc_id",
             "source",
             "text",
-            score.alias("quality_score"),
+            text.quality_score_col("text").alias("quality_score"),
             text.repetition_flag("text").alias("is_repetitive"),
         )
         .filter((~F.col("is_repetitive")) & (F.col("quality_score") >= 0.5))

@@ -260,6 +260,13 @@ def zorder_value(
             (F.col(c).cast("double") - float(mn)) / span * top
         ).cast("long")
         quantized.append(F.least(F.lit(top), F.greatest(F.lit(0), scaled)))
+    return _morton_interleave(quantized, bits)
+
+
+def _morton_interleave(quantized: list["F.Column"], bits: int) -> "F.Column":
+    """Interleave the low ``bits`` bits of each quantized column into
+    one Morton key (bit i of column j lands at position i*n + j)."""
+    n = len(quantized)
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, qc in enumerate(quantized):
@@ -325,11 +332,7 @@ def write_zordered(
         )
         bounds = casted.stat.approxQuantile(cols, probs, 0.01)
         q = [_rank_bucket(c, bounds[i]) for i, c in enumerate(cols)]
-        z = F.lit(0).cast("long")
-        for i in range(bits):
-            for j, qc in enumerate(q):
-                bit = F.shiftright(qc, i).bitwiseAND(F.lit(1))
-                z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+        z = _morton_interleave(q, bits)
     elif quantization == "linear":
         row = df.agg(
             *[

@@ -283,7 +283,9 @@ def run_cdc_stream(
         from pyspark.errors import AnalysisException
 
         if quarantine_dir is not None:
-            changes, quarantined = split_envelope_quarantine(batch_df, row_schema)
+            changes, quarantined = split_envelope_quarantine(
+                batch_df, row_schema, materialize=True
+            )
             if quarantined.head(1):
                 quarantined.write.mode("append").parquet(quarantine_dir)
         else:
@@ -401,7 +403,10 @@ def parse_debezium_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFra
 
 
 def split_envelope_quarantine(
-    raw: DataFrame, row_schema: T.StructType
+    raw: DataFrame,
+    row_schema: T.StructType,
+    *,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dead-letter split for the CDC envelope stream: (good_changes,
     quarantined).
@@ -409,25 +414,40 @@ def split_envelope_quarantine(
     ``parse_debezium_envelope`` alone silently nulls corrupt frames —
     from_json returns NULL and the null-op rows vanish in the apply
     filters, which is data LOSS masquerading as success.  Here every
-    raw frame either parses completely or lands in the quarantine frame
-    with its original bytes and a reason (``unparseable_envelope``,
-    ``bad_op``, ``missing_ts``, ``missing_after``, ``missing_before``),
-    so a poisoned topic is visible, re-processable, and alertable.
-    Pure expressions — one pass, no UDF; the split is two filters over
-    the same parsed projection (one scan under whole-stage codegen).
+    raw frame either parses completely (envelope AND inner row images)
+    or lands in the quarantine frame with its original bytes and a
+    reason (``unparseable_envelope``, ``bad_op``, ``missing_ts``,
+    ``missing_after``/``corrupt_after``, ``missing_before``/
+    ``corrupt_before``), so a poisoned topic is visible,
+    re-processable, and alertable.  Pure expressions — no UDF.
+
+    ``materialize=True`` localCheckpoints the parsed+marked frame so
+    that consumers reading BOTH sides (quarantine write + apply) parse
+    each envelope exactly once instead of once per consumer — the
+    foreachBatch shape in run_cdc_stream.
     """
+    if "_corrupt_record" in row_schema.fieldNames():
+        raise ValueError(
+            "'_corrupt_record' is reserved for corrupt-payload detection; "
+            "rename the column in row_schema"
+        )
     # PERMISSIVE from_json yields a struct of NULLS for malformed JSON
-    # (not a null struct), so unparseable frames are only detectable via
-    # the canonical corrupt-record column.
+    # (not a null struct), so unparseable text is only detectable via
+    # the canonical corrupt-record column — for the ENVELOPE and for
+    # the inner before/after images alike (a corrupt inner image would
+    # otherwise pass as an all-null row and upsert a NULL key).
     env_schema = T.StructType(
         list(DEBEZIUM_ENVELOPE.fields)
         + [T.StructField("_corrupt_record", T.StringType())]
     )
-    env = F.from_json(
-        F.col("value").cast("string"),
-        env_schema,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    inner_schema = T.StructType(
+        list(row_schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
+    corrupt_opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt_record",
+    }
+    env = F.from_json(F.col("value").cast("string"), env_schema, corrupt_opts)
     parsed = raw.select(
         F.col("value"),
         env.alias("env"),
@@ -435,8 +455,8 @@ def split_envelope_quarantine(
         "value",
         F.col("env.op").alias("op"),
         F.col("env.ts_ms").alias("ts_ms"),
-        F.from_json("env.before", row_schema).alias("before"),
-        F.from_json("env.after", row_schema).alias("after"),
+        F.from_json("env.before", inner_schema, corrupt_opts).alias("before"),
+        F.from_json("env.after", inner_schema, corrupt_opts).alias("after"),
         (F.col("env").isNull() | F.col("env._corrupt_record").isNotNull()).alias(
             "__no_env"
         ),
@@ -449,11 +469,24 @@ def split_envelope_quarantine(
         )
         .when(F.col("ts_ms").isNull(), "missing_ts")
         .when((F.col("op") != "d") & F.col("after").isNull(), "missing_after")
+        .when(
+            (F.col("op") != "d") & F.col("after._corrupt_record").isNotNull(),
+            "corrupt_after",
+        )
         .when((F.col("op") == "d") & F.col("before").isNull(), "missing_before")
+        .when(
+            (F.col("op") == "d") & F.col("before._corrupt_record").isNotNull(),
+            "corrupt_before",
+        )
     )
     marked = parsed.withColumn("__reason", reason)
+    if materialize:
+        marked = marked.localCheckpoint(eager=True)
     good = marked.filter(F.col("__reason").isNull()).select(
-        "op", "ts_ms", "before", "after"
+        "op",
+        "ts_ms",
+        F.col("before").dropFields("_corrupt_record").alias("before"),
+        F.col("after").dropFields("_corrupt_record").alias("after"),
     )
     quarantined = marked.filter(F.col("__reason").isNotNull()).select(
         F.col("value").cast("string").alias("value"),
@@ -526,34 +559,36 @@ def run_incremental_dedup_stream(
     Within-batch duplicates are handled by the batch pair path upstream
     (or a stream_dedup stage); this operator owns the batch-vs-history
     half.  State never lives in executor memory: the index is parquet,
-    so a restart resumes from the checkpoint with full history intact;
-    index/docs reads dedup by id so a replayed batch is idempotent (a
-    replay may re-append verified pairs — consumers key on
-    (new_id, old_id), which stays exact).
+    so a restart resumes from the checkpoint with full history intact.
+    Idempotence is WRITE-time: every output lands under a
+    ``batch=<id>`` subdirectory with overwrite, so a replayed batch
+    rewrites its own partition instead of duplicating rows — no
+    read-side dedup over the accumulated history (which would shuffle
+    the whole corpus every batch and void the incremental contract);
+    the pairs output is exactly-once for the same reason.
     At 100 TB the index is narrow band rows (partition by band_key
     range for co-located probes) — the corpus text is stored once in
     the companion ``_docs`` table and touched only per-candidate.
     """
+    import glob
     import os
 
     from ultimate_data_engineering_project_spark.operators import dedup
 
     docs_dir = index_dir.rstrip("/") + "_docs"
 
+    def _read_batches(root: str) -> DataFrame | None:
+        # batch=<id> partition dirs; basePath keeps partition discovery
+        # rooted (the discovered `batch` column is dropped)
+        if not glob.glob(os.path.join(root, "batch=*", "*.parquet")):
+            return None
+        return spark.read.option("basePath", root).parquet(root).drop("batch")
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-        have_index = os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        )
-        if have_index:
-            # foreachBatch append sinks are at-least-once on retry: a
-            # replayed batch would double its band/doc rows and skew
-            # the Jaccard counts (sizes and intersections are
-            # row-counted).  Dedup on read makes replays idempotent.
-            index = spark.read.parquet(index_dir).dropDuplicates(
-                ["id", "band_id"]
-            )
-            old = spark.read.parquet(docs_dir).dropDuplicates([id_col])
+        index = _read_batches(index_dir)
+        if index is not None:
+            old = _read_batches(docs_dir)
             pairs = dedup.minhash_match_index_md5(
                 batch_df,
                 index,
@@ -565,7 +600,10 @@ def run_incremental_dedup_stream(
                 bands=bands,
                 jaccard_threshold=jaccard_threshold,
             )
-            pairs.write.mode("append").parquet(pairs_dir)
+            # overwrite of THIS batch's partition = replay-idempotent
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch={batch_id}")
+            )
         new_bands = dedup.minhash_band_index_md5(
             batch_df,
             id_col,
@@ -574,8 +612,12 @@ def run_incremental_dedup_stream(
             num_hashes=num_hashes,
             bands=bands,
         )
-        new_bands.write.mode("append").parquet(index_dir)
-        batch_df.write.mode("append").parquet(docs_dir)
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch={batch_id}")
+        )
 
     writer = docs.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
