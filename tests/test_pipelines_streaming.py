@@ -583,3 +583,25 @@ def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
     bad_schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
     with _pytest.raises(ValueError, match="reserved"):
         split_envelope_quarantine(raw, bad_schema)
+
+
+def test_resize_images_shapes_and_determinism(spark, sf_dir):
+    """The resize plumbing contract: fixed-size thumbnails (width*height
+    bytes -> 2x hex chars), deterministic across runs, over the
+    Arrow-batched path."""
+    from ultimate_data_engineering_project_spark.operators.multimodal import (
+        attach_fake_binary,
+        resize_images,
+    )
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_fake_binary(docs)
+    a = {r.doc_id: r for r in resize_images(media, width=4, height=6).collect()}
+    b = {r.doc_id: r for r in resize_images(media, width=4, height=6).collect()}
+    assert len(a) == 20
+    for did, r in a.items():
+        assert (r.out_width, r.out_height) == (4, 6)
+        assert len(r.thumb_hex) == 2 * 4 * 6
+        assert r.thumb_hex == b[did].thumb_hex  # deterministic
+        assert r.n_bytes_in > 0

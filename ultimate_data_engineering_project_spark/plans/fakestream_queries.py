@@ -303,6 +303,30 @@ def fakestream_gold_dashboards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize_thumbs",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS out_width,
+           CAST(8 AS INTEGER) AS out_height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+           substr(sha256(text || ':0') || sha256(text || ':1'), 1, 128)
+               AS thumb_hex
+    FROM documents
+    """,
+)
+def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE plumbing (X5): binary media -> fixed-size
+    grayscale thumbnail via Arrow-batched mapInPandas
+    (operators/multimodal.resize_images).  kernel='fallback' pins the
+    deterministic pseudo-thumbnail (sha256 counter chunks truncated to
+    width*height bytes), which the oracle reproduces hex-for-hex; the
+    PIL LANCZOS path rides kernel='auto' in the operator API."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_binary(docs)
+    return multimodal.resize_images(media, kernel="fallback")
+
+
 def _multimodal_oracle() -> str:
     """Reproduce the deterministic decode kernel in SQL: media bytes =
     UTF-8(text); feature[i] = float32(byte_i(sha256)/255.0).  Hex chars
