@@ -624,3 +624,128 @@ def fakestream_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_accounts", 1000)
         .load()
     )
+
+
+@register(
+    "events_value_anomalies",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, event_type, value,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               COUNT(*) OVER win AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER win AS s,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) OVER win AS sq
+        FROM events
+        WINDOW win AS (PARTITION BY event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, value,
+           ROUND((cents - CAST(s AS DOUBLE) / n)
+                 / sqrt((sq - s * s / n) / (n - 1)), 6) AS zscore
+    FROM w
+    WHERE n >= 30
+      AND abs((cents - CAST(s AS DOUBLE) / n)
+              / sqrt((sq - s * s / n) / (n - 1))) > 3
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (W3 applied to DQ/fraud — the
+    reference's declared monitoring dashboards): each event scored
+    against the trailing 50 same-type events; |z| > 3 flags.
+
+    Engine-exact by construction: values quantize to integer cents, the
+    window accumulates integer Σx and Σx² (exact under ANY accumulation
+    order — the reason built-in stddev can't be the oracle-checked
+    path), and mean/var derive from the two exact sums.  One shuffle on
+    event_type; the frame is ROWS-bounded so state is O(window)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        cents.alias("cents"),
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(cents).over(win).alias("s"),
+        F.sum(cents * cents).over(win).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("cents") - mean) / F.sqrt(var)
+    return (
+        w.filter(F.col("n") >= 30)
+        .withColumn("zscore", F.round(z, 6))
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS v,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN CAST(ts AS TIMESTAMP) END) AS c,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS p
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           COUNT(*) AS n_user_days,
+           CAST(count_if(v IS NOT NULL AND c IS NOT NULL) AS BIGINT)
+               AS n_view_click,
+           CAST(count_if(v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                         AND v < c AND c < p) AS BIGINT) AS n_converted
+    FROM ud
+    GROUP BY day
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (the classic product-analytics query
+    over the events stream): per user-day, did view -> click -> purchase
+    happen IN ORDER (first-touch timestamps strictly increasing), rolled
+    up to daily cohort counts.
+
+    Two hash aggregates, both map-side-combinable: (user, day) firsts,
+    then the daily rollup — no window over raw events, no self-join
+    explosion; the ordering predicate runs on three scalars per
+    user-day.  100 TB shape: shuffle keys are (user, day) then day."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    ud = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        first_ts("view").alias("v"),
+        first_ts("click").alias("c"),
+        first_ts("purchase").alias("p"),
+    )
+    converted = (
+        F.col("v").isNotNull()
+        & F.col("c").isNotNull()
+        & F.col("p").isNotNull()
+        & (F.col("v") < F.col("c"))
+        & (F.col("c") < F.col("p"))
+    )
+    return ud.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum(
+            (F.col("v").isNotNull() & F.col("c").isNotNull()).cast("long")
+        ).alias("n_view_click"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+    )
