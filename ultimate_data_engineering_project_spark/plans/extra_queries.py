@@ -749,3 +749,52 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_view_click"),
         F.sum(converted.cast("long")).alias("n_converted"),
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity a
+    JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (the other canonical product-analytics
+    rollup): users grouped by first-seen day, counted on each later
+    active day as an offset — the (cohort_day, day_offset) matrix
+    dashboards plot as retention curves.
+
+    Distinct (user, day) activity first (one hash aggregate collapses
+    arbitrarily many events per user-day), cohort day per user, then
+    the triangle rollup.  The cohort frame is |users| rows — NOT
+    broadcast material at scale — so the activity-cohort join shuffles
+    on user_id (both sides already hash-partitioned by user from their
+    aggregates; AQE may still broadcast when users are few).  Shuffle
+    keys: (user, day), user, then (cohort_day, offset); nothing is
+    per-event after the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
