@@ -798,3 +798,94 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
     )
+
+
+@register(
+    "user_value_trends",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(ts AS TIMESTAMP) AS tts
+        FROM events
+    ),
+    rel AS (
+        -- elapsed WHOLE minutes: FLOOR of elapsed micros on BOTH
+        -- engines (date_diff('minute') counts boundary crossings, and
+        -- DuckDB's CAST(double AS BIGINT) ROUNDS while Spark's cast
+        -- truncates — either one silently skews x)
+        SELECT user_id, cents,
+               CAST(FLOOR((epoch_us(tts)
+                     - MIN(epoch_us(tts)) OVER (PARTITION BY user_id))
+                    / 60000000) AS BIGINT) AS x
+        FROM base
+    ),
+    s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(cents) AS sy,
+               SUM(x * cents) AS sxy,
+               SUM(x * x) AS sxx
+        FROM rel GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 8)
+               AS slope_cents_per_min,
+           ROUND((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * sx) / n, 6) AS intercept_cents
+    FROM s
+    WHERE n >= 5 AND n * sxx - sx * sx != 0
+    """,
+)
+def user_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity OLS trend (closed form — the 'is this user's spend
+    rising' analytics primitive): slope and intercept of event value
+    over minutes-since-first-event, per user.
+
+    Integer-exact throughout: values quantize to cents, x to whole
+    minutes from the user's own origin (small magnitudes keep every
+    product inside int64), and the ONE pass accumulates Σx, Σy, Σxy,
+    Σx² as longs — closed-form slope/intercept then derive from exact
+    sums, so any engine and any partitioning produce identical doubles.
+    Plan: one window for the per-user origin + one hash aggregate; no
+    per-entity Python (the applyInPandas escape hatch stays unused —
+    OLS has a set-oriented form)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("ts").cast("timestamp").alias("tts"),
+    )
+    origin = Window.partitionBy("user_id")
+    rel = base.select(
+        "user_id",
+        "cents",
+        F.floor(
+            (F.unix_micros(F.col("tts")) - F.unix_micros(F.min("tts").over(origin)))
+            / F.lit(60_000_000)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    s = rel.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / denom.cast("double")
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return (
+        s.filter((F.col("n") >= 5) & (denom != 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 8).alias("slope_cents_per_min"),
+            F.round(intercept, 6).alias("intercept_cents"),
+        )
+    )
