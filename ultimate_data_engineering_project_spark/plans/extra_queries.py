@@ -889,3 +889,74 @@ def user_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(intercept, 6).alias("intercept_cents"),
         )
     )
+
+
+@register(
+    "source_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    df_t AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    tf AS (
+        SELECT source, token, COUNT(*) AS n_occur
+        FROM tok GROUP BY source, token
+    ),
+    scored AS (
+        SELECT tf.source, tf.token, tf.n_occur,
+               ROUND(tf.n_occur * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.source
+                   ORDER BY ROUND(tf.n_occur * ln(CAST(n.n AS DOUBLE) / d.df), 6)
+                            DESC, tf.token
+               ) AS rnk
+        FROM tf
+        JOIN df_t d USING (token)
+        CROSS JOIN n_docs n
+    )
+    SELECT source, token, CAST(n_occur AS BIGINT) AS n_occur, tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 5
+    """,
+)
+def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source via TF-IDF (X4 corpus analytics —
+    what makes each source's vocabulary unusual, the basic corpus-audit
+    view): term frequency per (source, token) x ln(N/df) inverse
+    document frequency, top 5 per source.
+
+    Scale shape: the token explode feeds two map-side-combinable hash
+    aggregates — (source, token) counts and distinct-doc document
+    frequencies — then a broadcast of the tiny scalar N and the
+    per-source top-k window over already-aggregated rows.  Ranking
+    orders on the ROUNDED score with a token tiebreak so the top-k
+    set is engine-stable (ln differs below the rounding precision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_occur"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("n_occur")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "token", "n_occur", "tfidf", "rnk")
+    )
