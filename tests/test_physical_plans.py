@@ -114,6 +114,10 @@ NESTED_LOOP_ALLOWED = {
     "filter_recent_window",
     "part_value_share",
     "wealthy_segment_summary",
+    # one-row broadcast of the corpus-size scalar (same family as the
+    # scalar-subquery entries above): the nested loop's build side is
+    # exactly 1 row
+    "source_top_terms",
     "timeseries_dtw_pairs",
     "timeseries_similar_users_exact",
     # PQ's ADC stage is the intended full-scan shape: corpus codes x a
