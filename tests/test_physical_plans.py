@@ -149,6 +149,31 @@ def test_timeseries_blocked_pair_join_is_equi(spark, sf_dir):
         ), (entry, p)
 
 
+def test_exact_dedup_exchange_key_is_fingerprint(spark, sf_dir):
+    """X1 scale contract: exact dedup must never ship document bytes
+    through a shuffle — neither as an exchange key nor inside a window
+    partition spec.  Both the canonical entry and the curation
+    flagship's exact stage key on a map-side md5 fingerprint; this
+    pins that no Exchange in either plan hash-partitions on the raw
+    text column."""
+    for entry in ("docs_exact_dedup_canonical", "docs_curation_pipeline"):
+        p = physical(SPECS[entry].fn(spark, sf_dir))
+        exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
+        assert exchanges, (entry, p)
+        # text#NN as a BARE partition expression is the corpus-bytes-as-
+        # shuffle-key bug; text inside md5(cast(text#NN ...)) is fine —
+        # the key value computed map-side is the 32-char hash.
+        offenders = [
+            e for e in exchanges if re.search(r"(?<!cast\()text#\d+", e)
+        ]
+        assert not offenders, (entry, offenders)
+        # the fingerprint key must actually be there
+        assert any("__fp" in e or "md5" in e for e in exchanges), (
+            entry,
+            exchanges,
+        )
+
+
 def test_salted_join_plan_vs_unsalted(spark, sf_dir):
     """The salted skew entry must actually join on (skew_key, __salt) —
     spreading the hot key over salt_buckets shuffle partitions — while

@@ -549,6 +549,10 @@ def minhash_match_index_md5(
         .select(
             F.col("n.__id").alias("new_id"), F.col("o.id").alias("old_id")
         )
+        # defense-in-depth: if the caller's new/old sets overlap (or a
+        # replayed stream batch probes an index already holding its own
+        # rows), drop trivial self-pairs instead of reporting jaccard 1.0
+        .filter(F.col("new_id") != F.col("old_id"))
         .distinct()
     )
     # verify: shingle sets of the new batch (already built) + ONLY the

@@ -757,6 +757,10 @@ def pq_topk(
     full-precision vectors are read for a vanishing fraction of the
     corpus.  This is how PQ serves high recall without giving up the
     compressed scan.
+
+    Output schema is identical in both modes:
+    (query_id, neighbor_id, dist2, rank) — ``dist2`` is exact squared
+    L2 when rerank > k, the ADC approximation otherwise.
     """
     if codebooks is None:
         codebooks = pq_train(
@@ -805,10 +809,17 @@ def pq_topk(
         F.col("adc_dist2").asc(), F.col("neighbor_id")
     )
     if rerank <= k:
+        # same output schema as the re-rank branch: dist2 here is the
+        # ADC approximation (no exact re-rank was requested)
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "adc_dist2", "rank")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("adc_dist2").alias("dist2"),
+                "rank",
+            )
         )
     cand = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -101,13 +101,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scalar quality score in [0,1]: penalize ultra-short docs, pure
     stopword soup, and heavy repetition.  Deterministic arithmetic only.
     """
-    feats = quality_features(df, text_col)
-    score = (
-        F.least(F.col("n_tokens").cast("double") / 32.0, F.lit(1.0)) * 0.4
-        + (1.0 - F.col("stopword_ratio")) * 0.2
-        + F.col("distinct_ratio") * 0.4
+    # score comes from quality_score_col so the formula has exactly one
+    # definition repo-wide (catalog entries + curation pipeline share it)
+    return quality_features(df, text_col).withColumn(
+        "quality_score", quality_score_col(text_col)
     )
-    return feats.withColumn("quality_score", F.round(score, 6))
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -50,16 +50,32 @@ def docs_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
     FROM documents
-    GROUP BY text
+    GROUP BY md5(text)
     """,
 )
 def docs_exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the lowest doc_id per text (X1 — hash-groupBy
-    dedup; the canonical-survivor form of dropDuplicates)."""
+    dedup; the canonical-survivor form of dropDuplicates).
+
+    The aggregate keys on a map-side md5 FINGERPRINT of the text, not
+    the text itself — at 100 TB grouping on the raw column would ship
+    every distinct document's full bytes through the exchange as the
+    shuffle key; here only (32-hex-char fp, doc_id) rows move (the
+    operators/dedup.exact_dedup discipline).  md5 is used (not
+    xxhash64) so the DuckDB oracle reproduces the identical partition;
+    accidental collisions are negligible at any corpus size.
+    Plan-asserted in tests/test_physical_plans.py: no exchange in this
+    query hash-partitions on the text column."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("doc_id", "n_copies")
+    return (
+        docs.select(F.md5(F.col("text")).alias("__fp"), "doc_id")
+        .groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
 
 
 @register(
@@ -1335,8 +1351,15 @@ _REPETITION_FLAG_CTE = """
           AND NOT rstats.is_repetitive
           AND q.quality_score >= 0.5
     ),
-    exact AS (SELECT MIN(doc_id) AS doc_id FROM gates GROUP BY text),
-    kept AS (SELECT g.* FROM gates g JOIN exact e USING (doc_id)),
+    kept AS (
+        SELECT doc_id, source, quality_score FROM (
+            SELECT doc_id, source, quality_score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id
+                   ) AS fp_rn
+            FROM gates
+        ) WHERE fp_rn = 1
+    ),
     final AS (
         SELECT k.doc_id, k.source, l.cluster_id, k.quality_score,
                ROW_NUMBER() OVER (
@@ -1354,16 +1377,20 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a 100 TB pretraining-data run actually executes): blocked
     sources dropped (broadcast anti-join), repetitive and low-quality
     documents gated (map-side expressions), exact duplicates collapsed
-    to the lowest id (one hash aggregate), and finally ONE survivor per
+    to the lowest id (one window over a map-side md5 fingerprint — the
+    text column is dropped before the shuffle, so document bytes never
+    enter the exchange as key OR payload), and finally ONE survivor per
     corpus-wide near-dup cluster — the highest-quality gate-passing
     member.  Every stage is an already-oracle-checked operator; this
     entry hash-checks their COMPOSITION against a single DuckDB query
     (recursive-CTE closure + the same gates).
 
     Plan shape at scale: three map-side gate passes fused over one scan,
-    one aggregate for exact dedup, the banded near-dup pipeline, and
-    two small-partition windows — no operation touches more than one
-    shuffle of the full corpus at a time."""
+    one narrow fingerprint-keyed shuffle for exact dedup (plan-asserted
+    in tests/test_physical_plans.py: no exchange partitions on text),
+    the banded near-dup pipeline, and two small-partition windows — no
+    operation touches more than one shuffle of the full corpus at a
+    time."""
     docs = load_table(spark, sf_dir, "documents")
     # one-pass gates: quality and repetition are map-side expressions
     # computed in a SINGLE projection over one documents scan (joining
@@ -1382,8 +1409,24 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((~F.col("is_repetitive")) & (F.col("quality_score") >= 0.5))
         .select("doc_id", "source", "text", "quality_score")
     )
-    exact = gates.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    kept = gates.join(exact.select("doc_id"), "doc_id", "left_semi")
+    # exact dedup as ONE narrow shuffle: fingerprint the text map-side
+    # (md5 — DuckDB-portable), drop the text column, and keep the
+    # lowest doc_id per fingerprint with a window.  Raw document bytes
+    # never enter the exchange — neither as key nor payload — and the
+    # old groupBy+semi-join-back (a second corpus scan) collapses into
+    # the same single shuffle.
+    fp_w = Window.partitionBy("__fp").orderBy("doc_id")
+    kept = (
+        gates.select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.md5(F.col("text")).alias("__fp"),
+        )
+        .withColumn("__fp_rn", F.row_number().over(fp_w))
+        .filter(F.col("__fp_rn") == 1)
+        .select("doc_id", "source", "quality_score")
+    )
     labeled = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     final = kept.join(labeled, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(

@@ -565,7 +565,11 @@ def run_incremental_dedup_stream(
     rewrites its own partition instead of duplicating rows — no
     read-side dedup over the accumulated history (which would shuffle
     the whole corpus every batch and void the incremental contract);
-    the pairs output is exactly-once for the same reason.
+    the pairs output is exactly-once for the same reason.  The probe
+    additionally reads only index/docs partitions with ``batch <
+    batch_id``, so a batch replayed after a crash-between-write-and-
+    commit sees the exact pre-batch history rather than its own
+    half-written band rows (which would self-match at jaccard 1.0).
     At 100 TB the index is narrow band rows (partition by band_key
     range for co-located probes) — the corpus text is stored once in
     the companion ``_docs`` table and touched only per-candidate.
@@ -577,18 +581,28 @@ def run_incremental_dedup_stream(
 
     docs_dir = index_dir.rstrip("/") + "_docs"
 
-    def _read_batches(root: str) -> DataFrame | None:
+    def _read_batches(root: str, before_batch: int) -> DataFrame | None:
         # batch=<id> partition dirs; basePath keeps partition discovery
-        # rooted (the discovered `batch` column is dropped)
+        # rooted.  A REPLAYED batch (crash between partition writes and
+        # checkpoint commit) would otherwise see its own band rows in
+        # the index and match against itself — excluding batch ids >=
+        # the current one restores the exact pre-batch history, keeping
+        # the batch=<id> overwrite genuinely idempotent.
         if not glob.glob(os.path.join(root, "batch=*", "*.parquet")):
             return None
-        return spark.read.option("basePath", root).parquet(root).drop("batch")
+        df = (
+            spark.read.option("basePath", root)
+            .parquet(root)
+            .filter(F.col("batch") < F.lit(before_batch))
+            .drop("batch")
+        )
+        return df if df.limit(1).count() else None
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-        index = _read_batches(index_dir)
+        index = _read_batches(index_dir, batch_id)
         if index is not None:
-            old = _read_batches(docs_dir)
+            old = _read_batches(docs_dir, batch_id)
             pairs = dedup.minhash_match_index_md5(
                 batch_df,
                 index,
