@@ -145,6 +145,110 @@ def test_decode_confluent_avro_needs_spark_avro(spark):
         decode_confluent_avro(df, schema).collect()
 
 
+_AVRO_SCHEMA = """
+{"type": "record", "name": "row", "fields": [
+  {"name": "id", "type": "long"},
+  {"name": "name", "type": ["null", "string"]},
+  {"name": "flag", "type": "boolean"},
+  {"name": "score", "type": "double"}
+]}
+"""
+
+
+def test_avro_codec_known_bytes():
+    """The pure-Python codec must emit/accept the EXACT byte strings
+    the Avro spec defines (zigzag varints, length-prefixed strings,
+    positional union indexes, little-endian IEEE doubles) — pinned
+    against hand-assembled frames, not just round-trip symmetry (a
+    symmetric bug would pass decode(encode(x)) == x)."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    fields = avro_py.parse_flat_schema(_AVRO_SCHEMA)
+    body = avro_py.encode_record((1, "foo", True, 0.5), fields)
+    assert body == (
+        b"\x02"  # long 1 -> zigzag 2
+        + b"\x02"  # union branch 1 = string
+        + b"\x06foo"  # length 3 -> zigzag 6
+        + b"\x01"  # boolean true
+        + struct.pack("<d", 0.5)
+    )
+    assert avro_py.decode_record(body, fields) == (1, "foo", True, 0.5)
+
+    # negative long: zigzag(-1) = 1; null union branch 0; multi-byte
+    # varint: zigzag(64) = 128 -> 0x80 0x01
+    body2 = avro_py.encode_record((-1, None, False, 64.0), fields)
+    assert body2.startswith(b"\x01\x00\x00")
+    assert avro_py.decode_record(body2, fields) == (-1, None, False, 64.0)
+    lf = avro_py.parse_flat_schema(
+        '{"type":"record","name":"t","fields":[{"name":"x","type":"long"}]}'
+    )
+    assert avro_py.encode_record((64,), lf) == b"\x80\x01"
+    assert avro_py.decode_record(b"\x80\x01", lf) == (64,)
+
+
+def test_avro_codec_rejects_bad_schema_and_bytes():
+    """Unsupported schema shapes fail at PLAN time and corrupt payloads
+    fail at decode — neither may produce silently-wrong rows."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    for bad in (
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"array","items":"long"}}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":["null","long","string"]}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":"null"}]}',
+        '{"type":"record","name":"t","fields":[]}',
+        '"long"',
+    ):
+        with pytest.raises(ValueError):
+            avro_py.parse_flat_schema(bad)
+
+    fields = avro_py.parse_flat_schema(_AVRO_SCHEMA)
+    ok = avro_py.encode_record((1, "foo", True, 0.5), fields)
+    with pytest.raises(ValueError, match="truncated"):
+        avro_py.decode_record(ok[:-3], fields)
+    with pytest.raises(ValueError, match="trailing"):
+        avro_py.decode_record(ok + b"\x00", fields)
+    with pytest.raises(ValueError, match="not nullable"):
+        avro_py.encode_record((None, "x", True, 0.0), fields)
+
+
+def test_decode_confluent_avro_py_end_to_end(spark):
+    """The executable spark-avro twin: Confluent frames built row-side
+    decode back to typed columns on a real DataFrame, tombstones come
+    through as all-NULL field rows, and a union-order flip ([T,'null'])
+    still decodes by POSITION."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    fields = avro_py.parse_flat_schema(_AVRO_SCHEMA)
+    rows = [
+        (_frame(avro_py.encode_record((10, "alpha", True, 1.25), fields), 3),),
+        (_frame(avro_py.encode_record((-20, None, False, -0.5), fields), 3),),
+        (None,),  # tombstone
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    out = avro_py.decode_confluent_avro_py(df, _AVRO_SCHEMA).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[10]["name"] == "alpha" and by_id[10]["score"] == 1.25
+    assert by_id[-20]["name"] is None and by_id[-20]["flag"] is False
+    tomb = by_id[None]
+    assert tomb["is_tombstone"] and tomb["schema_id"] is None
+    assert tomb["name"] is None and tomb["score"] is None
+    assert by_id[10]["schema_id"] == 3
+
+    # reversed union order: branch 0 is the value, branch 1 is null
+    rev = '{"type":"record","name":"t","fields":[{"name":"x","type":["long","null"]}]}'
+    rf = avro_py.parse_flat_schema(rev)
+    assert avro_py.encode_record((5,), rf) == b"\x00\x0a"
+    assert avro_py.encode_record((None,), rf) == b"\x02"
+    df2 = spark.createDataFrame(
+        [(_frame(b"\x00\x0a", 1),), (_frame(b"\x02", 1),)], "value binary"
+    )
+    got = {
+        r["x"]
+        for r in avro_py.decode_confluent_avro_py(df2, rev).collect()
+    }
+    assert got == {5, None}
+
+
 _ROW_SCHEMA = T.StructType(
     [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
 )

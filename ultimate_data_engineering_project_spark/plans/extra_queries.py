@@ -598,6 +598,73 @@ def confluent_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVRO_DOC_SCHEMA = """
+{"type": "record", "name": "doc_row", "fields": [
+  {"name": "doc_id", "type": "long"},
+  {"name": "src", "type": ["null", "string"]},
+  {"name": "small_int", "type": "int"},
+  {"name": "half_chars", "type": "double"},
+  {"name": "is_even", "type": "boolean"},
+  {"name": "text", "type": "string"}
+]}
+"""
+
+
+@register(
+    "avro_roundtrip_decode",
+    oracle="""
+    SELECT CAST(7 AS INTEGER) AS schema_id,
+           doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src,
+           CAST(doc_id % 5 - 2 AS INTEGER) AS small_int,
+           n_chars * 0.5 AS half_chars,
+           doc_id % 2 = 0 AS is_even,
+           text
+    FROM documents
+    """,
+)
+def avro_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Confluent-Avro CDC payload path, EXECUTED end to end
+    with zero cluster packages and hash-checked (S13 — reference
+    docker-compose.yaml:74-97 frames every Debezium row this way).
+
+    Typed rows from the documents fixture (long, nullable string with
+    real NULLs exercising the union branch, a NEGATIVE int exercising
+    zigzag varints, an IEEE double, a boolean, UTF-8 text) are Avro-
+    binary encoded and Confluent-framed (magic 0x00 + big-endian
+    schema id 7) by the pure-Python producer half
+    (sources/avro_py.encode_confluent_frames), then stripped and
+    decoded by `decode_confluent_avro_py` — the executable twin of the
+    spark-avro `from_avro` path.  The DuckDB oracle computes the same
+    typed rows straight from the fixture, so every decoded value —
+    varint, union, float bits — must survive the wire round-trip
+    bit-exactly to hash-match."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("source"))
+        .alias("src"),
+        (F.col("doc_id") % 5 - 2).cast("int").alias("small_int"),
+        (F.col("n_chars") * F.lit(0.5)).alias("half_chars"),
+        (F.col("doc_id") % 2 == 0).alias("is_even"),
+        "text",
+    )
+    frames = avro_py.encode_confluent_frames(rows, _AVRO_DOC_SCHEMA, 7)
+    decoded = avro_py.decode_confluent_avro_py(frames, _AVRO_DOC_SCHEMA)
+    return decoded.select(
+        "schema_id",
+        "doc_id",
+        "src",
+        "small_int",
+        "half_chars",
+        "is_even",
+        "text",
+    )
+
+
 def _pysource_oracle() -> str:
     from ultimate_data_engineering_project_spark.sources import pysource
 

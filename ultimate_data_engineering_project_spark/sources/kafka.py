@@ -211,8 +211,10 @@ def decode_confluent_avro(
     envelope, then `from_avro` with the caller-provided writer schema
     (the registry lookup for the stripped ``schema_id`` happens outside
     Spark — schemas are config, not per-row state).  Requires the
-    spark-avro package on the cluster; the strip half is covered by
-    in-container tests, this composition is the cluster path."""
+    spark-avro package on the cluster; for flat Debezium row schemas,
+    `sources.avro_py.decode_confluent_avro_py` is the executable twin
+    with zero cluster packages (oracle-checked end to end by the
+    ``avro_roundtrip_decode`` catalog entry)."""
     from pyspark.sql.avro.functions import from_avro
 
     stripped = strip_confluent_envelope(df, value_col, bad_magic=bad_magic)
