@@ -127,6 +127,33 @@ def test_silver_customers_dedup(tables):
     assert silver.filter(F.col("email_norm").rlike("[34]")).count() == 0
 
 
+def test_linear_fraud_scores_semantics(tables):
+    """The closed-form scorer must (a) actually fit the normal
+    equations — residuals orthogonal to each regressor, the defining
+    property of least squares — and (b) separate the classes it was
+    trained on: labeled-circular accounts score higher on average.
+    The cross-engine coefficient reproduction is pinned by the
+    fakestream_fraud_scores oracle; this pins that the model MEANS
+    something."""
+    from ultimate_data_engineering_project_spark.fraud import linear_fraud_scores
+
+    scored = linear_fraud_scores(tables["transactions"])
+    rows = scored.collect()
+    assert len(rows) == scored.select("account_id").distinct().count()
+    resid = [(r["is_circular"] - r["fraud_score"], r) for r in rows]
+    n = len(rows)
+    # orthogonality: sum(resid), sum(resid*x1), sum(resid*x2) ~ 0
+    # (rounding the published score to 6dp bounds each term by 5e-7*n)
+    for key in (None, "n_trx", "n_big"):
+        dot = sum(e * (1 if key is None else r[key]) for e, r in resid)
+        scale = sum(abs(1 if key is None else r[key]) for _, r in resid)
+        assert abs(dot) <= 1e-6 * max(scale, n), (key, dot)
+    pos = [r["fraud_score"] for r in rows if r["is_circular"] == 1]
+    neg = [r["fraud_score"] for r in rows if r["is_circular"] == 0]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
 def test_gold_dashboards_shapes(tables):
     vol = pipelines.gold_daily_transaction_volume(tables["transactions"])
     assert vol.count() > 0

@@ -241,6 +241,10 @@ def test_catalog_priority_prefix_covers_core_surface():
         "docs_prep_pipeline",
         "composite_pk_order_details", "cosine_topk_bruteforce",
         "timeseries_similar_users",
+        # r7: the trained Phase-5 fraud model (hash-checked coefficients)
+        # took the slot events_daily_volume held (same date-trunc family
+        # as the flagship; still oracle-checked in overflow)
+        "fakestream_fraud_scores",
     }
     missing = must_have - prefix
     assert not missing, f"core queries fell out of the 50-entry prefix: {missing}"

@@ -125,6 +125,9 @@ NESTED_LOOP_ALLOWED = {
     # nested-loop is over the TINY query side, same family as
     # cosine_topk_bruteforce
     "ann_topk_pq",
+    # trained coefficients come back as a 1-ROW broadcast crossJoin
+    # (scalar-subquery family)
+    "fakestream_fraud_scores",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep

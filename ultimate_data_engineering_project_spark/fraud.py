@@ -51,6 +51,116 @@ def circular_transfer_pairs(transactions: DataFrame) -> DataFrame:
     )
 
 
+def fraud_training_frame(transactions: DataFrame) -> DataFrame:
+    """Per-account features + rule-derived label for the Phase-5 fraud
+    scorer: integer velocity features (completed-transaction count,
+    large-amount count) and ``is_circular`` = 1 when the account
+    appears on either side of a same-day circular transfer
+    (`circular_transfer_pairs` — the repo's rule-based detector acts as
+    the labeling function, the standard weak-supervision bootstrap when
+    no hand-labeled fraud exists).
+
+    One aggregate over transactions + one tiny distinct-account join;
+    features are exact integers so the downstream closed-form trainer
+    is engine-reproducible."""
+    completed = transactions.filter(F.col("status") == "completed")
+    feats = completed.groupBy("account_id").agg(
+        F.count(F.lit(1)).alias("n_trx"),
+        F.sum((F.col("amount") >= 5000).cast("long")).alias("n_big"),
+    )
+    pairs = circular_transfer_pairs(transactions)
+    circ = (
+        pairs.select(F.col("account_a").alias("account_id"))
+        .unionByName(pairs.select(F.col("account_b").alias("account_id")))
+        .distinct()
+        .withColumn("__circ", F.lit(1).cast("long"))
+    )
+    return (
+        feats.join(circ, "account_id", "left")
+        .withColumn("is_circular", F.coalesce(F.col("__circ"), F.lit(0).cast("long")))
+        .drop("__circ")
+    )
+
+
+def linear_fraud_scores(transactions: DataFrame) -> DataFrame:
+    """Phase-5 fraud-scoring model (the reference DECLARES an ML fraud
+    detector beyond its rule set, reference README.md:44-48; this is
+    its oracle-checkable analog): a linear-probability model over the
+    velocity features, trained in CLOSED FORM from exact integer sums
+    so any engine reproduces the coefficients bit-for-bit.
+
+    Training is the 3x3 normal-equation solve for
+    y ~ b0 + b1*n_trx + b2*n_big via Cramer's rule: one hash aggregate
+    accumulates n, Σx1, Σx2, Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y as
+    longs (exact — no float accumulation order to diverge), the four
+    3x3 determinants are integer arithmetic on those sums, and the only
+    float ops are the final IEEE divisions b_j = det_j/det and the
+    scoring polynomial — both bit-identical across engines, which is
+    what lets DuckDB reproduce the trained model exactly (same trick as
+    the `user_value_trends` OLS entry).
+
+    Scale shape: ONE pass over transactions for features, a 1-row
+    coefficient frame broadcast back over the feature frame (the
+    scalar-subquery pattern — the nested loop's build side is exactly
+    one row).  No iteration, no driver-side math, no collect.
+    Feature magnitudes must keep the determinants inside int64 —
+    holds for velocity counts (x ≤ ~1e4 even at 100 TB: det terms ~
+    n·Σx²·Σx² stay < 2^63 for n up to ~1e9 accounts); quantize or cap
+    features upstream if a new feature breaks that bound."""
+    labeled = fraud_training_frame(transactions)
+    s = labeled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_trx").alias("s1"),
+        F.sum("n_big").alias("s2"),
+        F.sum(F.col("n_trx") * F.col("n_trx")).alias("s11"),
+        F.sum(F.col("n_big") * F.col("n_big")).alias("s22"),
+        F.sum(F.col("n_trx") * F.col("n_big")).alias("s12"),
+        F.sum("is_circular").alias("sy"),
+        F.sum(F.col("n_trx") * F.col("is_circular")).alias("s1y"),
+        F.sum(F.col("n_big") * F.col("is_circular")).alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    coef = s.select(
+        (det0.cast("double") / det.cast("double")).alias("b0"),
+        (det1.cast("double") / det.cast("double")).alias("b1"),
+        (det2.cast("double") / det.cast("double")).alias("b2"),
+    )
+    return labeled.crossJoin(F.broadcast(coef)).select(
+        "account_id",
+        "n_trx",
+        "n_big",
+        "is_circular",
+        F.round(
+            F.col("b0")
+            + F.col("b1") * F.col("n_trx")
+            + F.col("b2") * F.col("n_big"),
+            6,
+        ).alias("fraud_score"),
+    )
+
+
 def velocity_alerts(
     transactions: DataFrame,
     *,

@@ -105,7 +105,6 @@ _PRIORITY = [
     "scd2_user_event_versions",
     "sessionize_events",
     "asof_purchase_prev_click",
-    "events_daily_volume",
     # round-1 red rows, now fixed
     "agg_modern_battery",
     # r5: the ANN approximate path's hash-checked twin takes the prefix
@@ -120,6 +119,13 @@ _PRIORITY = [
     "source_reputation_stats",
     "fakestream_ledger_clamped",
     "fakestream_dq_report",
+    # r7: the Phase-5 fraud model takes a prefix slot — the trained
+    # coefficients themselves are hash-checked, the last declared
+    # reference capability with no oracle'd analog.  events_daily_volume
+    # ceded (same date-trunc-groupBy family as the flagship entry; its
+    # T4 batch-twin evidence stays oracle-checked in overflow +
+    # strict parity, with events_hourly_sliding already there)
+    "fakestream_fraud_scores",
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
     "near_dup_pairs_verified",
@@ -157,6 +163,7 @@ _PRIORITY = [
     "fakestream_silver_customers",
     "fakestream_gold_dashboards",
     "day_over_day_orders",
+    "events_daily_volume",
     "events_hourly_sliding",
     "knn_label_vote",
     "docs_lang_id",

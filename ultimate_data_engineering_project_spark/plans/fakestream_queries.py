@@ -23,6 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ultimate_data_engineering_project_spark import pipelines, quality
+from ultimate_data_engineering_project_spark import fraud
 from ultimate_data_engineering_project_spark.fraud import circular_transfer_pairs
 from ultimate_data_engineering_project_spark.operators import multimodal
 from ultimate_data_engineering_project_spark.operators.windows import ledger_running_balance
@@ -204,6 +205,96 @@ def fakestream_circular_transfers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("amount_out").cast("double").alias("amount_out"),
         F.col("amount_back").cast("double").alias("amount_back"),
     )
+
+
+@register(
+    "fakestream_fraud_scores",
+    oracle=f"""
+    WITH tf AS (
+        SELECT transaction_id, account_id, related_account_id,
+               CAST(transaction_date AS DATE) AS day
+        FROM read_parquet('{_TRX}')
+        WHERE transaction_type = 'Transfer' AND related_account_id IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.account_id AS acc1, a.related_account_id AS acc2
+        FROM tf a
+        JOIN tf b
+          ON a.account_id = b.related_account_id
+         AND a.related_account_id = b.account_id
+         AND a.day = b.day
+         AND a.transaction_id < b.transaction_id
+    ),
+    circ AS (
+        SELECT DISTINCT account_id FROM (
+            SELECT acc1 AS account_id FROM pairs
+            UNION ALL
+            SELECT acc2 AS account_id FROM pairs
+        )
+    ),
+    feats AS (
+        SELECT account_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trx,
+               CAST(count_if(amount >= 5000) AS BIGINT) AS n_big
+        FROM read_parquet('{_TRX}')
+        WHERE status = 'completed'
+        GROUP BY account_id
+    ),
+    labeled AS (
+        SELECT f.account_id, f.n_trx, f.n_big,
+               CAST(CASE WHEN c.account_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_circular
+        FROM feats f LEFT JOIN circ c USING (account_id)
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(n_trx) AS s1, SUM(n_big) AS s2,
+               SUM(n_trx * n_trx) AS s11, SUM(n_big * n_big) AS s22,
+               SUM(n_trx * n_big) AS s12,
+               SUM(is_circular) AS sy,
+               SUM(n_trx * is_circular) AS s1y,
+               SUM(n_big * is_circular) AS s2y
+        FROM labeled
+    ),
+    coef AS (
+        SELECT
+          CAST(sy * (s11 * s22 - s12 * s12)
+               - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS DOUBLE)
+          / CAST(n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS DOUBLE) AS b0,
+          CAST(n * (s1y * s22 - s12 * s2y)
+               - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS DOUBLE)
+          / CAST(n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS DOUBLE) AS b1,
+          CAST(n * (s11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS DOUBLE)
+          / CAST(n * (s11 * s22 - s12 * s12)
+                 - s1 * (s1 * s22 - s12 * s2)
+                 + s2 * (s1 * s12 - s11 * s2) AS DOUBLE) AS b2
+        FROM s
+    )
+    SELECT l.account_id, l.n_trx, l.n_big, l.is_circular,
+           ROUND(b0 + b1 * l.n_trx + b2 * l.n_big, 6) AS fraud_score
+    FROM labeled l, coef
+    """,
+)
+def fakestream_fraud_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-5 fraud-scoring model, trained and applied in one plan
+    (reference README.md:44-48 declares an ML fraud detector beyond its
+    rules; this is the oracle-checkable analog — see
+    fraud.linear_fraud_scores): velocity features per account, circular
+    -transfer involvement as the weak label, closed-form normal-
+    equation linear-probability fit from exact integer sums, scores
+    broadcast back over every account.  The DuckDB oracle re-derives
+    the identical coefficients (integer determinants, one IEEE division
+    each), so the TRAINED MODEL itself is hash-checked, not just the
+    feature plumbing."""
+    return fraud.linear_fraud_scores(_fx(spark, _TRX))
 
 
 _SCD2_SENTINEL = "2200-01-01 00:00:00"
