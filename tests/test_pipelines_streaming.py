@@ -520,6 +520,76 @@ def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_incremental_ann_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming ANN (foreachBatch IVF-index probe + extend) must
+    emit exactly the matches the BATCH probe finds for each batch
+    against the union of all EARLIER batches — new vectors only search
+    history, batch 0 searches nothing, and replay-idempotent
+    batch-partition writes hold the output stable."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators import similarity
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_incremental_ann_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    third = n // 3
+    bounds = [(0, third), (third, 2 * third), (2 * third, n)]
+    src = str(tmp_path / "vec_src")
+    for i, (lo, hi) in enumerate(bounds):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(src + f"/b{i}")
+    # centroids are CONFIG: trained once on the bootstrap corpus
+    centroids = similarity._train_centroids_numpy(
+        emb, "vec_id", "embedding", 8, 42
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = run_incremental_ann_stream(
+        spark,
+        stream,
+        str(tmp_path / "ivf_index"),
+        str(tmp_path / "matches"),
+        str(tmp_path / "ann_ckpt"),
+        centroids,
+        k=3,
+        n_probe=2,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+
+    # batch twin: each batch probed against the UNION of earlier ones
+    want = set()
+    for i in range(1, 3):
+        batch = emb.filter(
+            (F.col("vec_id") >= bounds[i][0]) & (F.col("vec_id") < bounds[i][1])
+        )
+        history = emb.filter(F.col("vec_id") < bounds[i][0])
+        index = similarity.ivf_index_frame(history, centroids)
+        want |= {
+            (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+            for r in similarity.ivf_probe_index(
+                batch, index, centroids, k=3, n_probe=2
+            ).collect()
+        }
+    assert got == want and len(want) > 0
+    # batch 0 had no history -> no matches partition for it
+    import glob as _glob
+    import os as _os
+
+    assert not _glob.glob(_os.path.join(str(tmp_path / "matches"), "batch=0", "*"))
+
+
 def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
     """Corrupt envelope frames must land in the dead-letter table with
     their raw bytes + reason — not vanish — while good frames apply

@@ -402,6 +402,98 @@ def _kmeans_pp_numpy(X, k: int, seed: int, iters: int):
     return cents
 
 
+def _ranked_centroids(cents_lit: Column, vec: Column) -> Column:
+    # array<struct<dist2,cid>> sorted by distance (struct ordering);
+    # ONE shared centroid-matrix literal + an index-aware transform
+    # keeps the expression tree (and plan-build py4j traffic) small
+    return F.array_sort(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                _centroid_dist2(vec, c).alias("dist2"),
+                i.alias("cid"),
+            ),
+        )
+    )
+
+
+def ivf_index_frame(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> the PERSISTABLE IVF index rows ``(id, vec, __cid)``:
+    every vector assigned to its nearest centroid in one map-side pass.
+    Write this to parquet (partition or bucket by ``__cid`` at scale to
+    co-locate each inverted list) and serve probes against it with
+    :func:`ivf_probe_index` — the index-build half of :func:`ivf_topk`,
+    split out so a STREAM can extend the index batch by batch
+    (streaming.pipelines.run_incremental_ann_stream)."""
+    cents_lit = _lit_matrix(centroids)
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("__cid", _ranked_centroids(cents_lit, F.col("vec"))[0]["cid"])
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    n_probe: int = 4,
+    round_digits: int = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`ivf_index_frame` layout) for
+    each query's top-k neighbors: queries expand to their ``n_probe``
+    nearest centroid ids, equi-join the index on ``__cid``, exact
+    cosine re-ranks.  The index side never reshuffles for candidate
+    generation when the query batch broadcasts — the serving shape for
+    a micro-batch of new vectors against a 100 TB corpus index.
+    Self-matches (same id on both sides) are dropped."""
+    cents_lit = _lit_matrix(centroids)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__cid",
+        F.explode(
+            F.transform(
+                F.slice(
+                    _ranked_centroids(cents_lit, F.col("__qv")), 1, n_probe
+                ),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    indexed = index.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("__cv"), "__cid"
+    )
+    cand = (
+        (
+            indexed.join(F.broadcast(probed), "__cid")
+            if broadcast_queries
+            else probed.join(indexed, "__cid")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -438,18 +530,7 @@ def ivf_topk(
     cents_lit = _lit_matrix(centroids)
 
     def ranked_centroids(vec: Column) -> Column:
-        # array<struct<dist2,cid>> sorted by distance (struct ordering);
-        # ONE shared centroid-matrix literal + an index-aware transform
-        # keeps the expression tree (and plan-build py4j traffic) small
-        return F.array_sort(
-            F.transform(
-                cents_lit,
-                lambda c, i: F.struct(
-                    _centroid_dist2(vec, c).alias("dist2"),
-                    i.alias("cid"),
-                ),
-            )
-        )
+        return _ranked_centroids(cents_lit, vec)
 
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")

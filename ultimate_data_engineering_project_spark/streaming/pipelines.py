@@ -639,3 +639,91 @@ def run_incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_incremental_ann_stream(
+    spark: SparkSession,
+    vectors: DataFrame,
+    index_dir: str,
+    matches_dir: str,
+    checkpoint: str,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    available_now: bool = True,
+):
+    """X3 on a stream: approximate-nearest-neighbor search of ARRIVING
+    vectors against everything indexed so far, via a persisted IVF
+    index (operators/similarity.ivf_index_frame layout) — the
+    similarity-search twin of `run_incremental_dedup_stream`, giving
+    ANN the same per-batch-cost incremental contract dedup has.
+
+    Per micro-batch (foreachBatch — cross-batch state IS the on-disk
+    index, never executor memory):
+      1. probe: the batch's vectors expand to their n_probe nearest
+         centroids and equi-join the index on the inverted-list id;
+         exact cosine re-ranks to top-k (new vec x indexed history) ->
+         ``matches_dir``;
+      2. extend: the batch's own (id, vec, __cid) rows append to the
+         index so later batches search against them.
+
+    The centroid matrix is CONFIG (train once on a bootstrap corpus
+    with similarity._train_centroids_numpy / pq_train and pass it in)
+    — retraining per batch would silently re-key the inverted lists
+    and invalidate history.  Per-batch cost is O(batch x probed-list
+    occupancy), never O(corpus): the batch side broadcasts, the index
+    contributes only its probed lists.  Idempotence follows the dedup
+    stream's two rules: every write lands under ``batch=<id>`` with
+    overwrite, and the probe reads only index partitions with
+    ``batch < batch_id`` — a replayed batch sees the exact pre-batch
+    history instead of self-matching on its own half-written rows.
+    At 100 TB, partition the index by ``__cid`` range so each probe
+    touches only co-located inverted lists.
+    """
+    import glob
+    import os
+
+    from ultimate_data_engineering_project_spark.operators import similarity
+
+    def _read_index(before_batch: int) -> DataFrame | None:
+        if not glob.glob(os.path.join(index_dir, "batch=*", "*.parquet")):
+            return None
+        df = (
+            spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .filter(F.col("batch") < F.lit(before_batch))
+            .drop("batch")
+        )
+        return df if df.limit(1).count() else None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        index = _read_index(batch_id)
+        if index is not None:
+            matches = similarity.ivf_probe_index(
+                batch_df,
+                index,
+                centroids,
+                id_col,
+                vec_col,
+                k=k,
+                n_probe=n_probe,
+            )
+            matches.write.mode("overwrite").parquet(
+                os.path.join(matches_dir, f"batch={batch_id}")
+            )
+        similarity.ivf_index_frame(
+            batch_df, centroids, id_col, vec_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+
+    writer = vectors.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
