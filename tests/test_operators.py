@@ -499,6 +499,22 @@ def test_timeseries_blocked_pairs_recall_and_exactness(spark):
         assert abs(d - exact_dtw[pair]) < 1e-9
 
 
+def test_dtw_exact_path_guards_cardinality(spark, sf_dir):
+    """The exact all-pairs DTW path is O(U²): pointed at more distinct
+    users than max_users it must fail loudly BEFORE enumerating the
+    quadratic pair list — and the blocked path must stay unguarded (it
+    never enumerates)."""
+    from ultimate_data_engineering_project_spark.operators import timeseries
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="O\\(U\\^2\\)"):
+        timeseries.series_pairs_dtw(ev, max_users=2)
+    # 0 disables the guard; blocked ignores it entirely
+    assert timeseries.series_pairs_dtw(ev, max_users=0).count() > 0
+    assert timeseries.series_pairs_dtw(ev, blocked=True, max_users=2).count() >= 0
+
+
 def test_timeseries_degenerate_bucket_cap(spark):
     """Many users with identical (constant) series land in one bucket
     in every band; the bucket-size cap drops those buckets instead of

@@ -348,23 +348,42 @@ def series_pairs_dtw(
     band: int = 8,
     *,
     blocked: bool = False,
+    max_users: int = 4096,
     **blocked_kwargs,
 ) -> DataFrame:
     """Sakoe-Chiba-banded DTW over user pairs (X6 UDF path).
 
     The pair list is built JVM-side; only (user_a, user_b, two float
     series) reach Python, in Arrow batches, where numpy runs the DP.
-    ``blocked=False`` enumerates all pairs via a broadcast theta-join —
-    the documented small-cardinality path; ``blocked=True`` takes the
-    LSH-blocked candidates (`_blocked_candidate_pairs`, equi-join plan)
-    so the quadratic pair list never materializes at scale.  Blocking
-    keys are Euclidean (p-stable) — a DTW-close but Euclidean-far pair
-    can be missed; that approximation is inherent to LSH prefilters.
+    ``blocked=False`` enumerates ALL U·(U-1)/2 pairs via a broadcast
+    theta-join — **O(U²) in the number of distinct users**, the exact
+    audit twin, right ONLY for small entity cardinality (like the other
+    exact twins, it stays out of the bench and the driver prefix).
+    ``blocked=True`` takes the LSH-blocked candidates
+    (`_blocked_candidate_pairs`, equi-join plan) so the quadratic pair
+    list never materializes at scale.  Blocking keys are Euclidean
+    (p-stable) — a DTW-close but Euclidean-far pair can be missed; that
+    approximation is inherent to LSH prefilters.
+
+    ``max_users`` guards the exact path: if the distinct-user count
+    exceeds it, raise instead of silently enumerating the quadratic
+    pair list (an accidental large-corpus invocation should fail
+    loudly, not run for hours).  The probe is LIMIT-bounded over the
+    one-row-per-user frame — max_users+1 rows scanned, the
+    `connected_components` small-graph-gate discipline (dedup.py).
+    Pass 0/None to disable (or use blocked=True, which never
+    enumerates).
     """
     if blocked:
         pairs = _blocked_candidate_pairs(events, max_len, **blocked_kwargs)
     else:
         s = user_series(events, max_len)
+        if max_users and s.limit(max_users + 1).count() > max_users:
+            raise ValueError(
+                f"series_pairs_dtw(blocked=False) is O(U^2) and the input "
+                f"has more than max_users={max_users} distinct users; use "
+                "blocked=True (LSH candidates) or raise max_users explicitly"
+            )
         a = s.alias("a")
         b = s.alias("b")
         pairs = a.join(

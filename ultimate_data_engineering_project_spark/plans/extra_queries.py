@@ -430,7 +430,13 @@ def timeseries_dtw_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-DTW distances between user event series (X6 pandas-UDF
     path — the DP recurrence is inexpressible in built-in expressions;
-    numpy runs per Arrow batch)."""
+    numpy runs per Arrow batch).
+
+    This is the exact ALL-PAIRS audit twin — **O(U²) in distinct
+    users**, deliberately outside the bench and prefix like the other
+    exact twins (`timeseries_similar_users_exact`); the scale path is
+    `timeseries_dtw_blocked`.  The operator's ``max_users`` guard
+    aborts loudly if pointed at a corpus too large to enumerate."""
     from ultimate_data_engineering_project_spark.operators import timeseries
 
     events = load_table(spark, sf_dir, "events")
