@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Deterministic sf1 upscaler: materialize a 10x-sf0.1 dataset so the
+SCALING.md sweep gets a 1,000x-over-sf0.001 decade (a hidden
+superlinear constant shows up here first).
+
+/root/testdata is read-only and stops at sf0.1, so sf1 is derived from
+sf0.1 with a pure, seed-free construction (same bytes every run):
+each fact table is unioned as N_COPIES key-shifted copies via a
+crossJoin with spark.range(N_COPIES) — one scan, no shuffle, 10x rows.
+
+Semantics per table (copy 0 is ALWAYS the verbatim sf0.1 rows, so
+sf0.1 is a strict subset of sf1):
+  * region/nation/supplier/part: verbatim (fixed dimensions — the star
+    join's broadcast sides should NOT grow; TPC-H scales some of these,
+    but the 12 swept entries never join them on the scaled side).
+  * customer/orders/lineitem: keys shift by (max_key+1)*copy with FK
+    consistency (orders.o_custkey follows the customer shift of the
+    same copy; lineitem.l_orderkey follows orders).
+  * events: event_id/user_id shift -> 10x events AND 10x users, so
+    per-user series lengths (sessionize, time-series blocking) keep the
+    sf0.1 distribution; timestamps/values verbatim, so event DENSITY
+    per day rises 10x (the range join's output is expected to grow
+    ~100x — pair density is quadratic in density, inherent semantics).
+  * documents: doc_id INTERLEAVES (doc_id*N_COPIES + copy) rather than
+    block-shifting, so any id-range split (the incremental entry's
+    newest-20% batch) still cuts through every copy; copies > 0 get a
+    copy-specific salt token fused into every 3rd token, which destroys
+    cross-copy shingle overlap (no artificial 10x near-dup slabs) while
+    preserving each copy's INTERNAL near-dup structure — near-dup work
+    scales ~linearly like a real corpus, not quadratically like naive
+    replication.  n_chars is recomputed to stay consistent.
+  * embeddings: vec_id shifts; copies > 0 perturb every component by
+    copy*1e-4, so vectors are near but not identical across copies
+    (ANN candidate lists grow ~linearly with corpus size).
+
+Usage: python tools/gen_sf1.py [out_dir]   (default .scaling/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_COPIES = 10
+SRC = "/root/testdata/sf0.1"
+
+
+def _copies(spark, df, n=N_COPIES):
+    return df.crossJoin(spark.range(n).withColumnRenamed("id", "__copy"))
+
+
+def _stride(df, key: str) -> int:
+    return int(df.agg({key: "max"}).first()[0]) + 1
+
+
+def main(out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.session import get_spark
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    spark = get_spark()
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(df, name):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{name}: {spark.read.parquet(os.path.join(out_dir, f'{name}.parquet')).count()} rows")
+
+    for t in ("region", "nation", "supplier", "part"):
+        write(load_table(spark, SRC, t), t)
+
+    cust = load_table(spark, SRC, "customer")
+    c_stride = _stride(cust, "c_custkey")
+    write(
+        _copies(spark, cust)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("__copy") * c_stride)
+        .drop("__copy"),
+        "customer",
+    )
+
+    orders = load_table(spark, SRC, "orders")
+    o_stride = _stride(orders, "o_orderkey")
+    write(
+        _copies(spark, orders)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__copy") * o_stride)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("__copy") * c_stride)
+        .drop("__copy"),
+        "orders",
+    )
+
+    li = load_table(spark, SRC, "lineitem")
+    write(
+        _copies(spark, li)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__copy") * o_stride)
+        .drop("__copy"),
+        "lineitem",
+    )
+
+    ev = load_table(spark, SRC, "events")
+    e_stride = _stride(ev, "event_id")
+    u_stride = _stride(ev, "user_id")
+    write(
+        _copies(spark, ev)
+        .withColumn("event_id", F.col("event_id") + F.col("__copy") * e_stride)
+        .withColumn("user_id", F.col("user_id") + F.col("__copy") * u_stride)
+        .drop("__copy"),
+        "events",
+    )
+
+    docs = load_table(spark, SRC, "documents")
+    salt = F.concat(F.lit("zq"), F.col("__copy").cast("string"), F.lit("_"))
+    toks = F.split(F.col("text"), " ")
+    salted = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when((i % 3) == F.lit(0), F.concat(salt, t)).otherwise(t),
+        ),
+        " ",
+    )
+    new_text = F.when(F.col("__copy") == 0, F.col("text")).otherwise(salted)
+    write(
+        _copies(spark, docs)
+        .withColumn("doc_id", F.col("doc_id") * N_COPIES + F.col("__copy"))
+        .withColumn("text", new_text)
+        .withColumn("n_chars", F.length(F.col("text")))
+        .drop("__copy"),
+        "documents",
+    )
+
+    emb = load_table(spark, SRC, "embeddings")
+    v_stride = _stride(emb, "vec_id")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda v: (v + (F.col("__copy") * F.lit(1e-4)).cast("float")).cast("float"),
+    )
+    write(
+        _copies(spark, emb)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__copy") * v_stride)
+        .withColumn(
+            "embedding",
+            F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(perturbed),
+        )
+        .drop("__copy"),
+        "embeddings",
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling", "sf1"
+    ))

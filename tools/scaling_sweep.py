@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""SCALING.md sweep: run the 12 representative catalog entries at
+sf0.001 / sf0.01 / sf0.1 (driver testdata) and sf1 (self-generated 10x
+decade — tools/gen_sf1.py), best of N_RUNS full executions each, and
+print the markdown table + a JSON line.
+
+Usage: python tools/scaling_sweep.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ENTRIES = [
+    "pricing_summary",
+    "star_join_revenue_by_nation",
+    "sessionize_events",
+    "range_join_error_windows",
+    "events_value_anomalies",
+    "cosine_topk_bruteforce",
+    "ann_topk_lsh",
+    "minhash_near_dup_pairs",
+    "dedup_clusters",
+    "incremental_near_dup_md5",
+    "timeseries_similar_users",
+    "docs_curation_pipeline",
+]
+N_RUNS = 2
+
+
+def main(sf1_dir: str) -> None:
+    from ultimate_data_engineering_project_spark.plans.catalog import queries
+    from ultimate_data_engineering_project_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    dirs = [
+        ("sf0.001", "/root/testdata/sf0.001"),
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("sf1", sf1_dir),
+    ]
+    results: dict[str, dict[str, float]] = {}
+    rows_at: dict[str, dict[str, int]] = {}
+    for label, d in dirs:
+        for name in ENTRIES:
+            best, n = None, 0
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                n = qs[name](spark, d).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[label] = round(best, 3)
+            rows_at.setdefault(name, {})[label] = n
+            print(f"{label} {name}: {best:.3f}s {n} rows", file=sys.stderr)
+
+    print("| entry | sf0.001 | sf0.01 | sf0.1 | sf1 | t(1000x)/t(1x) | rows @sf1 |")
+    print("|---|---|---|---|---|---|---|")
+    for name in ENTRIES:
+        r = results[name]
+        ratio = r["sf1"] / r["sf0.001"]
+        print(
+            f"| {name} | {r['sf0.001']} | {r['sf0.01']} | {r['sf0.1']} | "
+            f"{r['sf1']} | {ratio:.1f}x | {rows_at[name]['sf1']:,} |"
+        )
+    print(json.dumps({"results": results, "rows": rows_at}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaling", "sf1"
+    ))
