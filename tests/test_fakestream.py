@@ -152,6 +152,41 @@ def test_linear_fraud_scores_semantics(tables):
     neg = [r["fraud_score"] for r in rows if r["is_circular"] == 0]
     assert pos and neg
     assert sum(pos) / len(pos) > sum(neg) / len(neg)
+    # (c) rank quality with a margin, not just a sign: AUC =
+    # P(score_pos > score_neg), ties at 0.5.  The 2-feature linear
+    # probe lands ~0.62 on the frozen fixture; 0.55 is the floor that
+    # makes a future feature/labeling change that DEGRADES the model
+    # fail loudly while leaving room for fixture-level noise.
+    import bisect
+
+    neg_sorted = sorted(neg)
+    wins = 0.0
+    for p in pos:
+        lo = bisect.bisect_left(neg_sorted, p)
+        hi = bisect.bisect_right(neg_sorted, p)
+        wins += lo + 0.5 * (hi - lo)
+    auc = wins / (len(pos) * len(neg))
+    assert auc >= 0.55, f"fraud-score AUC degraded: {auc:.4f}"
+
+
+def test_linear_fraud_scores_singular_matrix_is_null(tables):
+    """A singular normal-equation matrix (single account, constant
+    features => det = 0) must yield NULL coefficients/scores on BOTH
+    engines — never IEEE Inf/NaN, whose div-by-zero semantics differ
+    across engines (ADVICE r8).  The decimal(38,0) determinant path
+    must also keep the non-degenerate coefficients exactly
+    reproducible (pinned by the fakestream_fraud_scores oracle)."""
+    from ultimate_data_engineering_project_spark.fraud import linear_fraud_scores
+
+    t = tables["transactions"]
+    first_acct = t.select("account_id").first()[0]
+    tiny = t.filter(
+        (F.col("account_id") == first_acct)
+        & (F.col("transaction_type") != "Transfer")
+    )
+    out = linear_fraud_scores(tiny).collect()
+    assert len(out) == 1
+    assert out[0]["fraud_score"] is None  # NULL, not inf/nan
 
 
 def test_gold_dashboards_shapes(tables):

@@ -245,6 +245,11 @@ def test_catalog_priority_prefix_covers_core_surface():
         # took the slot events_daily_volume held (same date-trunc family
         # as the flagship; still oracle-checked in overflow)
         "fakestream_fraud_scores",
+        # r8: the executable Avro CDC decode with the reference's own
+        # decimal/timestamp logical types took the slot
+        # rolling_7day_order_volume held (same W3 rolling family as
+        # range_rolling_revenue; still oracle-checked in overflow)
+        "avro_debezium_txn_roundtrip",
     }
     missing = must_have - prefix
     assert not missing, f"core queries fell out of the 50-entry prefix: {missing}"

@@ -249,6 +249,115 @@ def test_decode_confluent_avro_py_end_to_end(spark):
     assert got == {5, None}
 
 
+_LOGICAL_SCHEMA = """
+{"type": "record", "name": "txn", "fields": [
+  {"name": "id", "type": "long"},
+  {"name": "amount",
+   "type": {"type": "bytes", "logicalType": "decimal",
+            "precision": 15, "scale": 2}},
+  {"name": "fee",
+   "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                     "precision": 15, "scale": 2}]},
+  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+  {"name": "ts_ms",
+   "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}]},
+  {"name": "d", "type": {"type": "int", "logicalType": "date"}}
+]}
+"""
+
+
+def test_avro_logical_types_known_bytes():
+    """Decimal/timestamp/date logical types — the shapes Debezium's
+    AvroConverter emits for the reference's Numeric(15,2)/DateTime
+    columns (reference schemas.py:37,53,59-60) — pinned at the BYTE
+    level: two's-complement big-endian unscaled decimals behind a
+    length prefix, epoch micro/millisecond longs, epoch-day ints."""
+    import datetime
+    from decimal import Decimal
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    fields = avro_py.parse_flat_schema(_LOGICAL_SCHEMA)
+    sch = avro_py.spark_schema_for(fields)
+    assert isinstance(sch["amount"].dataType, T.DecimalType)
+    assert sch["amount"].dataType.precision == 15
+    assert isinstance(sch["ts"].dataType, T.TimestampType)
+    assert isinstance(sch["d"].dataType, T.DateType)
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    body = avro_py.encode_record(
+        (1, Decimal("-0.01"), None, ts, None, datetime.date(1970, 1, 3)),
+        fields,
+    )
+    assert body == (
+        b"\x02"  # id 1 -> zigzag 2
+        + b"\x02\xff"  # decimal: length 1, unscaled -1 two's complement
+        + b"\x00"  # fee: null branch
+        + b"\x80\xc9\xc9\xd8\x83\xa6\x89\x06"  # 1709294400123456us zigzag
+        + b"\x00"  # ts_ms: null branch
+        + b"\x04"  # date: 2 days -> zigzag 4
+    )
+    out = avro_py.decode_record(body, fields)
+    assert out[1] == Decimal("-0.01") and out[2] is None
+    assert out[3] == ts.replace(tzinfo=datetime.timezone.utc)
+    assert out[5] == datetime.date(1970, 1, 3)
+
+    # boundary decimals stay minimal-length two's complement
+    for v in ("-128.00", "127.99", "128.00", "-129.00",
+              "9999999999999.99", "-9999999999999.99", "0.00"):
+        b = avro_py.encode_record(
+            (1, Decimal(v), Decimal(v), ts, None, datetime.date(1970, 1, 1)),
+            fields,
+        )
+        r = avro_py.decode_record(b, fields)
+        assert r[1] == Decimal(v) and r[2] == Decimal(v)
+
+
+def test_avro_logical_types_fail_loudly():
+    """Codec guardrails (ADVICE r8): floats refuse to masquerade as
+    decimals, precision/scale violations raise, sub-millisecond values
+    cannot silently truncate into timestamp-millis, >10-byte varints
+    are malformed, and unsupported logical types still route to
+    spark-avro at PLAN time."""
+    import datetime
+    from decimal import Decimal
+
+    import pytest
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    fields = avro_py.parse_flat_schema(_LOGICAL_SCHEMA)
+    ts = datetime.datetime(2024, 1, 1)
+    d = datetime.date(2024, 1, 1)
+    with pytest.raises(ValueError, match="float"):
+        avro_py.encode_record((1, 1.5, None, ts, None, d), fields)
+    with pytest.raises(ValueError, match="scale"):
+        avro_py.encode_record((1, Decimal("0.001"), None, ts, None, d), fields)
+    with pytest.raises(ValueError, match="precision"):
+        avro_py.encode_record(
+            (1, Decimal("99999999999999.99"), None, ts, None, d), fields
+        )
+    with pytest.raises(ValueError, match="sub-millisecond"):
+        avro_py.encode_record(
+            (1, Decimal("1.00"), None, ts,
+             datetime.datetime(2024, 1, 1, 0, 0, 0, 1), d),
+            fields,
+        )
+    with pytest.raises(ValueError, match="varint"):
+        avro_py._read_long(b"\xff" * 11, 0)
+    with pytest.raises(ValueError, match="logical"):
+        avro_py.parse_flat_schema(
+            '{"type":"record","name":"t","fields":[{"name":"x",'
+            '"type":{"type":"long","logicalType":"time-micros"}}]}'
+        )
+    with pytest.raises(ValueError, match="decimal"):
+        avro_py.parse_flat_schema(
+            '{"type":"record","name":"t","fields":[{"name":"x",'
+            '"type":{"type":"string","logicalType":"decimal",'
+            '"precision":10,"scale":2}}]}'
+        )
+
+
 _ROW_SCHEMA = T.StructType(
     [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
 )

@@ -103,10 +103,18 @@ def linear_fraud_scores(transactions: DataFrame) -> DataFrame:
     coefficient frame broadcast back over the feature frame (the
     scalar-subquery pattern — the nested loop's build side is exactly
     one row).  No iteration, no driver-side math, no collect.
-    Feature magnitudes must keep the determinants inside int64 —
-    holds for velocity counts (x ≤ ~1e4 even at 100 TB: det terms ~
-    n·Σx²·Σx² stay < 2^63 for n up to ~1e9 accounts); quantize or cap
-    features upstream if a new feature breaks that bound."""
+
+    Exactness bound: the nine sums accumulate exactly as int64, then
+    every determinant term is formed in DECIMAL(38,0) — ~126 bits, the
+    same range as the HUGEINT DuckDB promotes SUM(BIGINT) to — so the
+    two engines stay bit-identical while det terms < 10^38 (with
+    x ≤ 1e4 that holds to ~2e7 accounts: n·Σx²·Σx² ≈ n³x⁴).  Past the
+    bound Spark's decimal overflow yields NULL (non-ANSI), which the
+    assert_true guard turns into a LOUD plan-level error instead of
+    silently-wrapped coefficients; quantize or cap features upstream
+    if a new feature trips it.  A singular normal-equation matrix
+    (det = 0: degenerate/constant features) yields NULL coefficients
+    on both engines rather than leaning on IEEE div-by-zero."""
     labeled = fraud_training_frame(transactions)
     s = labeled.agg(
         F.count(F.lit(1)).alias("n"),
@@ -119,9 +127,13 @@ def linear_fraud_scores(transactions: DataFrame) -> DataFrame:
         F.sum(F.col("n_trx") * F.col("is_circular")).alias("s1y"),
         F.sum(F.col("n_big") * F.col("is_circular")).alias("s2y"),
     )
-    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
-    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+
+    def _d(name: str):
+        return F.col(name).cast("decimal(38,0)")
+
+    n, s1, s2 = _d("n"), _d("s1"), _d("s2")
+    s11, s22, s12 = _d("s11"), _d("s22"), _d("s12")
+    sy, s1y, s2y = _d("sy"), _d("s1y"), _d("s2y")
     det = (
         n * (s11 * s22 - s12 * s12)
         - s1 * (s1 * s22 - s12 * s2)
@@ -142,10 +154,31 @@ def linear_fraud_scores(transactions: DataFrame) -> DataFrame:
         - s1 * (s1 * s2y - s1y * s2)
         + sy * (s1 * s12 - s11 * s2)
     )
+    # assert_true evaluates to NULL when the condition holds (left
+    # operand of the AND, so it runs first): a decimal-overflowed
+    # (NULL) determinant aborts the job loudly instead of silently
+    # producing garbage coefficients; det = 0 yields NULL coefficients.
+    overflow_guard = F.assert_true(
+        det.isNotNull()
+        & det0.isNotNull()
+        & det1.isNotNull()
+        & det2.isNotNull(),
+        F.lit(
+            "fraud-model normal-equation determinant overflowed "
+            "decimal(38,0); quantize or cap feature magnitudes upstream"
+        ),
+    )
+
+    def _coef(det_j):
+        return F.when(
+            overflow_guard.isNull() & (det != 0),
+            det_j.cast("double") / det.cast("double"),
+        )
+
     coef = s.select(
-        (det0.cast("double") / det.cast("double")).alias("b0"),
-        (det1.cast("double") / det.cast("double")).alias("b1"),
-        (det2.cast("double") / det.cast("double")).alias("b2"),
+        _coef(det0).alias("b0"),
+        _coef(det1).alias("b1"),
+        _coef(det2).alias("b2"),
     )
     return labeled.crossJoin(F.broadcast(coef)).select(
         "account_id",

@@ -100,7 +100,13 @@ _PRIORITY = [
     "docs_text_stats",
     # §2.5 windows
     "running_total_by_customer",
-    "rolling_7day_order_volume",
+    # r8: the executable Avro-decode path (S13, WITH the reference's
+    # own decimal/timestamp logical types) takes a prefix slot so the
+    # CDC decode is under the driver's own hash gate;
+    # rolling_7day_order_volume ceded (same W3 rolling-window family as
+    # range_rolling_revenue — both stay oracle-checked in overflow +
+    # strict parity)
+    "avro_debezium_txn_roundtrip",
     "dedup_keep_latest_events",
     "scd2_user_event_versions",
     "sessionize_events",
@@ -148,6 +154,7 @@ _PRIORITY = [
     # ledger keeps its harder clamped form); they stay fully
     # oracle-checked here and in STRICT_PARITY
     "rollup_order_status_priority",
+    "rolling_7day_order_volume",
     "fakestream_scd2_customers",
     "fakestream_ledger",
     "dedup_cluster_representatives",

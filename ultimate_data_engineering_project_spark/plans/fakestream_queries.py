@@ -256,27 +256,35 @@ def fakestream_circular_transfers(spark: SparkSession, sf_dir: str) -> DataFrame
                SUM(n_big * is_circular) AS s2y
         FROM labeled
     ),
-    coef AS (
+    dets AS (
+        -- SUM(BIGINT) is HUGEINT here, mirroring Spark's decimal(38,0)
+        -- determinant arithmetic (~126 bits on both engines)
         SELECT
-          CAST(sy * (s11 * s22 - s12 * s12)
-               - s1 * (s1y * s22 - s12 * s2y)
-               + s2 * (s1y * s12 - s11 * s2y) AS DOUBLE)
-          / CAST(n * (s11 * s22 - s12 * s12)
-                 - s1 * (s1 * s22 - s12 * s2)
-                 + s2 * (s1 * s12 - s11 * s2) AS DOUBLE) AS b0,
-          CAST(n * (s1y * s22 - s12 * s2y)
-               - sy * (s1 * s22 - s12 * s2)
-               + s2 * (s1 * s2y - s1y * s2) AS DOUBLE)
-          / CAST(n * (s11 * s22 - s12 * s12)
-                 - s1 * (s1 * s22 - s12 * s2)
-                 + s2 * (s1 * s12 - s11 * s2) AS DOUBLE) AS b1,
-          CAST(n * (s11 * s2y - s1y * s12)
-               - s1 * (s1 * s2y - s1y * s2)
-               + sy * (s1 * s12 - s11 * s2) AS DOUBLE)
-          / CAST(n * (s11 * s22 - s12 * s12)
-                 - s1 * (s1 * s22 - s12 * s2)
-                 + s2 * (s1 * s12 - s11 * s2) AS DOUBLE) AS b2
+          n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS det,
+          sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS det0,
+          n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS det1,
+          n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS det2
         FROM s
+    ),
+    coef AS (
+        -- singular normal equations (det = 0) => NULL coefficients on
+        -- both engines, never IEEE div-by-zero
+        SELECT
+          CASE WHEN det <> 0
+               THEN CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+          CASE WHEN det <> 0
+               THEN CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+          CASE WHEN det <> 0
+               THEN CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+        FROM dets
     )
     SELECT l.account_id, l.n_trx, l.n_big, l.is_circular,
            ROUND(b0 + b1 * l.n_trx + b2 * l.n_big, 6) AS fraud_score
@@ -295,6 +303,102 @@ def fakestream_fraud_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     each), so the TRAINED MODEL itself is hash-checked, not just the
     feature plumbing."""
     return fraud.linear_fraud_scores(_fx(spark, _TRX))
+
+
+_DEBEZIUM_TXN_SCHEMA = """
+{"type": "record", "name": "transactions", "namespace": "fakestream.public",
+ "fields": [
+  {"name": "transaction_id", "type": "long"},
+  {"name": "account_id", "type": "long"},
+  {"name": "transaction_type", "type": "string"},
+  {"name": "amount",
+   "type": {"type": "bytes", "logicalType": "decimal",
+            "precision": 15, "scale": 2}},
+  {"name": "refund_amount",
+   "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                     "precision": 15, "scale": 2}]},
+  {"name": "transaction_date",
+   "type": {"type": "long", "logicalType": "timestamp-micros"}},
+  {"name": "settled_at",
+   "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}]},
+  {"name": "related_account_id", "type": ["null", "long"]},
+  {"name": "status", "type": "string"},
+  {"name": "day", "type": {"type": "int", "logicalType": "date"}}
+ ]}
+"""
+
+
+@register(
+    "avro_debezium_txn_roundtrip",
+    oracle=f"""
+    SELECT CAST(21 AS INTEGER) AS schema_id,
+           transaction_id,
+           account_id,
+           transaction_type,
+           CAST(amount AS VARCHAR) AS amount,
+           CAST(CASE WHEN transaction_type = 'Refund' THEN amount END
+                AS DOUBLE) AS refund_amount,
+           transaction_date,
+           CASE WHEN status = 'completed'
+                THEN date_trunc('second', transaction_date) END AS settled_at,
+           related_account_id,
+           status,
+           CAST(transaction_date AS DATE) AS day
+    FROM read_parquet('{_TRX}')
+    """,
+)
+def avro_debezium_txn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN transactions table through the executable
+    Confluent-Avro CDC path, logical types included (S13): Debezium's
+    AvroConverter serializes `Numeric(15,2)` as ``bytes``+``decimal``
+    and `DateTime` as ``long``+``timestamp-micros``/``millis``
+    (reference schemas.py:37,53,59-60; docker-compose.yaml:74-97), so a
+    codec without those types cannot decode the reference's actual
+    envelope.  Here every fixture transaction is Avro-encoded with the
+    Debezium-shaped schema (two's-complement unscaled decimals, epoch
+    micro/millisecond timestamps, epoch-day dates, null unions on the
+    optional columns), Confluent-framed, stripped, and decoded back by
+    the pure-Python codec — and the DuckDB oracle reads the same typed
+    values straight from parquet, so every decimal byte and timestamp
+    tick must survive the wire bit-exactly to hash-match."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    rows = _fx(spark, _TRX).select(
+        "transaction_id",
+        "account_id",
+        "transaction_type",
+        "amount",
+        F.when(F.col("transaction_type") == "Refund", F.col("amount"))
+        .alias("refund_amount"),
+        "transaction_date",
+        F.when(
+            F.col("status") == "completed",
+            F.date_trunc("second", F.col("transaction_date")),
+        ).alias("settled_at"),
+        "related_account_id",
+        "status",
+        F.to_date("transaction_date").alias("day"),
+    )
+    frames = avro_py.encode_confluent_frames(rows, _DEBEZIUM_TXN_SCHEMA, 21)
+    decoded = avro_py.decode_confluent_avro_py(frames, _DEBEZIUM_TXN_SCHEMA)
+    return decoded.select(
+        "schema_id",
+        "transaction_id",
+        "account_id",
+        "transaction_type",
+        # decimal leaves as its exact STRING form ('1021.70'): DuckDB's
+        # pandas bridge degrades DECIMAL to float64, so the string cast
+        # is what keeps the scale-2 exactness inside the hash check
+        F.col("amount").cast("string").alias("amount"),
+        # nullable money leaves as DOUBLE (catalog convention); its
+        # union branch + decimal wire coverage rides `amount` above
+        F.col("refund_amount").cast("double").alias("refund_amount"),
+        "transaction_date",
+        "settled_at",
+        "related_account_id",
+        "status",
+        "day",
+    )
 
 
 _SCD2_SENTINEL = "2200-01-01 00:00:00"

@@ -12,10 +12,14 @@ fields and ``["null", T]`` unions) — applied over Arrow batches via
 ``mapInPandas``.
 
 Scope is deliberately narrow and loud: nested records, arrays, maps,
-enums, fixeds, logical types, and >2-branch unions raise ``ValueError``
-at plan time.  For those, use the spark-avro package (the
-``decode_confluent_avro`` path); this codec exists so the CDC pipeline
-is testable and oracle-checkable end to end in environments without it.
+enums, fixeds, and >2-branch unions raise ``ValueError`` at plan time.
+Supported logical types are exactly the ones Debezium emits for the
+reference's own column types (reference schemas.py:37,53 Numeric(15,2)
+-> ``bytes``+``decimal``; :59-60 DateTime -> ``long``+
+``timestamp-micros``/``millis``; Date -> ``int``+``date``).  For
+anything else, use the spark-avro package (the ``decode_confluent_avro``
+path); this codec exists so the CDC pipeline is testable and
+oracle-checkable end to end in environments without it.
 
 Design notes for 100 TB:
   * decode is per-row Python — the documented "inexpressible kernel"
@@ -31,7 +35,10 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
+import re
 import struct
 from dataclasses import dataclass
 from typing import Iterator
@@ -59,6 +66,80 @@ _SPARK_TYPES = {
     "string": T.StringType(),
     "bytes": T.BinaryType(),
 }
+
+# Logical types are carried as synthetic branch names so union indexing
+# (positional) and the rest of the codec stay untouched; the wire type
+# each one rides on is what the decoder actually reads.
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+#: logical name -> required Avro wire primitive (per the Avro spec /
+#: what Debezium's AvroConverter emits)
+_LOGICAL_WIRE = {
+    "timestamp-micros": "long",
+    "timestamp-millis": "long",
+    "date": "int",
+}
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _logical_name(ftype: dict, field_name: str) -> str:
+    """A ``{"type": prim, "logicalType": ...}`` dict -> synthetic branch
+    name, validating the (logical, wire) pairing loudly at plan time."""
+    prim = ftype.get("type")
+    logical = ftype.get("logicalType")
+    if logical == "decimal":
+        if prim != "bytes":
+            raise ValueError(
+                f"field {field_name!r}: decimal logical type is only "
+                f"supported over 'bytes', got wire type {prim!r}"
+            )
+        precision = ftype.get("precision")
+        scale = ftype.get("scale", 0)
+        if not isinstance(precision, int) or not isinstance(scale, int) or (
+            precision < 1 or precision > 38 or scale < 0 or scale > precision
+        ):
+            raise ValueError(
+                f"field {field_name!r}: bad decimal precision/scale "
+                f"({precision!r},{scale!r}); need 1<=p<=38, 0<=s<=p"
+            )
+        return f"decimal({precision},{scale})"
+    if logical in _LOGICAL_WIRE:
+        if prim != _LOGICAL_WIRE[logical]:
+            raise ValueError(
+                f"field {field_name!r}: logical type {logical!r} must ride "
+                f"on {_LOGICAL_WIRE[logical]!r}, got {prim!r}"
+            )
+        return logical
+    if logical is not None:
+        raise ValueError(
+            f"field {field_name!r}: unsupported logical type {logical!r} "
+            "(use spark-avro)"
+        )
+    # a dict with no logicalType is just an inline type declaration
+    if isinstance(prim, str) and prim in _PRIMITIVES:
+        return prim
+    raise ValueError(
+        f"field {field_name!r}: nested/complex type {ftype!r} is not "
+        "supported by the pure-Python codec (use spark-avro)"
+    )
+
+
+def _wire_type(branch: str) -> str:
+    """The Avro primitive a (possibly logical) branch reads/writes."""
+    if _DECIMAL_RE.match(branch):
+        return "bytes"
+    return _LOGICAL_WIRE.get(branch, branch)
+
+
+def _spark_type_for_branch(branch: str) -> T.DataType:
+    m = _DECIMAL_RE.match(branch)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if branch in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType()
+    if branch == "date":
+        return T.DateType()
+    return _SPARK_TYPES[branch]
 
 
 @dataclass(frozen=True)
@@ -92,27 +173,34 @@ def parse_flat_schema(avro_schema_json: str) -> list[AvroField]:
         raise ValueError(
             f"only flat 'record' schemas are supported, got: {sch!r}"
         )
+    def _branch_name(b, field_name: str) -> str:
+        if isinstance(b, str):
+            return b
+        if isinstance(b, dict):
+            return _logical_name(b, field_name)
+        raise ValueError(
+            f"field {field_name!r}: nested/complex type {b!r} is not "
+            "supported by the pure-Python codec (use spark-avro)"
+        )
+
     fields: list[AvroField] = []
     for f in sch.get("fields", []):
         name, ftype = f["name"], f["type"]
-        if isinstance(ftype, str):
-            branches = (ftype,)
-        elif isinstance(ftype, list):
-            if len(ftype) != 2 or "null" not in ftype or not all(
-                isinstance(b, str) for b in ftype
-            ):
+        if isinstance(ftype, list):
+            if len(ftype) != 2 or "null" not in [
+                b for b in ftype if isinstance(b, str)
+            ]:
                 raise ValueError(
-                    f"field {name!r}: only 2-branch ['null', <primitive>] "
+                    f"field {name!r}: only 2-branch ['null', <type>] "
                     f"unions are supported, got {ftype!r}"
                 )
-            branches = tuple(ftype)
+            branches = tuple(_branch_name(b, name) for b in ftype)
         else:
-            raise ValueError(
-                f"field {name!r}: nested/complex type {ftype!r} is not "
-                "supported by the pure-Python codec (use spark-avro)"
-            )
+            branches = (_branch_name(ftype, name),)
         for b in branches:
-            if b != "null" and b not in _PRIMITIVES:
+            if b != "null" and b not in _PRIMITIVES and not (
+                _DECIMAL_RE.match(b) or b in _LOGICAL_WIRE
+            ):
                 raise ValueError(
                     f"field {name!r}: unsupported type {b!r} "
                     "(use spark-avro for non-primitive fields)"
@@ -128,7 +216,7 @@ def parse_flat_schema(avro_schema_json: str) -> list[AvroField]:
 def spark_schema_for(fields: list[AvroField]) -> T.StructType:
     return T.StructType(
         [
-            T.StructField(f.name, _SPARK_TYPES[f.value_type], True)
+            T.StructField(f.name, _spark_type_for_branch(f.value_type), True)
             for f in fields
         ]
     )
@@ -145,6 +233,11 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
     while True:
         if pos >= n:
             raise ValueError("truncated Avro payload (varint ran off end)")
+        if shift > 63:
+            # Avro longs are at most 10 varint bytes; a longer run is
+            # corrupt data — fail in the codec's own ValueError family
+            # instead of overflowing int64 later at the Arrow boundary.
+            raise ValueError("malformed Avro varint (more than 10 bytes)")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -157,6 +250,23 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 def _decode_value(buf: bytes, pos: int, ftype: str):
     if ftype in ("long", "int"):
         return _read_long(buf, pos)
+    m = _DECIMAL_RE.match(ftype)
+    if m:
+        raw, pos = _decode_value(buf, pos, "bytes")
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return (
+            _decimal.Decimal(unscaled).scaleb(-int(m.group(2))),
+            pos,
+        )
+    if ftype == "timestamp-micros" or ftype == "timestamp-millis":
+        v, pos = _read_long(buf, pos)
+        us = v if ftype == "timestamp-micros" else v * 1000
+        # tz-aware UTC instants: Arrow converts these to Spark
+        # TimestampType correctly whatever the session timezone is.
+        return _EPOCH_UTC + _dt.timedelta(microseconds=us), pos
+    if ftype == "date":
+        v, pos = _read_long(buf, pos)
+        return _EPOCH_DATE + _dt.timedelta(days=v), pos
     if ftype == "string" or ftype == "bytes":
         ln, pos = _read_long(buf, pos)
         if ln < 0 or pos + ln > len(buf):
@@ -233,8 +343,73 @@ def encode_record(values, fields: list[AvroField]) -> bytes:
             _write_long(out, f.branches.index(ftype))
         elif v is None:
             raise ValueError(f"field {f.name!r} is not nullable, got None")
+        m = _DECIMAL_RE.match(ftype)
         if ftype in ("long", "int"):
+            if isinstance(v, float):
+                # a nullable long column round-trips Spark->pandas as
+                # float64; above 2^53 the float has already lost integer
+                # precision — fail loudly rather than encode a wrong id.
+                if not v.is_integer() or abs(v) >= 2.0**53:
+                    raise ValueError(
+                        f"field {f.name!r}: long value {v!r} arrived as a "
+                        "float64 that cannot represent it exactly (nullable "
+                        "long columns pass through pandas as float64)"
+                    )
             _write_long(out, int(v))
+        elif m:
+            scale = int(m.group(2))
+            if isinstance(v, float):
+                raise ValueError(
+                    f"field {f.name!r}: refusing to encode a float as "
+                    f"decimal({m.group(1)},{scale}) — binary floats are "
+                    "inexact; pass decimal.Decimal, int, or str"
+                )
+            d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(v)
+            q = d.scaleb(scale)
+            unscaled = int(q)
+            if q != unscaled:
+                raise ValueError(
+                    f"field {f.name!r}: {v!r} does not fit scale {scale}"
+                )
+            if len(str(abs(unscaled))) > int(m.group(1)):
+                raise ValueError(
+                    f"field {f.name!r}: {v!r} exceeds precision {m.group(1)}"
+                )
+            # minimal two's-complement length: bias negatives by one so
+            # the -2^(8k-1) boundary values still fit in k bytes
+            nbytes = (
+                (unscaled + (1 if unscaled < 0 else 0)).bit_length() // 8
+            ) + 1
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            _write_long(out, len(raw))
+            out += raw
+        elif ftype in ("timestamp-micros", "timestamp-millis"):
+            if not isinstance(v, _dt.datetime):
+                raise ValueError(
+                    f"field {f.name!r}: expected datetime, got {type(v)}"
+                )
+            epoch = (
+                _EPOCH_UTC if v.tzinfo is not None
+                # session timezone is pinned to UTC (session.py), so a
+                # naive timestamp out of Spark IS the UTC wall clock.
+                else _dt.datetime(1970, 1, 1)
+            )
+            us = (v - epoch) // _dt.timedelta(microseconds=1)
+            if ftype == "timestamp-millis":
+                if us % 1000:
+                    raise ValueError(
+                        f"field {f.name!r}: {v!r} has sub-millisecond "
+                        "precision; use timestamp-micros"
+                    )
+                _write_long(out, us // 1000)
+            else:
+                _write_long(out, us)
+        elif ftype == "date":
+            if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
+                raise ValueError(
+                    f"field {f.name!r}: expected datetime.date, got {type(v)}"
+                )
+            _write_long(out, (v - _EPOCH_DATE).days)
         elif ftype == "string":
             raw = v.encode("utf-8")
             _write_long(out, len(raw))
@@ -346,7 +521,15 @@ def encode_confluent_frames(
     avro body): the producer half, used to synthesize oracle-checkable
     frames and to feed `write_kafka_stream` without a registry
     serializer.  Field values are read from the columns named by the
-    schema, in schema order."""
+    schema, in schema order.
+
+    Known codec limitation (an Arrow/pandas boundary artifact, not a
+    wire-format one): Spark nulls in a float/double column arrive in
+    pandas as NaN, indistinguishable from a genuine NaN value — for a
+    NULLABLE float field both encode as the Avro null branch.  A
+    REQUIRED float field keeps NaN as the IEEE value.  Nullable long
+    columns pass through pandas as float64; values at or above 2^53
+    raise loudly instead of silently losing integer precision."""
     fields = parse_flat_schema(avro_schema_json)
     names = [f.name for f in fields]
     missing = [n for n in names if n not in df.columns]
@@ -363,11 +546,33 @@ def encode_confluent_frames(
     def _encode(batches) -> Iterator:
         import pandas as pd
 
+        def _coerce_null(v, f: AvroField):
+            if v is None:
+                return None
+            try:
+                isna = bool(pd.isna(v))
+            except (TypeError, ValueError):  # arrays etc. — not null
+                return v
+            if not isna:
+                return v
+            # NaN in a REQUIRED float field is a legal IEEE value, keep
+            # it; everywhere else pandas NA means SQL NULL (see
+            # docstring for the nullable-float conflation).
+            if (
+                isinstance(v, float)
+                and not f.nullable
+                and _wire_type(f.value_type) in ("float", "double")
+            ):
+                return v
+            return None
+
         for pdf in batches:
             vals = []
             field_cols = [pdf[n] for n in names]
             for row in zip(*field_cols):
-                row = tuple(None if pd.isna(v) else v for v in row)
+                row = tuple(
+                    _coerce_null(v, f) for v, f in zip(row, fields)
+                )
                 vals.append(header + encode_record(row, fields))
             out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
             out[value_col] = pd.Series(vals, dtype=object, index=pdf.index)
