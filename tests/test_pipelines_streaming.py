@@ -675,3 +675,87 @@ def test_resize_images_shapes_and_determinism(spark, sf_dir):
         assert len(r.thumb_hex) == 2 * 4 * 6
         assert r.thumb_hex == b[did].thumb_hex  # deterministic
         assert r.n_bytes_in > 0
+
+
+def test_incremental_pq_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming PQ path (foreachBatch ADC probe + code append)
+    must emit exactly what the BATCH probe finds for each batch against
+    the union of all EARLIER batches' codes — with rerank > k so the
+    exact re-rank stage (original vectors read back from docs_dir for
+    candidates only) is exercised too.  Batch 0 searches nothing."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators import similarity
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_incremental_pq_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    third = n // 3
+    bounds = [(0, third), (third, 2 * third), (2 * third, n)]
+    src = str(tmp_path / "vec_src")
+    for i, (lo, hi) in enumerate(bounds):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(src + f"/b{i}")
+    # codebooks are CONFIG: trained once on the bootstrap corpus
+    codebooks = similarity.pq_train(emb, m=4, n_codes=8, seed=42)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = run_incremental_pq_stream(
+        spark,
+        stream,
+        str(tmp_path / "pq_codes"),
+        str(tmp_path / "pq_matches"),
+        str(tmp_path / "pq_ckpt"),
+        codebooks,
+        docs_dir=str(tmp_path / "pq_docs"),
+        k=3,
+        rerank=6,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.query_id, r.neighbor_id, r.dist2, r.rank)
+        for r in spark.read.parquet(str(tmp_path / "pq_matches")).collect()
+    }
+
+    # batch twin: each batch ADC-probed against the UNION of earlier
+    # batches' codes, exact re-rank over the earlier originals
+    want = set()
+    for i in range(1, 3):
+        batch = emb.filter(
+            (F.col("vec_id") >= bounds[i][0]) & (F.col("vec_id") < bounds[i][1])
+        )
+        history = emb.filter(F.col("vec_id") < bounds[i][0])
+        codes = similarity.pq_encode(history, codebooks)
+        want |= {
+            (r.query_id, r.neighbor_id, r.dist2, r.rank)
+            for r in similarity.pq_probe_codes(
+                batch, codes, codebooks, k=3, corpus=history, rerank=6
+            ).collect()
+        }
+    assert got == want and len(want) > 0
+    # batch 0 had no history -> no matches partition for it
+    import glob as _glob
+    import os as _os
+
+    assert not _glob.glob(
+        _os.path.join(str(tmp_path / "pq_matches"), "batch=0", "*")
+    )
+    # the persisted index really is the compressed representation:
+    # m ints per row, no raw vectors in the codes frame
+    codes_cols = spark.read.parquet(str(tmp_path / "pq_codes")).columns
+    assert set(codes_cols) == {"vec_id", "pq_codes", "batch"}
+    # probe guard: rerank without originals must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus"):
+        similarity.pq_probe_codes(
+            emb, similarity.pq_encode(emb, codebooks), codebooks,
+            k=3, rerank=6,
+        )

@@ -929,3 +929,46 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dist2", "rank")
     )
+
+
+def pq_probe_codes(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    *,
+    corpus: DataFrame | None = None,
+    rerank: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Serve top-k from a PERSISTED PQ codes frame (:func:`pq_encode`
+    layout ``(id, pq_codes)``) — the compressed-domain twin of
+    :func:`ivf_probe_index`, split out so a STREAM can ADC-scan only
+    the history it has already encoded
+    (streaming.pipelines.run_incremental_pq_stream).
+
+    Each broadcast query carries its m x n_codes ADC look-up table; the
+    codes frame is scanned once per query batch at m array lookups per
+    row — at 100 TB this is the scan you actually run: m bytes per
+    corpus row, no full-precision vector reads.  ``rerank > k`` adds
+    the exact re-rank stage and then needs ``corpus`` (the original
+    vectors) — which the re-rank join touches only for the rerank x
+    |queries| candidate rows, not the scan."""
+    if rerank > k and corpus is None:
+        raise ValueError(
+            "rerank > k re-ranks on exact distances and needs `corpus` "
+            "(the original-vector frame) for the candidate rows"
+        )
+    return pq_topk(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=k,
+        codebooks=codebooks,
+        encoded=codes,
+        rerank=rerank,
+        round_digits=round_digits,
+    )

@@ -727,3 +727,112 @@ def run_incremental_ann_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_incremental_pq_stream(
+    spark: SparkSession,
+    vectors: DataFrame,
+    codes_dir: str,
+    matches_dir: str,
+    checkpoint: str,
+    codebooks: list[list[list[float]]],
+    *,
+    docs_dir: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int = 0,
+    available_now: bool = True,
+):
+    """X3's COMPRESSED scan on a stream: arriving vectors ADC-probe the
+    PQ codes persisted so far, then append their own codes — the PQ
+    face of `run_incremental_ann_stream`, completing the incremental
+    contract for every X3 path (brute/LSH have batch twins, IVF and PQ
+    stream).
+
+    Per micro-batch (foreachBatch — cross-batch state IS the on-disk
+    codes frame, never executor memory):
+      1. probe: the batch broadcasts with per-query ADC look-up tables
+         and scans ONLY history codes partitions (``batch < batch_id``)
+         at m array lookups per code row
+         (operators/similarity.pq_probe_codes) -> ``matches_dir``;
+      2. extend: the batch's own ``(id, pq_codes)`` rows land under
+         ``codes_dir/batch=<id>`` so later batches scan them.
+
+    The codebooks are CONFIG (train once with similarity.pq_train and
+    pass them in) — retraining per batch would re-key every historical
+    code.  ``rerank > k`` turns on the exact re-rank stage, which needs
+    the ORIGINAL vectors of candidate rows only: pass ``docs_dir`` and
+    the stream also persists ``(id, vec)`` per batch, read back just
+    for the rerank x |batch| candidate join — the compressed scan
+    still never touches full-precision vectors.
+
+    Why PQ is the path you stream at 100 TB: the history the probe
+    scans is m smallints per vector instead of dim floats (~32x less
+    I/O before compression), so per-batch cost is O(batch x |codes
+    history|) in CODE units — the cheapest full-coverage scan there
+    is — while IVF's probe is cheaper still but only covers probed
+    lists.  Idempotence follows the dedup stream's two rules: every
+    write lands under ``batch=<id>`` with overwrite, and the probe
+    reads only ``batch < batch_id`` partitions, so a crash-replayed
+    batch sees the exact pre-batch history instead of matching its own
+    half-written rows.
+    """
+    import glob
+    import os
+
+    from ultimate_data_engineering_project_spark.operators import similarity
+
+    if rerank > k and docs_dir is None:
+        raise ValueError(
+            "rerank > k needs docs_dir to persist original vectors for "
+            "the exact re-rank stage"
+        )
+
+    def _read_hist(base: str, before_batch: int) -> DataFrame | None:
+        if not glob.glob(os.path.join(base, "batch=*", "*.parquet")):
+            return None
+        df = (
+            spark.read.option("basePath", base)
+            .parquet(base)
+            .filter(F.col("batch") < F.lit(before_batch))
+            .drop("batch")
+        )
+        return df if df.limit(1).count() else None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        codes_hist = _read_hist(codes_dir, batch_id)
+        if codes_hist is not None:
+            corpus_hist = (
+                _read_hist(docs_dir, batch_id) if rerank > k else None
+            )
+            matches = similarity.pq_probe_codes(
+                batch_df,
+                codes_hist,
+                codebooks,
+                id_col,
+                vec_col,
+                k=k,
+                corpus=corpus_hist,
+                rerank=rerank,
+            )
+            matches.write.mode("overwrite").parquet(
+                os.path.join(matches_dir, f"batch={batch_id}")
+            )
+        similarity.pq_encode(
+            batch_df, codebooks, id_col, vec_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(codes_dir, f"batch={batch_id}")
+        )
+        if rerank > k:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(docs_dir, f"batch={batch_id}")
+            )
+
+    writer = vectors.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
