@@ -158,8 +158,15 @@ def test_exact_dedup_exchange_key_is_fingerprint(spark, sf_dir):
     partition spec.  Both the canonical entry and the curation
     flagship's exact stage key on a map-side md5 fingerprint; this
     pins that no Exchange in either plan hash-partitions on the raw
-    text column."""
-    for entry in ("docs_exact_dedup_canonical", "docs_curation_pipeline"):
+    text column.  r8: docs_prep_pipeline joins the pin — its
+    exact-dedup stage now rides the fingerprint-keyed
+    operators/dedup.exact_dedup, whose materialized __fp column also
+    lets Catalyst prune the text payload out of the shuffle."""
+    for entry in (
+        "docs_exact_dedup_canonical",
+        "docs_curation_pipeline",
+        "docs_prep_pipeline",
+    ):
         p = physical(SPECS[entry].fn(spark, sf_dir))
         exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
         assert exchanges, (entry, p)

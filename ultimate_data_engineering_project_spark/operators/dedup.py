@@ -18,16 +18,35 @@ _MERSENNE31 = (1 << 31) - 1
 
 def exact_dedup(df: DataFrame, cols: list[str], keep_order_col: str) -> DataFrame:
     """Exact dedup keeping the row with the smallest ``keep_order_col``
-    per duplicate group (X1).  Pre-hashing wide keys with xxhash64 keeps
-    the shuffle key narrow at 100 TB; the full columns still break hash
-    collisions because they ride along in the grouping."""
+    per duplicate group (X1).
+
+    The window is keyed on a map-side md5 FINGERPRINT of the dedup
+    columns, never the columns themselves: at 100 TB an exchange that
+    hash-partitions on a raw wide column (document text) ships every
+    row's full key bytes as the shuffle key on top of the payload,
+    while the 32-hex fingerprint keeps the key narrow and 128 bits
+    make accidental merges negligible at any corpus size (~3e-15
+    expected collisions at 1e12 rows — the same md5 discipline as the
+    docs_exact_dedup_canonical / curation-flagship entries, r7).
+    Multi-column keys fingerprint the JSON encoding of a struct, which
+    is null-position-safe where concat_ws/xxhash64 null-skipping would
+    conflate ('a', NULL, 'b') with ('a', 'b', NULL)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.col(keep_order_col))
+    if len(cols) == 1:
+        fp = F.md5(F.col(cols[0]).cast("string"))
+    else:
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    # materialize the fingerprint as a real column BEFORE the window so
+    # the exchange hash-partitions on it and Catalyst can prune the raw
+    # key columns out of the shuffle payload when the caller's
+    # downstream plan doesn't read them
+    w = Window.partitionBy(F.col("__fp")).orderBy(F.col(keep_order_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__fp")
     )
 
 
