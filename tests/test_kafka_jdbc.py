@@ -453,3 +453,55 @@ def test_jdbc_url_ssl_and_errors():
     # credentials must never be interpolated into the URL
     out = jdbc_url("postgresql", "h", "d", user="alice", password="s3cret")
     assert "s3cret" not in out["url"] and "alice" not in out["url"]
+
+
+def test_avro_nested_envelope_known_bytes():
+    """The Debezium envelope shape — record-typed fields, the named
+    'Value' reference, nested null unions — pinned at the BYTE level:
+    a sub-record body is the plain concatenation of its field
+    encodings (no length prefix, no tag), and the union index routes
+    between null and the record."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    env = (
+        '{"type":"record","name":"Envelope","fields":['
+        '{"name":"before","type":["null",{"type":"record","name":"Value",'
+        '"fields":[{"name":"id","type":"long"},'
+        '{"name":"note","type":["null","string"]}]}]},'
+        '{"name":"after","type":["null","Value"]},'
+        '{"name":"op","type":"string"}]}'
+    )
+    fields = avro_py.parse_flat_schema(env)
+    body = avro_py.encode_record(
+        (None, {"id": 1, "note": "x"}, "c"), fields
+    )
+    assert body == (
+        b"\x00"  # before: union branch 0 = null
+        + b"\x02"  # after: union branch 1 = Value
+        + b"\x02"  # Value.id = 1 -> zigzag 2  (no record framing!)
+        + b"\x02"  # Value.note: branch 1 = string
+        + b"\x02x"  # len 1 -> zigzag 2, 'x'
+        + b"\x02c"  # op = 'c'
+    )
+    out = avro_py.decode_record(body, fields)
+    assert out == (None, {"id": 1, "note": "x"}, "c")
+    # tuple values encode positionally, identical bytes
+    assert avro_py.encode_record((None, (1, "x"), "c"), fields) == body
+    # nested Spark schema
+    sch = avro_py.spark_schema_for(fields)
+    assert sch["after"].dataType.simpleString() == "struct<id:bigint,note:string>"
+
+    # scope guardrails hold inside nested records too
+    import pytest
+
+    with pytest.raises(ValueError, match="spark-avro"):
+        avro_py.parse_flat_schema(
+            '{"type":"record","name":"t","fields":[{"name":"r",'
+            '"type":{"type":"record","name":"R","fields":['
+            '{"name":"a","type":{"type":"array","items":"long"}}]}}]}'
+        )
+    with pytest.raises(ValueError, match="unsupported type"):
+        avro_py.parse_flat_schema(
+            '{"type":"record","name":"t","fields":['
+            '{"name":"x","type":["null","UndefinedRef"]}]}'
+        )

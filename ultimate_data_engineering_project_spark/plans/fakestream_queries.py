@@ -401,6 +401,109 @@ def avro_debezium_txn_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEBEZIUM_ENVELOPE_SCHEMA = """
+{"type": "record", "name": "Envelope",
+ "namespace": "fakestream.public.transactions",
+ "fields": [
+  {"name": "before", "type": ["null", {"type": "record", "name": "Value",
+   "fields": [
+      {"name": "transaction_id", "type": "long"},
+      {"name": "account_id", "type": "long"},
+      {"name": "amount",
+       "type": {"type": "bytes", "logicalType": "decimal",
+                "precision": 15, "scale": 2}},
+      {"name": "transaction_date",
+       "type": {"type": "long", "logicalType": "timestamp-micros"}},
+      {"name": "status", "type": ["null", "string"]}
+  ]}]},
+  {"name": "after", "type": ["null", "Value"]},
+  {"name": "source", "type": {"type": "record", "name": "Source",
+   "fields": [
+      {"name": "connector", "type": "string"},
+      {"name": "ts_ms", "type": "long"}
+  ]}},
+  {"name": "op", "type": "string"},
+  {"name": "ts_ms", "type": ["null", "long"]}
+ ]}
+"""
+
+
+@register(
+    "avro_debezium_envelope_decode",
+    oracle=f"""
+    SELECT CAST(33 AS INTEGER) AS schema_id,
+           CASE WHEN transaction_id % 10 = 0 THEN 'd' ELSE 'c' END AS op,
+           transaction_id,
+           account_id,
+           CAST(amount AS VARCHAR) AS amount,
+           transaction_date,
+           status,
+           'postgresql' AS connector,
+           epoch_ms(CAST(created_at AS TIMESTAMP)) AS src_ts_ms
+    FROM read_parquet('{_TRX}')
+    """,
+)
+def avro_debezium_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Debezium change-event envelope through the pure-Python
+    Avro path (S13): before/after as positional ``["null", "Value"]``
+    unions with ``Value`` defined once and referenced by NAME, a nested
+    ``source`` metadata record, and decimal/timestamp logical types
+    inside the row image — byte-for-byte the schema shape Debezium's
+    AvroConverter registers for the reference's transactions table
+    (reference docker-compose.yaml:74-97; schemas.py:37-60).
+
+    Every 10th transaction becomes a DELETE (row image in ``before``,
+    ``after`` null) and the rest are creates, so BOTH union branches
+    carry real nested records in the same frame.  Encode -> Confluent
+    frame -> strip -> decode, then the consumer-side
+    ``coalesce(after, before)`` read; the DuckDB oracle recomputes the
+    same rows straight from parquet, so the whole nested wire format —
+    union indexes, sub-record field order, unscaled decimal bytes,
+    epoch-micro timestamps — must survive bit-exactly to hash-match."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    trx = _fx(spark, _TRX)
+    fields = avro_py.parse_flat_schema(_DEBEZIUM_ENVELOPE_SCHEMA)
+    value_t = avro_py.spark_schema_for(fields)["before"].dataType
+    image = F.struct(
+        "transaction_id",
+        "account_id",
+        "amount",
+        "transaction_date",
+        "status",
+    )
+    is_del = F.col("transaction_id") % 10 == 0
+    null_image = F.lit(None).cast(value_t)
+    envelopes = trx.select(
+        F.when(is_del, image).otherwise(null_image).alias("before"),
+        F.when(~is_del, image).otherwise(null_image).alias("after"),
+        F.struct(
+            F.lit("postgresql").alias("connector"),
+            F.unix_millis(F.col("created_at").cast("timestamp")).alias("ts_ms"),
+        ).alias("source"),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.unix_millis(F.col("created_at").cast("timestamp")).alias("ts_ms"),
+    )
+    frames = avro_py.encode_confluent_frames(
+        envelopes, _DEBEZIUM_ENVELOPE_SCHEMA, 33
+    )
+    decoded = avro_py.decode_confluent_avro_py(
+        frames, _DEBEZIUM_ENVELOPE_SCHEMA
+    )
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return decoded.select(
+        "schema_id",
+        "op",
+        img["transaction_id"].alias("transaction_id"),
+        img["account_id"].alias("account_id"),
+        img["amount"].cast("string").alias("amount"),
+        img["transaction_date"].alias("transaction_date"),
+        img["status"].alias("status"),
+        F.col("source.connector").alias("connector"),
+        F.col("source.ts_ms").alias("src_ts_ms"),
+    )
+
+
 _SCD2_SENTINEL = "2200-01-01 00:00:00"
 
 

@@ -1,21 +1,25 @@
-"""Pure-Python Avro binary codec for flat Debezium-style row schemas
-(S13 — the payload half of the Confluent wire format).
+"""Pure-Python Avro binary codec for Debezium-style change-event
+schemas (S13 — the payload half of the Confluent wire format).
 
 Reference parity: the reference's CDC stack serializes every Kafka
 message with the Schema Registry's AvroConverter (reference
 docker-compose.yaml:74-97); `sources.kafka.decode_confluent_avro`
 delegates to spark-avro's ``from_avro``, which needs the spark-avro
 package on the cluster.  This module makes that path EXECUTABLE with
-zero extra packages: a minimal Avro *binary* decoder/encoder for FLAT
-record schemas — exactly the shape of a Debezium row image (primitive
-fields and ``["null", T]`` unions) — applied over Arrow batches via
-``mapInPandas``.
+zero extra packages: a minimal Avro *binary* decoder/encoder covering
+the full Debezium change-event envelope — nested row-image records,
+``["null", T]`` unions, and Debezium's logical types — applied over
+Arrow batches via ``mapInPandas``.
 
-Scope is deliberately narrow and loud: nested records, arrays, maps,
-enums, fixeds, and >2-branch unions raise ``ValueError`` at plan time.
-Supported logical types are exactly the ones Debezium emits for the
-reference's own column types (reference schemas.py:37,53 Numeric(15,2)
--> ``bytes``+``decimal``; :59-60 DateTime -> ``long``+
+Scope is deliberately narrow and loud: arrays, maps, enums, fixeds,
+and >2-branch unions raise ``ValueError`` at plan time.  What IS
+supported is exactly what a Debezium change event needs (reference
+docker-compose.yaml:74-97): record-typed fields and named-type
+references (``before``/``after`` as ``["null", "Value"]`` with the
+row-image record defined at first use, plus the ``source`` metadata
+record), and the logical types Debezium emits for the reference's own
+column types (reference schemas.py:37,53 Numeric(15,2) ->
+``bytes``+``decimal``; :59-60 DateTime -> ``long``+
 ``timestamp-micros``/``millis``; Date -> ``int``+``date``).  For
 anything else, use the spark-avro package (the ``decode_confluent_avro``
 path); this codec exists so the CDC pipeline is testable and
@@ -124,14 +128,18 @@ def _logical_name(ftype: dict, field_name: str) -> str:
     )
 
 
-def _wire_type(branch: str) -> str:
+def _wire_type(branch) -> str:
     """The Avro primitive a (possibly logical) branch reads/writes."""
+    if not isinstance(branch, str):  # AvroRecord: no single wire type
+        return "record"
     if _DECIMAL_RE.match(branch):
         return "bytes"
     return _LOGICAL_WIRE.get(branch, branch)
 
 
-def _spark_type_for_branch(branch: str) -> T.DataType:
+def _spark_type_for_branch(branch) -> T.DataType:
+    if not isinstance(branch, str):  # AvroRecord -> nested struct
+        return spark_schema_for(branch.fields)
     m = _DECIMAL_RE.match(branch)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
@@ -143,14 +151,24 @@ def _spark_type_for_branch(branch: str) -> T.DataType:
 
 
 @dataclass(frozen=True)
+class AvroRecord:
+    """A (possibly nested) record branch — the shape of a Debezium
+    envelope's ``before``/``after``/``source`` sub-records."""
+
+    name: str
+    fields: tuple["AvroField", ...]
+
+
+@dataclass(frozen=True)
 class AvroField:
     name: str
-    # union branch type names in SCHEMA ORDER (Avro union indexes are
-    # positional); a non-union field has exactly one branch
-    branches: tuple[str, ...]
+    # union branches in SCHEMA ORDER (Avro union indexes are
+    # positional); each is a type-name string or an AvroRecord; a
+    # non-union field has exactly one branch
+    branches: tuple  # tuple[str | AvroRecord, ...]
 
     @property
-    def value_type(self) -> str:
+    def value_type(self):
         for b in self.branches:
             if b != "null":
                 return b
@@ -161,28 +179,32 @@ class AvroField:
         return "null" in self.branches
 
 
-def parse_flat_schema(avro_schema_json: str) -> list[AvroField]:
-    """Parse a writer schema, accepting only the flat-record subset.
-
-    Anything outside it fails HERE (plan time), not mid-decode on an
-    executor — a schema this codec can't express must route to the
-    spark-avro path instead of producing garbage rows.
-    """
-    sch = json.loads(avro_schema_json)
-    if not isinstance(sch, dict) or sch.get("type") != "record":
-        raise ValueError(
-            f"only flat 'record' schemas are supported, got: {sch!r}"
-        )
-    def _branch_name(b, field_name: str) -> str:
-        if isinstance(b, str):
+def _parse_branch(b, field_name: str, defined: dict):
+    if isinstance(b, str):
+        if (
+            b == "null"
+            or b in _PRIMITIVES
+            or _DECIMAL_RE.match(b)
+            or b in _LOGICAL_WIRE
+        ):
             return b
-        if isinstance(b, dict):
-            return _logical_name(b, field_name)
+        if b in defined:  # named-type reference ("after": ["null","Value"])
+            return defined[b]
         raise ValueError(
-            f"field {field_name!r}: nested/complex type {b!r} is not "
-            "supported by the pure-Python codec (use spark-avro)"
+            f"field {field_name!r}: unsupported type {b!r} "
+            "(use spark-avro for non-primitive fields)"
         )
+    if isinstance(b, dict):
+        if b.get("type") == "record":
+            return _parse_record(b, defined)
+        return _logical_name(b, field_name)
+    raise ValueError(
+        f"field {field_name!r}: nested/complex type {b!r} is not "
+        "supported by the pure-Python codec (use spark-avro)"
+    )
 
+
+def _parse_record(sch: dict, defined: dict) -> AvroRecord:
     fields: list[AvroField] = []
     for f in sch.get("fields", []):
         name, ftype = f["name"], f["type"]
@@ -194,26 +216,44 @@ def parse_flat_schema(avro_schema_json: str) -> list[AvroField]:
                     f"field {name!r}: only 2-branch ['null', <type>] "
                     f"unions are supported, got {ftype!r}"
                 )
-            branches = tuple(_branch_name(b, name) for b in ftype)
+            branches = tuple(_parse_branch(b, name, defined) for b in ftype)
         else:
-            branches = (_branch_name(ftype, name),)
-        for b in branches:
-            if b != "null" and b not in _PRIMITIVES and not (
-                _DECIMAL_RE.match(b) or b in _LOGICAL_WIRE
-            ):
-                raise ValueError(
-                    f"field {name!r}: unsupported type {b!r} "
-                    "(use spark-avro for non-primitive fields)"
-                )
+            branches = (_parse_branch(ftype, name, defined),)
         if branches == ("null",):
             raise ValueError(f"field {name!r}: bare 'null' type")
         fields.append(AvroField(name, branches))
     if not fields:
         raise ValueError("record schema has no fields")
-    return fields
+    rec = AvroRecord(str(sch.get("name", "")), tuple(fields))
+    # register short and namespace-qualified names for later references
+    if rec.name:
+        defined[rec.name] = rec
+        ns = sch.get("namespace")
+        if ns:
+            defined[f"{ns}.{rec.name}"] = rec
+    return rec
 
 
-def spark_schema_for(fields: list[AvroField]) -> T.StructType:
+def parse_flat_schema(avro_schema_json: str) -> list[AvroField]:
+    """Parse a writer schema: flat records, plus RECORD-typed fields
+    and named-type references — exactly one Debezium envelope's worth
+    of structure (``before``/``after`` as ``["null", "Value"]`` where
+    ``Value`` is the row-image record defined at its first use, plus a
+    ``source`` metadata record; Debezium's AvroConverter emits this
+    shape for every table).  Arrays, maps, enums, fixeds, and
+    multi-type unions still fail HERE (plan time), not mid-decode on an
+    executor — a schema this codec can't express must route to the
+    spark-avro path instead of producing garbage rows.
+    """
+    sch = json.loads(avro_schema_json)
+    if not isinstance(sch, dict) or sch.get("type") != "record":
+        raise ValueError(
+            f"only 'record' schemas are supported, got: {sch!r}"
+        )
+    return list(_parse_record(sch, {}).fields)
+
+
+def spark_schema_for(fields) -> T.StructType:
     return T.StructType(
         [
             T.StructField(f.name, _spark_type_for_branch(f.value_type), True)
@@ -288,17 +328,12 @@ def _decode_value(buf: bytes, pos: int, ftype: str):
     raise ValueError(f"unsupported Avro type {ftype!r}")
 
 
-def decode_record(payload: bytes, fields: list[AvroField]) -> tuple:
-    """One Avro binary record body -> tuple of field values.  Requires
-    FULL consumption: the Confluent payload is exactly one record, so
-    leftover bytes mean a writer-schema mismatch — fail loudly rather
-    than return silently-wrong rows."""
-    pos = 0
+def _decode_fields(buf: bytes, pos: int, fields) -> tuple[list, int]:
     out = []
     for f in fields:
         ftype = f.branches[0]
         if len(f.branches) == 2:
-            idx, pos = _read_long(buf=payload, pos=pos)
+            idx, pos = _read_long(buf=buf, pos=pos)
             if idx < 0 or idx >= 2:
                 raise ValueError(
                     f"field {f.name!r}: union branch {idx} out of range"
@@ -307,8 +342,23 @@ def decode_record(payload: bytes, fields: list[AvroField]) -> tuple:
         if ftype == "null":
             out.append(None)
             continue
-        val, pos = _decode_value(payload, pos, ftype)
+        if isinstance(ftype, AvroRecord):
+            vals, pos = _decode_fields(buf, pos, ftype.fields)
+            # dicts survive the Arrow object->struct conversion
+            out.append({sf.name: v for sf, v in zip(ftype.fields, vals)})
+            continue
+        val, pos = _decode_value(buf, pos, ftype)
         out.append(val)
+    return out, pos
+
+
+def decode_record(payload: bytes, fields) -> tuple:
+    """One Avro binary record body -> tuple of field values (nested
+    records decode to dicts).  Requires FULL consumption: the Confluent
+    payload is exactly one record, so leftover bytes mean a
+    writer-schema mismatch — fail loudly rather than return
+    silently-wrong rows."""
+    out, pos = _decode_fields(payload, 0, fields)
     if pos != len(payload):
         raise ValueError(
             f"Avro payload has {len(payload) - pos} trailing byte(s): "
@@ -325,14 +375,21 @@ def _write_long(out: bytearray, v: int) -> None:
     out.append(z)
 
 
-def encode_record(values, fields: list[AvroField]) -> bytes:
+def encode_record(values, fields) -> bytes:
     """Tuple/list of field values -> Avro binary record body (the
-    encoder half: synthesizing test frames and Avro-framed sinks)."""
+    encoder half: synthesizing test frames and Avro-framed sinks).
+    Record-typed fields accept a dict (by field name) or a
+    tuple/list/Row (positional, schema order)."""
+    out = bytearray()
+    _encode_fields(out, values, fields)
+    return bytes(out)
+
+
+def _encode_fields(out: bytearray, values, fields) -> None:
     if len(values) != len(fields):
         raise ValueError(
             f"expected {len(fields)} values, got {len(values)}"
         )
-    out = bytearray()
     for v, f in zip(values, fields):
         ftype = f.branches[0]
         if len(f.branches) == 2:
@@ -343,6 +400,18 @@ def encode_record(values, fields: list[AvroField]) -> bytes:
             _write_long(out, f.branches.index(ftype))
         elif v is None:
             raise ValueError(f"field {f.name!r} is not nullable, got None")
+        if isinstance(ftype, AvroRecord):
+            if isinstance(v, dict):
+                sub = [v.get(sf.name) for sf in ftype.fields]
+            elif isinstance(v, (list, tuple)):
+                sub = list(v)
+            else:
+                raise ValueError(
+                    f"field {f.name!r}: expected dict or tuple for "
+                    f"record value, got {type(v)}"
+                )
+            _encode_fields(out, sub, ftype.fields)
+            continue
         m = _DECIMAL_RE.match(ftype)
         if ftype in ("long", "int"):
             if isinstance(v, float):
@@ -426,7 +495,6 @@ def encode_record(values, fields: list[AvroField]) -> bytes:
             out += struct.pack("<f", float(v))
         else:  # pragma: no cover - parse_flat_schema already rejected
             raise ValueError(f"unsupported Avro type {ftype!r}")
-    return bytes(out)
 
 
 # ------------------------------------------------------- Spark surface
