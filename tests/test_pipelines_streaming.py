@@ -759,3 +759,114 @@ def test_incremental_pq_stream_matches_batch(spark, sf_dir, tmp_path):
             emb, similarity.pq_encode(emb, codebooks), codebooks,
             k=3, rerank=6,
         )
+
+
+def test_cdc_stream_avro_envelope_end_to_end(spark, tmp_path):
+    """run_cdc_stream(avro_schema=...) — the Confluent-Avro Debezium
+    envelope upserted end to end with zero cluster packages: creates,
+    a cross-batch update (last-writer-wins by ts_ms), a delete carrying
+    only the before image, and a tombstone that must be ignored (the
+    delete arrives as op='d' BEFORE it).  The row image carries a
+    decimal logical type so the exact bytes Debezium emits for a
+    Numeric(15,2) column flow through decode -> apply -> parquet."""
+    import struct as _struct
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_cdc_stream,
+    )
+
+    env = (
+        '{"type":"record","name":"Envelope","fields":['
+        '{"name":"before","type":["null",{"type":"record","name":"Value",'
+        '"fields":[{"name":"id","type":"long"},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"amount","type":{"type":"bytes","logicalType":"decimal",'
+        '"precision":15,"scale":2}}]}]},'
+        '{"name":"after","type":["null","Value"]},'
+        '{"name":"source","type":{"type":"record","name":"Source","fields":['
+        '{"name":"connector","type":"string"},'
+        '{"name":"ts_ms","type":"long"}]}},'
+        '{"name":"op","type":"string"},'
+        '{"name":"ts_ms","type":["null","long"]}]}'
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DecimalType(15, 2)),
+        ]
+    )
+    fields = avro_py.parse_flat_schema(env)
+
+    def frame(before, after, op, ts):
+        body = avro_py.encode_record(
+            (before, after, {"connector": "pg", "ts_ms": ts}, op, ts), fields
+        )
+        return b"\x00" + _struct.pack(">i", 9) + body
+
+    def img(i, name, amt):
+        return {"id": i, "name": name, "amount": Decimal(amt)}
+
+    b0 = [
+        (frame(None, img(1, "alice", "10.00"), "c", 1),),
+        (frame(None, img(2, "bob", "20.50"), "c", 2),),
+    ]
+    b1 = [
+        (frame(img(1, "alice", "10.00"), img(1, "alicia", "11.25"), "u", 3),),
+        (frame(img(2, "bob", "20.50"), None, "d", 4),),
+        (None,),  # tombstone after the delete — must be a no-op
+        (frame(None, img(3, "carol", "30.00"), "c", 5),),
+    ]
+    src = tmp_path / "avro_env"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, "value binary").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b*")
+    )
+    table_dir = str(tmp_path / "avro_table")
+    q = run_cdc_stream(
+        spark,
+        None,
+        row_schema,
+        ["id"],
+        table_dir,
+        str(tmp_path / "avro_ckpt"),
+        source=stream,
+        avro_schema=env,
+    )
+    q.awaitTermination(300)
+    got = {
+        r["id"]: (r["name"], r["amount"])
+        for r in spark.read.parquet(table_dir).collect()
+    }
+    assert got == {
+        1: ("alicia", Decimal("11.25")),
+        3: ("carol", Decimal("30.00")),
+    }
+
+    # plan-time config guards: schema drift and quarantine combination
+    import pytest as _pytest
+
+    drifted = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    with _pytest.raises(ValueError, match="row image"):
+        run_cdc_stream(
+            spark, None, drifted, ["id"], table_dir,
+            str(tmp_path / "ck2"), source=stream, avro_schema=env,
+        )
+    with _pytest.raises(ValueError, match="quarantine"):
+        run_cdc_stream(
+            spark, None, row_schema, ["id"], table_dir,
+            str(tmp_path / "ck3"), source=stream, avro_schema=env,
+            quarantine_dir=str(tmp_path / "qq"),
+        )

@@ -226,6 +226,7 @@ def run_cdc_stream(
     n_buckets: int | None = None,
     source: DataFrame | None = None,
     quarantine_dir: str | None = None,
+    avro_schema: str | None = None,
 ):
     """T1 end-to-end: a streaming CDC pipeline.  Reads Debezium-style
     envelope JSON lines from a directory (the Kafka-topic stand-in),
@@ -263,12 +264,30 @@ def run_cdc_stream(
     ``value`` drops straight into the same envelope parse (the
     reference's declared front door, docker-compose.yaml:54-97).  When
     ``source`` is given, ``envelope_dir`` is unused and may be None.
+
+    ``avro_schema`` switches the envelope parse from JSON lines to the
+    Confluent-Avro wire format via the pure-Python codec
+    (parse_avro_envelope) — the exact bytes Debezium's AvroConverter
+    produces, upserted end to end with zero cluster packages.  The
+    JSON quarantine split does not apply to Avro (a corrupt Avro
+    payload fails loudly in the codec; pre-split dirty topics with
+    ``strip_confluent_envelope(bad_magic='keep')``), so combining
+    ``avro_schema`` with ``quarantine_dir`` is a config error.
     """
     if "__bucket" in row_schema.fieldNames():
         raise ValueError(
             "'__bucket' is reserved for internal CDC bucketing; "
             "rename the column in row_schema"
         )
+    if avro_schema is not None and quarantine_dir is not None:
+        raise ValueError(
+            "quarantine_dir supports the JSON envelope only; for Avro "
+            "topics pre-split corrupt frames with "
+            "strip_confluent_envelope(bad_magic='keep')"
+        )
+    if avro_schema is not None:
+        # run the plan-time config guards NOW, not at first batch
+        _check_avro_envelope(avro_schema, row_schema)
 
     if source is not None:
         raw = source
@@ -282,7 +301,9 @@ def run_cdc_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        if quarantine_dir is not None:
+        if avro_schema is not None:
+            changes = parse_avro_envelope(batch_df, avro_schema, row_schema)
+        elif quarantine_dir is not None:
             changes, quarantined = split_envelope_quarantine(
                 batch_df, row_schema, materialize=True
             )
@@ -400,6 +421,84 @@ def parse_debezium_envelope(raw: DataFrame, row_schema: T.StructType) -> DataFra
         F.from_json("env.after", row_schema).alias("after"),
     )
     return parsed
+
+
+def parse_avro_envelope(
+    raw: DataFrame,
+    avro_schema_json: str,
+    row_schema: T.StructType,
+    *,
+    value_col: str = "value",
+    bad_magic: str = "error",
+) -> DataFrame:
+    """Confluent-Avro Debezium envelope -> the (op, ts_ms, before,
+    after) change frame ``cdc_apply_batch`` consumes — the BINARY twin
+    of ``parse_debezium_envelope``, executable with zero cluster
+    packages via the pure-Python codec (sources/avro_py; S13 — the
+    envelope shape Debezium's AvroConverter registers, reference
+    docker-compose.yaml:74-97).
+
+    Config guards run at PLAN time: the writer schema must carry
+    ``before``/``after``/``op``, ``after`` must be a record, the
+    decoded row image must match ``row_schema`` field-for-field (a
+    registry/table schema drift fails before any upsert, never after),
+    and last-writer-wins ordering needs ``ts_ms`` (top-level, else
+    ``source.ts_ms``).  Kafka tombstones (NULL values) decode to
+    all-NULL fields and are dropped: Debezium emits the delete as
+    op='d' BEFORE the tombstone, so the tombstone carries no change.
+    A corrupt Avro payload raises on the executor (fail-loudly codec
+    contract); pre-split dirty topics with
+    ``strip_confluent_envelope(bad_magic='keep')`` + a quarantine
+    sink instead of letting them reach this parse."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    ts = _check_avro_envelope(avro_schema_json, row_schema)
+    decoded = avro_py.decode_confluent_avro_py(
+        raw, avro_schema_json, value_col, bad_magic=bad_magic
+    )
+    return decoded.filter(~F.col("is_tombstone")).select(
+        "op", ts.cast("long").alias("ts_ms"), "before", "after"
+    )
+
+
+def _check_avro_envelope(avro_schema_json: str, row_schema: T.StructType):
+    """parse_avro_envelope's plan-time config guards, shared with
+    run_cdc_stream so a bad schema fails at stream START, not at the
+    first micro-batch.  Returns the ts_ms Column to order on."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    fields = avro_py.parse_flat_schema(avro_schema_json)
+    names = {f.name for f in fields}
+    missing = {"before", "after", "op"} - names
+    if missing:
+        raise ValueError(
+            f"avro envelope schema lacks field(s): {sorted(missing)}"
+        )
+    full = avro_py.spark_schema_for(fields)
+    img_t = full["after"].dataType
+    if not isinstance(img_t, T.StructType):
+        raise ValueError(
+            "'after' must be a record (the Debezium row image), got "
+            + img_t.simpleString()
+        )
+    want = [(f.name, f.dataType) for f in row_schema.fields]
+    got = [(f.name, f.dataType) for f in img_t.fields]
+    if want != got:
+        raise ValueError(
+            "avro row image does not match row_schema: "
+            f"{img_t.simpleString()} vs "
+            f"{T.StructType(row_schema.fields).simpleString()}"
+        )
+    if "ts_ms" in names:
+        return F.col("ts_ms")
+    if "source" in names and isinstance(
+        full["source"].dataType, T.StructType
+    ) and "ts_ms" in full["source"].dataType.names:
+        return F.col("source.ts_ms")
+    raise ValueError(
+        "envelope needs ts_ms (top-level or source.ts_ms) for "
+        "last-writer-wins ordering"
+    )
 
 
 def split_envelope_quarantine(
