@@ -505,3 +505,70 @@ def test_avro_nested_envelope_known_bytes():
             '{"type":"record","name":"t","fields":['
             '{"name":"x","type":["null","UndefinedRef"]}]}'
         )
+
+
+def test_decode_confluent_evolving_schema_versions(spark):
+    """Schema EVOLUTION on one topic (the registry consumer's real
+    contract): rows carrying different writer-schema ids decode with
+    their own version and align to the reader schema by NAME — added
+    nullable columns backfill NULL, declared defaults apply, writer
+    field-order changes are invisible, writer-only fields are consumed
+    and discarded, and incompatible historic versions or unregistered
+    ids fail at the right time (plan vs row) in the right mode."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    v1 = (
+        '{"type":"record","name":"r","fields":[{"name":"id","type":"long"},'
+        '{"name":"name","type":["null","string"]}]}'
+    )
+    # v2 adds a nullable column + a defaulted column and REORDERS fields
+    v2 = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"score","type":["null","double"]},'
+        '{"name":"id","type":"long"},'
+        '{"name":"tag","type":"string","default":"x"}]}'
+    )
+    f1 = avro_py.parse_flat_schema(v1)
+    f2 = avro_py.parse_flat_schema(v2)
+    rows = [
+        (_frame(avro_py.encode_record((1, "a"), f1), 7),),
+        (_frame(avro_py.encode_record(("b", 0.5, 2, "t"), f2), 8),),
+        (None,),  # tombstone
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    out = avro_py.decode_confluent_evolving(df, {7: v1, 8: v2}, v2)
+    res = {r["id"]: r for r in out.collect()}
+    assert res[1]["name"] == "a" and res[1]["score"] is None
+    assert res[1]["tag"] == "x"  # reader default backfills v1 rows
+    assert res[2] ["score"] == 0.5 and res[2]["tag"] == "t"
+    assert res[None]["is_tombstone"] and res[None]["tag"] is None
+    # narrowing reader: v2 rows under the v1 reader discard score/tag
+    narrow = {r["id"]: r for r in
+              avro_py.decode_confluent_evolving(df, {7: v1, 8: v2}, v1).collect()}
+    assert set(narrow) == {1, 2, None} and "score" not in narrow[2].asDict()
+    # incompatible historic version fails at PLAN time: v3 renames a
+    # required field, so the reader's non-defaulted 'id' is unresolvable
+    v3 = (
+        '{"type":"record","name":"r","fields":[{"name":"ident","type":"long"},'
+        '{"name":"name","type":["null","string"]}]}'
+    )
+    with pytest.raises(ValueError, match="missing and has no default"):
+        avro_py.decode_confluent_evolving(df, {7: v3}, v1)
+    # type flip fails at plan time too
+    v4 = (
+        '{"type":"record","name":"r","fields":[{"name":"id","type":"string"},'
+        '{"name":"name","type":["null","string"]}]}'
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        avro_py.decode_confluent_evolving(df, {7: v4}, v1)
+    # unregistered id: loud by default, NULL-with-schema_id quarantine mode
+    df99 = spark.createDataFrame(
+        [(_frame(avro_py.encode_record((9, "z"), f1), 99),)], "value binary"
+    )
+    with pytest.raises(Exception, match="registry"):
+        avro_py.decode_confluent_evolving(df99, {7: v1}, v1).collect()
+    kept = avro_py.decode_confluent_evolving(
+        df99, {7: v1}, v1, unknown_id="null"
+    ).collect()
+    assert kept[0]["id"] is None and kept[0]["schema_id"] == 99

@@ -577,6 +577,131 @@ def decode_confluent_avro_py(
     )
 
 
+def decode_confluent_evolving(
+    df: DataFrame,
+    writer_schemas: dict[int, str],
+    reader_schema_json: str,
+    value_col: str = "value",
+    *,
+    bad_magic: str = "error",
+    unknown_id: str = "error",
+) -> DataFrame:
+    """Decode a topic whose rows span MULTIPLE writer-schema versions —
+    the real shape of a long-lived Confluent topic: the embedded
+    ``schema_id`` varies per message as the table evolves, and each row
+    must be decoded with ITS writer schema, then presented under one
+    ``reader`` schema (Avro schema resolution, the registry consumer's
+    contract).
+
+    ``writer_schemas`` maps schema id -> writer schema JSON (the
+    registry subset this topic used — CONFIG from a registry fetch,
+    never per-row state).  Resolution is the codec-subset of the Avro
+    spec, checked per writer at PLAN time so an incompatible historic
+    version fails before any row decodes:
+
+      * fields match by NAME (writer field order only drives decoding);
+      * writer-only fields are decoded and discarded (the bytes must be
+        consumed to advance the buffer);
+      * reader-only fields take the reader's JSON ``default`` if
+        declared, else NULL when the reader field is nullable
+        (Debezium's added-column shape is nullable-with-null-default),
+        else the writer is rejected;
+      * matched fields must agree on type — identical branches, or a
+        non-nullable writer narrowing into a nullable reader;
+        non-null ``default`` on decimal/timestamp/date fields is
+        rejected (no typed-literal coercion).
+
+    ``unknown_id='null'`` turns rows whose id is not in the registry
+    map into all-NULL field rows that KEEP their schema_id for
+    quarantine routing; the default ``'error'`` fails loudly.  NULL
+    payloads (tombstones) decode to all-NULL fields as usual."""
+    from ultimate_data_engineering_project_spark.sources.kafka import (
+        strip_confluent_envelope,
+    )
+
+    if unknown_id not in ("error", "null"):
+        raise ValueError(f"unknown_id must be 'error' or 'null', got {unknown_id!r}")
+    reader = parse_flat_schema(reader_schema_json)
+    rnames = [f.name for f in reader]
+    defaults: dict[str, object] = {}
+    for f in json.loads(reader_schema_json).get("fields", []):
+        if "default" in f:
+            defaults[f["name"]] = f["default"]
+    for rf in reader:
+        if defaults.get(rf.name) is not None and rf.name in defaults:
+            branch = rf.value_type
+            if not isinstance(branch, str) or branch not in _PRIMITIVES:
+                raise ValueError(
+                    f"reader field {rf.name!r}: non-null defaults are only "
+                    "supported for primitive types"
+                )
+    writers: dict[int, list] = {}
+    for sid, wjson in writer_schemas.items():
+        wfields = parse_flat_schema(wjson)
+        wmap = {f.name: f for f in wfields}
+        for rf in reader:
+            wf = wmap.get(rf.name)
+            if wf is None:
+                if rf.name in defaults or rf.nullable:
+                    continue
+                raise ValueError(
+                    f"writer schema {sid}: required reader field "
+                    f"{rf.name!r} is missing and has no default"
+                )
+            if wf.branches != rf.branches and not (
+                wf.branches == (rf.value_type,) and rf.nullable
+            ):
+                raise ValueError(
+                    f"writer schema {sid}: field {rf.name!r} type mismatch "
+                    f"({wf.branches!r} vs {rf.branches!r})"
+                )
+        writers[int(sid)] = wfields
+    stripped = strip_confluent_envelope(df, value_col, bad_magic=bad_magic)
+    keep = [c for c in stripped.columns if c not in (value_col, "payload")]
+    clash = set(rnames) & set(keep)
+    if clash:
+        raise ValueError(
+            f"decoded field name(s) collide with kept columns: {sorted(clash)}"
+        )
+    in_fields = {f.name: f for f in stripped.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep] + list(spark_schema_for(reader).fields)
+    )
+
+    def _decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {n: [] for n in rnames}
+            for sid, raw in zip(pdf["schema_id"], pdf["payload"]):
+                if raw is None:  # tombstone, or corrupt kept by 'keep'
+                    for n in rnames:
+                        cols[n].append(None)
+                    continue
+                wfields = writers.get(int(sid))
+                if wfields is None:
+                    if unknown_id == "null":
+                        for n in rnames:
+                            cols[n].append(None)
+                        continue
+                    raise ValueError(
+                        f"schema id {int(sid)} not in the writer_schemas "
+                        "registry map (pass unknown_id='null' to quarantine)"
+                    )
+                vals = decode_record(bytes(raw), wfields)
+                vmap = {f.name: v for f, v in zip(wfields, vals)}
+                for n in rnames:
+                    cols[n].append(vmap.get(n, defaults.get(n)))
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            for n in rnames:
+                out[n] = pd.Series(cols[n], dtype=object, index=pdf.index)
+            yield out
+
+    # payload stays in the mapInPandas INPUT (the decoder reads it);
+    # out_schema keeps it out of the output
+    return stripped.drop(value_col).mapInPandas(_decode, out_schema)
+
+
 def encode_confluent_frames(
     df: DataFrame,
     avro_schema_json: str,
