@@ -151,6 +151,12 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
+        # sf1 sweeps OOM the 1g default driver heap (local mode holds
+        # executors in the driver JVM)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
