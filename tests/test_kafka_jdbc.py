@@ -192,7 +192,7 @@ def test_avro_codec_rejects_bad_schema_and_bytes():
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     for bad in (
-        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"array","items":"long"}}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"map","values":"long"}}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":["null","long","string"]}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":"null"}]}',
         '{"type":"record","name":"t","fields":[]}',
@@ -491,14 +491,18 @@ def test_avro_nested_envelope_known_bytes():
     sch = avro_py.spark_schema_for(fields)
     assert sch["after"].dataType.simpleString() == "struct<id:bigint,note:string>"
 
-    # scope guardrails hold inside nested records too
+    # scope guardrails hold inside nested records too (r8: arrays of
+    # SCALARS are supported now — the boundary moved to array-of-record
+    # and maps)
     import pytest
 
     with pytest.raises(ValueError, match="spark-avro"):
         avro_py.parse_flat_schema(
             '{"type":"record","name":"t","fields":[{"name":"r",'
             '"type":{"type":"record","name":"R","fields":['
-            '{"name":"a","type":{"type":"array","items":"long"}}]}}]}'
+            '{"name":"a","type":{"type":"array","items":'
+            '{"type":"record","name":"I","fields":'
+            '[{"name":"x","type":"long"}]}}}]}}]}'
         )
     with pytest.raises(ValueError, match="unsupported type"):
         avro_py.parse_flat_schema(
@@ -572,3 +576,37 @@ def test_decode_confluent_evolving_schema_versions(spark):
         df99, {7: v1}, v1, unknown_id="null"
     ).collect()
     assert kept[0]["id"] is None and kept[0]["schema_id"] == 99
+
+
+def test_avro_array_known_bytes_and_block_forms():
+    """Arrays of scalars (embedding-vector CDC columns) pinned at the
+    BYTE level: count-prefixed blocks with a zero terminator, and the
+    spec's OTHER form — negative count + block byte size — must decode
+    to the same list.  Items are non-null by construction."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    sch = (
+        '{"type":"record","name":"v","fields":['
+        '{"name":"vec","type":{"type":"array","items":"float"}}]}'
+    )
+    fields = avro_py.parse_flat_schema(sch)
+    body = avro_py.encode_record(([1.0, 2.0],), fields)
+    assert body == (
+        b"\x04"  # count 2 -> zigzag 4
+        + struct.pack("<f", 1.0)
+        + struct.pack("<f", 2.0)
+        + b"\x00"  # terminator block
+    )
+    assert avro_py.decode_record(body, fields) == ([1.0, 2.0],)
+    # empty array = just the terminator
+    assert avro_py.encode_record(([],), fields) == b"\x00"
+    # negative-count block: zigzag(-2)=3, then byte size 8 -> zigzag 16
+    alt = b"\x03\x10" + struct.pack("<f", 1.0) + struct.pack("<f", 2.0) + b"\x00"
+    assert avro_py.decode_record(alt, fields) == ([1.0, 2.0],)
+    # spark schema: non-null items
+    t = avro_py.spark_schema_for(fields)["vec"].dataType
+    assert t.simpleString() == "array<float>" and not t.containsNull
+    with pytest.raises(ValueError, match="non-null"):
+        avro_py.encode_record(([1.0, None],), fields)
+    with pytest.raises(ValueError, match="sequence"):
+        avro_py.encode_record(("nope",), fields)

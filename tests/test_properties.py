@@ -445,7 +445,8 @@ _AVRO_PROP_SCHEMA = """
       {"name": "note", "type": ["null", "string"]},
       {"name": "flag", "type": "boolean"},
       {"name": "score", "type": "double"},
-      {"name": "raw", "type": ["null", "bytes"]}
+      {"name": "raw", "type": ["null", "bytes"]},
+      {"name": "vec", "type": {"type": "array", "items": "float"}}
   ]}]},
   {"name": "echo", "type": ["null", "Value"]},
   {"name": "op", "type": "string"}
@@ -472,6 +473,12 @@ _value_rows = st.fixed_dictionaries(
         "flag": st.booleans(),
         "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
         "raw": st.none() | st.binary(max_size=20),
+        # width=32 floats are exactly float32-representable, so the
+        # <f pack/unpack round-trip is lossless
+        "vec": st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            max_size=8,
+        ),
     }
 )
 

@@ -1033,3 +1033,69 @@ def source_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "token", "n_occur", "tfidf", "rnk")
     )
+
+
+_AVRO_EMB_SCHEMA = """
+{"type": "record", "name": "emb_row", "fields": [
+  {"name": "vec_id", "type": "long"},
+  {"name": "label", "type": ["null", "int"]},
+  {"name": "vec_uuid", "type": {"type": "string", "logicalType": "uuid"}},
+  {"name": "embedding", "type": {"type": "array", "items": "float"}}
+]}
+"""
+
+
+@register(
+    "avro_embedding_roundtrip",
+    oracle="""
+    SELECT CAST(5 AS INTEGER) AS schema_id,
+           vec_id,
+           label,
+           md5(CAST(vec_id AS VARCHAR)) AS vec_uuid,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+                AS BIGINT) AS checksum
+    FROM embeddings
+    """,
+)
+def avro_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding VECTORS through the Confluent-Avro wire format (S13 x
+    X3 — the CDC feed shape of an embedding store: an ``array<float>``
+    column plus a uuid-annotated key): every vector is Avro
+    block-encoded (count-prefixed float items), framed, stripped, and
+    decoded back by the pure-Python codec, then summarized as an exact
+    integer checksum — sum of round(x * 1e6) over the decoded
+    components, where the float32 -> double widening and
+    away-from-zero rounding are bit-identical on both engines (the
+    `ann_topk_lsh_int` quantization trick) — so a single flipped
+    mantissa bit anywhere in 64 x n floats hash-mismatches.  The uuid
+    string and nullable int label ride along, pinning the annotated-
+    string and null-union paths on real data."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        "label",
+        F.md5(F.col("vec_id").cast("string")).alias("vec_uuid"),
+        "embedding",
+    )
+    frames = avro_py.encode_confluent_frames(rows, _AVRO_EMB_SCHEMA, 5)
+    decoded = avro_py.decode_confluent_avro_py(frames, _AVRO_EMB_SCHEMA)
+    checksum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return decoded.select(
+        "schema_id",
+        "vec_id",
+        "label",
+        "vec_uuid",
+        F.size("embedding").alias("dim"),
+        checksum.alias("checksum"),
+    )

@@ -11,14 +11,16 @@ the full Debezium change-event envelope — nested row-image records,
 ``["null", T]`` unions, and Debezium's logical types — applied over
 Arrow batches via ``mapInPandas``.
 
-Scope is deliberately narrow and loud: arrays, maps, enums, fixeds,
-and >2-branch unions raise ``ValueError`` at plan time.  What IS
-supported is exactly what a Debezium change event needs (reference
-docker-compose.yaml:74-97): record-typed fields and named-type
+Scope is deliberately narrow and loud: maps, enums, fixeds,
+array-of-record, and >2-branch unions raise ``ValueError`` at plan
+time.  What IS supported is exactly what a Debezium change event
+needs (reference docker-compose.yaml:74-97): record-typed fields and named-type
 references (``before``/``after`` as ``["null", "Value"]`` with the
 row-image record defined at first use, plus the ``source`` metadata
-record), and the logical types Debezium emits for the reference's own
-column types (reference schemas.py:37,53 Numeric(15,2) ->
+record), arrays of non-null scalars (embedding vectors in CDC feeds
+— both count forms of the spec's block encoding decode), the ``uuid``
+string annotation, and the logical types Debezium emits for the
+reference's own column types (reference schemas.py:37,53 Numeric(15,2) ->
 ``bytes``+``decimal``; :59-60 DateTime -> ``long``+
 ``timestamp-micros``/``millis``; Date -> ``int``+``date``).  For
 anything else, use the spark-avro package (the ``decode_confluent_avro``
@@ -75,6 +77,9 @@ _SPARK_TYPES = {
 # (positional) and the rest of the codec stay untouched; the wire type
 # each one rides on is what the decoder actually reads.
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+# array of non-null scalars (embedding vectors in CDC feeds); the item
+# may itself be a logical branch name ("array<decimal(15,2)>")
+_ARRAY_RE = re.compile(r"^array<(.+)>$")
 #: logical name -> required Avro wire primitive (per the Avro spec /
 #: what Debezium's AvroConverter emits)
 _LOGICAL_WIRE = {
@@ -114,11 +119,32 @@ def _logical_name(ftype: dict, field_name: str) -> str:
                 f"on {_LOGICAL_WIRE[logical]!r}, got {prim!r}"
             )
         return logical
+    if logical == "uuid":
+        # Debezium's shape for UUID PK columns: annotated string — the
+        # annotation carries no wire semantics, decode as plain string
+        if prim != "string":
+            raise ValueError(
+                f"field {field_name!r}: uuid logical type must ride on "
+                f"'string', got {prim!r}"
+            )
+        return "string"
     if logical is not None:
         raise ValueError(
             f"field {field_name!r}: unsupported logical type {logical!r} "
             "(use spark-avro)"
         )
+    if prim == "array":
+        items = ftype.get("items")
+        if isinstance(items, dict):
+            item_name = _logical_name(items, field_name)
+        elif isinstance(items, str) and items in _PRIMITIVES:
+            item_name = items
+        else:
+            raise ValueError(
+                f"field {field_name!r}: array items must be a non-null "
+                f"scalar type, got {items!r} (use spark-avro)"
+            )
+        return f"array<{item_name}>"
     # a dict with no logicalType is just an inline type declaration
     if isinstance(prim, str) and prim in _PRIMITIVES:
         return prim
@@ -140,6 +166,9 @@ def _wire_type(branch) -> str:
 def _spark_type_for_branch(branch) -> T.DataType:
     if not isinstance(branch, str):  # AvroRecord -> nested struct
         return spark_schema_for(branch.fields)
+    am = _ARRAY_RE.match(branch)
+    if am:
+        return T.ArrayType(_spark_type_for_branch(am.group(1)), False)
     m = _DECIMAL_RE.match(branch)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
@@ -290,6 +319,24 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 def _decode_value(buf: bytes, pos: int, ftype: str):
     if ftype in ("long", "int"):
         return _read_long(buf, pos)
+    am = _ARRAY_RE.match(ftype)
+    if am:
+        item = am.group(1)
+        vals = []
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                break
+            if cnt < 0:
+                # negative count: the block's byte size follows (the
+                # spec's skippable-block form) — size is redundant for
+                # a sequential decode, read and discard it
+                cnt = -cnt
+                _, pos = _read_long(buf, pos)
+            for _ in range(cnt):
+                v, pos = _decode_value(buf, pos, item)
+                vals.append(v)
+        return vals, pos
     m = _DECIMAL_RE.match(ftype)
     if m:
         raw, pos = _decode_value(buf, pos, "bytes")
@@ -412,89 +459,113 @@ def _encode_fields(out: bytearray, values, fields) -> None:
                 )
             _encode_fields(out, sub, ftype.fields)
             continue
-        m = _DECIMAL_RE.match(ftype)
-        if ftype in ("long", "int"):
-            if isinstance(v, float):
-                # a nullable long column round-trips Spark->pandas as
-                # float64; above 2^53 the float has already lost integer
-                # precision — fail loudly rather than encode a wrong id.
-                if not v.is_integer() or abs(v) >= 2.0**53:
-                    raise ValueError(
-                        f"field {f.name!r}: long value {v!r} arrived as a "
-                        "float64 that cannot represent it exactly (nullable "
-                        "long columns pass through pandas as float64)"
-                    )
-            _write_long(out, int(v))
-        elif m:
-            scale = int(m.group(2))
-            if isinstance(v, float):
+        am = _ARRAY_RE.match(ftype)
+        if am:
+            item = am.group(1)
+            if isinstance(v, (str, bytes)) or not hasattr(v, "__len__"):
                 raise ValueError(
-                    f"field {f.name!r}: refusing to encode a float as "
-                    f"decimal({m.group(1)},{scale}) — binary floats are "
-                    "inexact; pass decimal.Decimal, int, or str"
+                    f"field {f.name!r}: expected a sequence for array "
+                    f"value, got {type(v)}"
                 )
-            d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(v)
-            q = d.scaleb(scale)
-            unscaled = int(q)
-            if q != unscaled:
+            if len(v):
+                _write_long(out, len(v))
+                for iv in v:
+                    if iv is None:
+                        raise ValueError(
+                            f"field {f.name!r}: array items are non-null"
+                        )
+                    _encode_scalar(out, iv, item, f.name)
+            _write_long(out, 0)
+            continue
+        _encode_scalar(out, v, ftype, f.name)
+
+
+def _encode_scalar(out: bytearray, v, ftype: str, fname: str) -> None:
+    m = _DECIMAL_RE.match(ftype)
+    if ftype in ("long", "int"):
+        if isinstance(v, float):
+            # a nullable long column round-trips Spark->pandas as
+            # float64; above 2^53 the float has already lost integer
+            # precision — fail loudly rather than encode a wrong id.
+            if not v.is_integer() or abs(v) >= 2.0**53:
                 raise ValueError(
-                    f"field {f.name!r}: {v!r} does not fit scale {scale}"
+                    f"field {fname!r}: long value {v!r} arrived as a "
+                    "float64 that cannot represent it exactly (nullable "
+                    "long columns pass through pandas as float64)"
                 )
-            if len(str(abs(unscaled))) > int(m.group(1)):
-                raise ValueError(
-                    f"field {f.name!r}: {v!r} exceeds precision {m.group(1)}"
-                )
-            # minimal two's-complement length: bias negatives by one so
-            # the -2^(8k-1) boundary values still fit in k bytes
-            nbytes = (
-                (unscaled + (1 if unscaled < 0 else 0)).bit_length() // 8
-            ) + 1
-            raw = unscaled.to_bytes(nbytes, "big", signed=True)
-            _write_long(out, len(raw))
-            out += raw
-        elif ftype in ("timestamp-micros", "timestamp-millis"):
-            if not isinstance(v, _dt.datetime):
-                raise ValueError(
-                    f"field {f.name!r}: expected datetime, got {type(v)}"
-                )
-            epoch = (
-                _EPOCH_UTC if v.tzinfo is not None
-                # session timezone is pinned to UTC (session.py), so a
-                # naive timestamp out of Spark IS the UTC wall clock.
-                else _dt.datetime(1970, 1, 1)
+        _write_long(out, int(v))
+    elif m:
+        scale = int(m.group(2))
+        if isinstance(v, float):
+            raise ValueError(
+                f"field {fname!r}: refusing to encode a float as "
+                f"decimal({m.group(1)},{scale}) — binary floats are "
+                "inexact; pass decimal.Decimal, int, or str"
             )
-            us = (v - epoch) // _dt.timedelta(microseconds=1)
-            if ftype == "timestamp-millis":
-                if us % 1000:
-                    raise ValueError(
-                        f"field {f.name!r}: {v!r} has sub-millisecond "
-                        "precision; use timestamp-micros"
-                    )
-                _write_long(out, us // 1000)
-            else:
-                _write_long(out, us)
-        elif ftype == "date":
-            if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
+        d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(v)
+        q = d.scaleb(scale)
+        unscaled = int(q)
+        if q != unscaled:
+            raise ValueError(
+                f"field {fname!r}: {v!r} does not fit scale {scale}"
+            )
+        if len(str(abs(unscaled))) > int(m.group(1)):
+            raise ValueError(
+                f"field {fname!r}: {v!r} exceeds precision {m.group(1)}"
+            )
+        # minimal two's-complement length: bias negatives by one so
+        # the -2^(8k-1) boundary values still fit in k bytes
+        nbytes = (
+            (unscaled + (1 if unscaled < 0 else 0)).bit_length() // 8
+        ) + 1
+        raw = unscaled.to_bytes(nbytes, "big", signed=True)
+        _write_long(out, len(raw))
+        out += raw
+    elif ftype in ("timestamp-micros", "timestamp-millis"):
+        if not isinstance(v, _dt.datetime):
+            raise ValueError(
+                f"field {fname!r}: expected datetime, got {type(v)}"
+            )
+        epoch = (
+            _EPOCH_UTC if v.tzinfo is not None
+            # session timezone is pinned to UTC (session.py), so a
+            # naive timestamp out of Spark IS the UTC wall clock.
+            else _dt.datetime(1970, 1, 1)
+        )
+        us = (v - epoch) // _dt.timedelta(microseconds=1)
+        if ftype == "timestamp-millis":
+            if us % 1000:
                 raise ValueError(
-                    f"field {f.name!r}: expected datetime.date, got {type(v)}"
+                    f"field {fname!r}: {v!r} has sub-millisecond "
+                    "precision; use timestamp-micros"
                 )
-            _write_long(out, (v - _EPOCH_DATE).days)
-        elif ftype == "string":
-            raw = v.encode("utf-8")
-            _write_long(out, len(raw))
-            out += raw
-        elif ftype == "bytes":
-            raw = bytes(v)
-            _write_long(out, len(raw))
-            out += raw
-        elif ftype == "boolean":
-            out.append(1 if v else 0)
-        elif ftype == "double":
-            out += struct.pack("<d", float(v))
-        elif ftype == "float":
-            out += struct.pack("<f", float(v))
-        else:  # pragma: no cover - parse_flat_schema already rejected
-            raise ValueError(f"unsupported Avro type {ftype!r}")
+            _write_long(out, us // 1000)
+        else:
+            _write_long(out, us)
+    elif ftype == "date":
+        if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
+            raise ValueError(
+                f"field {fname!r}: expected datetime.date, got {type(v)}"
+            )
+        _write_long(out, (v - _EPOCH_DATE).days)
+    elif ftype == "string":
+        raw = v.encode("utf-8")
+        _write_long(out, len(raw))
+        out += raw
+    elif ftype == "bytes":
+        raw = bytes(v)
+        _write_long(out, len(raw))
+        out += raw
+    elif ftype == "boolean":
+        out.append(1 if v else 0)
+    elif ftype == "double":
+        out += struct.pack("<d", float(v))
+    elif ftype == "float":
+        out += struct.pack("<f", float(v))
+    else:  # pragma: no cover - parse_flat_schema already rejected
+        raise ValueError(f"unsupported Avro type {ftype!r}")
+
+
 
 
 # ------------------------------------------------------- Spark surface
