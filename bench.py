@@ -66,6 +66,11 @@ HEADLINE = [
     "ann_topk_pq",
     "incremental_near_dup_md5",
     "docs_curation_pipeline",
+    # r8: the Avro wire-format path over a REAL payload volume (20k
+    # vectors x 64 floats encode->strip->decode at sf0.1) — the codec
+    # is per-row Python over Arrow batches, so its throughput needs the
+    # same round-over-round watchdog the JVM-side plans get
+    "avro_embedding_roundtrip",
 ]
 
 
