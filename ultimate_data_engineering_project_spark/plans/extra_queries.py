@@ -1099,3 +1099,65 @@ def avro_embedding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         checksum.alias("checksum"),
     )
+
+
+_AVRO_DOC_V1 = """
+{"type": "record", "name": "doc", "fields": [
+  {"name": "doc_id", "type": "long"},
+  {"name": "src", "type": "string"}
+]}
+"""
+
+_AVRO_DOC_V2 = """
+{"type": "record", "name": "doc", "fields": [
+  {"name": "doc_id", "type": "long"},
+  {"name": "src", "type": "string"},
+  {"name": "n_chars", "type": ["null", "long"]},
+  {"name": "tag", "type": "string", "default": "legacy"}
+]}
+"""
+
+
+@register(
+    "avro_schema_evolution_decode",
+    oracle="""
+    SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 8 END AS INTEGER)
+               AS schema_id,
+           doc_id,
+           source AS src,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+           CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE 'live' END AS tag
+    FROM documents
+    """,
+)
+def avro_schema_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on one topic, hash-checked (S13 — the registry
+    consumer's contract a long-lived Debezium topic forces): even
+    documents are Avro-framed under writer v1 (schema id 7), odd ones
+    under v2 (id 8, which adds a nullable column and a defaulted
+    column), and ONE pass of `decode_confluent_evolving` decodes each
+    row with its own writer version while presenting the v2 reader
+    schema — v1 rows backfill NULL for the added nullable column and
+    the declared default 'legacy' for the defaulted one.  The DuckDB
+    oracle recomputes the expected aligned rows straight from the
+    fixture, so writer dispatch, resolution-by-name, and default
+    application are all value-checked, not just pytest-pinned."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("source").alias("src")
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.col("source").alias("src"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit("live").alias("tag"),
+    )
+    frames = avro_py.encode_confluent_frames(
+        even, _AVRO_DOC_V1, 7
+    ).unionByName(avro_py.encode_confluent_frames(odd, _AVRO_DOC_V2, 8))
+    decoded = avro_py.decode_confluent_evolving(
+        frames, {7: _AVRO_DOC_V1, 8: _AVRO_DOC_V2}, _AVRO_DOC_V2
+    )
+    return decoded.select("schema_id", "doc_id", "src", "n_chars", "tag")
