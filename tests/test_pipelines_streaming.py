@@ -870,3 +870,101 @@ def test_cdc_stream_avro_envelope_end_to_end(spark, tmp_path):
             str(tmp_path / "ck3"), source=stream, avro_schema=env,
             quarantine_dir=str(tmp_path / "qq"),
         )
+
+
+def test_cdc_stream_evolving_avro_envelope(spark, tmp_path):
+    """A CDC topic whose envelope EVOLVED mid-stream (Debezium's ALTER
+    TABLE ADD COLUMN changes the nested Value record): batch 0 carries
+    v1 frames, batch 1 carries v2 frames plus a v1 straggler, and
+    run_cdc_stream(avro_schema={id: json, ...}) upserts them all into
+    the LATEST row shape — historic rows backfill NULL for the added
+    column and the reader's declared default for the defaulted one."""
+    import struct as _struct
+
+    from pyspark.sql import types as T
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_cdc_stream,
+    )
+
+    env_v1 = (
+        '{"type":"record","name":"Envelope","fields":['
+        '{"name":"before","type":["null",{"type":"record","name":"Value",'
+        '"fields":[{"name":"id","type":"long"},'
+        '{"name":"name","type":["null","string"]}]}]},'
+        '{"name":"after","type":["null","Value"]},'
+        '{"name":"op","type":"string"},{"name":"ts_ms","type":["null","long"]}]}'
+    )
+    env_v2 = (
+        '{"type":"record","name":"Envelope","fields":['
+        '{"name":"before","type":["null",{"type":"record","name":"Value",'
+        '"fields":[{"name":"id","type":"long"},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"email","type":["null","string"]},'
+        '{"name":"tier","type":"string","default":"basic"}]}]},'
+        '{"name":"after","type":["null","Value"]},'
+        '{"name":"op","type":"string"},{"name":"ts_ms","type":["null","long"]}]}'
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("tier", T.StringType()),
+        ]
+    )
+    f1 = avro_py.parse_flat_schema(env_v1)
+    f2 = avro_py.parse_flat_schema(env_v2)
+
+    def frame(fields, sid, before, after, op, ts):
+        body = avro_py.encode_record((before, after, op, ts), fields)
+        return b"\x00" + _struct.pack(">i", sid) + body
+
+    b0 = [  # pre-migration: v1 only
+        (frame(f1, 7, None, {"id": 1, "name": "a"}, "c", 1),),
+        (frame(f1, 7, None, {"id": 2, "name": "b"}, "c", 2),),
+    ]
+    b1 = [  # post-migration: v2, plus a late v1 producer still writing
+        (frame(f2, 8, None,
+               {"id": 1, "name": "a2", "email": "a@x", "tier": "gold"},
+               "u", 3),),
+        (frame(f1, 7, None, {"id": 3, "name": "c"}, "c", 4),),
+        (frame(f2, 8, {"id": 2, "name": "b", "email": None, "tier": "basic"},
+               None, "d", 5),),
+    ]
+    src = tmp_path / "evo_env"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, "value binary").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b*")
+    )
+    table_dir = str(tmp_path / "evo_table")
+    q = run_cdc_stream(
+        spark, None, row_schema, ["id"], table_dir,
+        str(tmp_path / "evo_ckpt"),
+        source=stream,
+        avro_schema={7: env_v1, 8: env_v2},
+    )
+    q.awaitTermination(300)
+    got = {
+        r["id"]: (r["name"], r["email"], r["tier"])
+        for r in spark.read.parquet(table_dir).collect()
+    }
+    assert got == {
+        1: ("a2", "a@x", "gold"),        # updated under v2
+        3: ("c", None, "basic"),         # v1 straggler: backfilled shape
+    }
+    # incompatible history fails at stream START, not first batch
+    env_bad = env_v1.replace('"name":"id","type":"long"', '"name":"ident","type":"long"')
+    with pytest.raises(ValueError, match="missing and has no default"):
+        run_cdc_stream(
+            spark, None, row_schema, ["id"], table_dir,
+            str(tmp_path / "evo_ck2"), source=stream,
+            avro_schema={7: env_bad, 8: env_v2},
+        )

@@ -648,6 +648,175 @@ def decode_confluent_avro_py(
     )
 
 
+def _raw_record_fields(t, raw_defs: dict):
+    """Resolve a reader-JSON 'type' value to its raw record field list
+    (following null-unions and named references), registering inline
+    definitions for later by-name use.  None for non-record types."""
+    if isinstance(t, str):
+        return raw_defs.get(t)
+    if isinstance(t, list):
+        for b in t:
+            r = _raw_record_fields(b, raw_defs)
+            if r is not None:
+                return r
+        return None
+    if isinstance(t, dict):
+        if t.get("type") == "record":
+            fields = t.get("fields", [])
+            name = t.get("name")
+            if name:
+                raw_defs[name] = fields
+                ns = t.get("namespace")
+                if ns:
+                    raw_defs[f"{ns}.{name}"] = fields
+            return fields
+        return None
+    return None
+
+
+def _validate_default(rf: AvroField, default, where: str) -> None:
+    if default is not None and (
+        not isinstance(rf.value_type, str)
+        or rf.value_type not in _PRIMITIVES
+    ):
+        raise ValueError(
+            f"reader field {where}: non-null defaults are only supported "
+            "for primitive types"
+        )
+
+
+def _make_dict_aligner(w_rec: AvroRecord, r_rec: AvroRecord,
+                       r_raw_fields, raw_defs, sid, path):
+    """Recursive aligner for an EVOLVED nested record: maps a
+    writer-layout dict to the reader's nested field set (NULL backfill,
+    defaults, discarded writer-only keys).  Built once per writer at
+    plan time; incompatibilities raise HERE, not per row."""
+    wmap = {f.name: f for f in w_rec.fields}
+    raw_by_name = {f.get("name"): f for f in (r_raw_fields or [])}
+    plans = []
+    for rf in r_rec.fields:
+        raw = raw_by_name.get(rf.name, {})
+        where = f"{path}{rf.name}"
+        wf = wmap.get(rf.name)
+        if wf is None:
+            if "default" in raw:
+                _validate_default(rf, raw.get("default"), where)
+                plans.append(("const", rf.name, raw.get("default")))
+            elif rf.nullable:
+                plans.append(("const", rf.name, None))
+            else:
+                raise ValueError(
+                    f"writer schema {sid}: required reader field "
+                    f"{where!r} is missing and has no default"
+                )
+            continue
+        plans.append(_field_plan(wf, rf, raw, raw_defs, sid, where,
+                                 key=rf.name))
+    def align(d):
+        if d is None:
+            return None
+        out = {}
+        for kind, name, arg in plans:
+            if kind == "const":
+                out[name] = arg
+            elif kind == "copy":
+                out[name] = d.get(arg)
+            else:  # map
+                out[name] = arg[1](d.get(arg[0]))
+        return out
+
+    return align
+
+
+def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
+                *, key):
+    """Resolution plan for one shared field (writer wf -> reader rf):
+    ("copy", key, source) when layouts agree, ("map", key,
+    (source, sub_aligner)) when the nested record evolved."""
+    wb, rb = wf.value_type, rf.value_type
+    if wf.branches == rf.branches or (
+        wf.branches == (rb,) and rf.nullable
+    ):
+        return ("copy", key, key)
+    if isinstance(wb, AvroRecord) and isinstance(rb, AvroRecord):
+        if wf.nullable and not rf.nullable:
+            raise ValueError(
+                f"writer schema {sid}: field {where!r} is nullable in the "
+                "writer but required in the reader"
+            )
+        sub_raw = _raw_record_fields(raw.get("type"), raw_defs)
+        sub = _make_dict_aligner(
+            wb, rb, sub_raw, raw_defs, sid, where + "."
+        )
+        return ("map", key, (key, sub))
+    raise ValueError(
+        f"writer schema {sid}: field {where!r} type mismatch "
+        f"({wf.branches!r} vs {rf.branches!r})"
+    )
+
+
+def build_writer_aligners(writer_schemas: dict[int, str],
+                          reader_schema_json: str):
+    """Plan-time half of :func:`decode_confluent_evolving`: parse the
+    reader, resolve every writer version against it (recursively, so an
+    evolved NESTED row-image record — Debezium's ALTER TABLE shape —
+    resolves too), and return (reader_fields, {id: (writer_fields,
+    align_fn)}).  align_fn maps a decoded writer tuple to reader field
+    order.  Raises on any incompatible historic version — call this at
+    stream START to fail before the first micro-batch."""
+    reader = parse_flat_schema(reader_schema_json)
+    raw_defs: dict[str, list] = {}
+    r_raw_fields = json.loads(reader_schema_json).get("fields", [])
+    for f in r_raw_fields:
+        _raw_record_fields(f.get("type"), raw_defs)
+    raw_by_name = {f.get("name"): f for f in r_raw_fields}
+    writers: dict[int, tuple] = {}
+    for sid, wjson in writer_schemas.items():
+        wfields = parse_flat_schema(wjson)
+        wmap = {f.name: (i, f) for i, f in enumerate(wfields)}
+        plans = []
+        for rf in reader:
+            raw = raw_by_name.get(rf.name, {})
+            ent = wmap.get(rf.name)
+            if ent is None:
+                if "default" in raw:
+                    _validate_default(rf, raw.get("default"), rf.name)
+                    plans.append(("const", raw.get("default")))
+                elif rf.nullable:
+                    plans.append(("const", None))
+                else:
+                    raise ValueError(
+                        f"writer schema {sid}: required reader field "
+                        f"{rf.name!r} is missing and has no default"
+                    )
+                continue
+            i, wf = ent
+            kind, _, arg = _field_plan(
+                wf, rf, raw, raw_defs, sid, rf.name, key=i
+            )
+            if kind == "copy":
+                plans.append(("idx", i))
+            else:
+                plans.append(("map", arg))
+
+        def make_align(plans):
+            def align(vals):
+                out = []
+                for kind, arg in plans:
+                    if kind == "const":
+                        out.append(arg)
+                    elif kind == "idx":
+                        out.append(vals[arg])
+                    else:
+                        out.append(arg[1](vals[arg[0]]))
+                return out
+
+            return align
+
+        writers[int(sid)] = (wfields, make_align(plans))
+    return reader, writers
+
+
 def decode_confluent_evolving(
     df: DataFrame,
     writer_schemas: dict[int, str],
@@ -670,17 +839,20 @@ def decode_confluent_evolving(
     spec, checked per writer at PLAN time so an incompatible historic
     version fails before any row decodes:
 
-      * fields match by NAME (writer field order only drives decoding);
+      * fields match by NAME (writer field order only drives decoding),
+        RECURSIVELY into record-typed fields — an evolved nested row
+        image (Debezium's ALTER TABLE ADD COLUMN changes the nested
+        ``Value`` record) resolves like the top level does;
       * writer-only fields are decoded and discarded (the bytes must be
         consumed to advance the buffer);
       * reader-only fields take the reader's JSON ``default`` if
         declared, else NULL when the reader field is nullable
         (Debezium's added-column shape is nullable-with-null-default),
         else the writer is rejected;
-      * matched fields must agree on type — identical branches, or a
-        non-nullable writer narrowing into a nullable reader;
-        non-null ``default`` on decimal/timestamp/date fields is
-        rejected (no typed-literal coercion).
+      * matched fields must agree on type — identical branches, a
+        non-nullable writer narrowing into a nullable reader, or two
+        record types that recursively resolve; non-null ``default`` on
+        non-primitive fields is rejected (no typed-literal coercion).
 
     ``unknown_id='null'`` turns rows whose id is not in the registry
     map into all-NULL field rows that KEEP their schema_id for
@@ -692,41 +864,8 @@ def decode_confluent_evolving(
 
     if unknown_id not in ("error", "null"):
         raise ValueError(f"unknown_id must be 'error' or 'null', got {unknown_id!r}")
-    reader = parse_flat_schema(reader_schema_json)
+    reader, writers = build_writer_aligners(writer_schemas, reader_schema_json)
     rnames = [f.name for f in reader]
-    defaults: dict[str, object] = {}
-    for f in json.loads(reader_schema_json).get("fields", []):
-        if "default" in f:
-            defaults[f["name"]] = f["default"]
-    for rf in reader:
-        if defaults.get(rf.name) is not None and rf.name in defaults:
-            branch = rf.value_type
-            if not isinstance(branch, str) or branch not in _PRIMITIVES:
-                raise ValueError(
-                    f"reader field {rf.name!r}: non-null defaults are only "
-                    "supported for primitive types"
-                )
-    writers: dict[int, list] = {}
-    for sid, wjson in writer_schemas.items():
-        wfields = parse_flat_schema(wjson)
-        wmap = {f.name: f for f in wfields}
-        for rf in reader:
-            wf = wmap.get(rf.name)
-            if wf is None:
-                if rf.name in defaults or rf.nullable:
-                    continue
-                raise ValueError(
-                    f"writer schema {sid}: required reader field "
-                    f"{rf.name!r} is missing and has no default"
-                )
-            if wf.branches != rf.branches and not (
-                wf.branches == (rf.value_type,) and rf.nullable
-            ):
-                raise ValueError(
-                    f"writer schema {sid}: field {rf.name!r} type mismatch "
-                    f"({wf.branches!r} vs {rf.branches!r})"
-                )
-        writers[int(sid)] = wfields
     stripped = strip_confluent_envelope(df, value_col, bad_magic=bad_magic)
     keep = [c for c in stripped.columns if c not in (value_col, "payload")]
     clash = set(rnames) & set(keep)
@@ -749,8 +888,8 @@ def decode_confluent_evolving(
                     for n in rnames:
                         cols[n].append(None)
                     continue
-                wfields = writers.get(int(sid))
-                if wfields is None:
+                ent = writers.get(int(sid))
+                if ent is None:
                     if unknown_id == "null":
                         for n in rnames:
                             cols[n].append(None)
@@ -759,10 +898,10 @@ def decode_confluent_evolving(
                         f"schema id {int(sid)} not in the writer_schemas "
                         "registry map (pass unknown_id='null' to quarantine)"
                     )
-                vals = decode_record(bytes(raw), wfields)
-                vmap = {f.name: v for f, v in zip(wfields, vals)}
-                for n in rnames:
-                    cols[n].append(vmap.get(n, defaults.get(n)))
+                wfields, align = ent
+                vals = align(decode_record(bytes(raw), wfields))
+                for n, v in zip(rnames, vals):
+                    cols[n].append(v)
             out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
             for n in rnames:
                 out[n] = pd.Series(cols[n], dtype=object, index=pdf.index)

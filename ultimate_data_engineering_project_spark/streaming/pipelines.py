@@ -268,7 +268,11 @@ def run_cdc_stream(
     ``avro_schema`` switches the envelope parse from JSON lines to the
     Confluent-Avro wire format via the pure-Python codec
     (parse_avro_envelope) — the exact bytes Debezium's AvroConverter
-    produces, upserted end to end with zero cluster packages.  The
+    produces, upserted end to end with zero cluster packages.  Pass a
+    ``{schema_id: writer_json}`` dict for a topic whose envelope
+    EVOLVED mid-stream: rows decode under their own version and align
+    to the latest (highest-id) schema, so the table image follows the
+    newest row shape while historic rows backfill NULL/defaults.  The
     JSON quarantine split does not apply to Avro (a corrupt Avro
     payload fails loudly in the codec; pre-split dirty topics with
     ``strip_confluent_envelope(bad_magic='keep')``), so combining
@@ -287,7 +291,15 @@ def run_cdc_stream(
         )
     if avro_schema is not None:
         # run the plan-time config guards NOW, not at first batch
-        _check_avro_envelope(avro_schema, row_schema)
+        if isinstance(avro_schema, dict):
+            from ultimate_data_engineering_project_spark.sources import avro_py
+
+            reader = avro_schema[max(avro_schema)]
+            _check_avro_envelope(reader, row_schema)
+            # resolve every historic writer version against the reader
+            avro_py.build_writer_aligners(avro_schema, reader)
+        else:
+            _check_avro_envelope(avro_schema, row_schema)
 
     if source is not None:
         raw = source
@@ -449,13 +461,29 @@ def parse_avro_envelope(
     A corrupt Avro payload raises on the executor (fail-loudly codec
     contract); pre-split dirty topics with
     ``strip_confluent_envelope(bad_magic='keep')`` + a quarantine
-    sink instead of letting them reach this parse."""
+    sink instead of letting them reach this parse.
+
+    ``avro_schema_json`` may also be a ``{schema_id: writer_json}``
+    DICT — a topic whose envelope evolved across versions (Debezium's
+    ALTER TABLE changes the nested Value record): each row decodes with
+    its own writer version and aligns to the READER (the
+    highest-id version — registry ids are monotone per subject) via
+    sources/avro_py.decode_confluent_evolving, added nested columns
+    backfilling NULL/defaults.  Every historic version is resolved
+    against the reader at plan time."""
     from ultimate_data_engineering_project_spark.sources import avro_py
 
-    ts = _check_avro_envelope(avro_schema_json, row_schema)
-    decoded = avro_py.decode_confluent_avro_py(
-        raw, avro_schema_json, value_col, bad_magic=bad_magic
-    )
+    if isinstance(avro_schema_json, dict):
+        reader = avro_schema_json[max(avro_schema_json)]
+        ts = _check_avro_envelope(reader, row_schema)
+        decoded = avro_py.decode_confluent_evolving(
+            raw, avro_schema_json, reader, value_col, bad_magic=bad_magic
+        )
+    else:
+        ts = _check_avro_envelope(avro_schema_json, row_schema)
+        decoded = avro_py.decode_confluent_avro_py(
+            raw, avro_schema_json, value_col, bad_magic=bad_magic
+        )
     return decoded.filter(~F.col("is_tombstone")).select(
         "op", ts.cast("long").alias("ts_ms"), "before", "after"
     )
