@@ -610,3 +610,62 @@ def test_avro_array_known_bytes_and_block_forms():
         avro_py.encode_record(([1.0, None],), fields)
     with pytest.raises(ValueError, match="sequence"):
         avro_py.encode_record(("nope",), fields)
+
+
+def test_schema_registry_client_contract():
+    """The registry lookup half of the CDC decode (S13): URL shape,
+    Confluent basic-auth header, response parsing, and loud error
+    mapping — all driven through an injected transport (no live
+    registry in the sandbox; the live boundary is documented in the
+    README table).  The fetched dict feeds decode_confluent_evolving
+    directly, closing the strip -> lookup -> decode loop."""
+    import contextlib
+    import io
+    import json as _json
+
+    from ultimate_data_engineering_project_spark.sources import avro_py, registry
+
+    v1 = '{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}'
+    seen = []
+
+    def opener(url, headers, timeout):
+        seen.append((url, headers, timeout))
+        sid = int(url.rsplit("/", 1)[1])
+        body = _json.dumps({"schema": v1 if sid == 7 else "null"}).encode()
+        return contextlib.closing(io.BytesIO(body))
+
+    out = registry.fetch_schema(
+        "http://reg:8081/", 7, auth=("key", "secret"), opener=opener
+    )
+    assert out == v1
+    url, headers, timeout = seen[0]
+    assert url == "http://reg:8081/schemas/ids/7"
+    assert headers["Accept"].startswith("application/vnd.schemaregistry")
+    assert headers["Authorization"] == "Basic a2V5OnNlY3JldA=="  # key:secret
+    assert timeout == 10.0
+
+    # id-set resolution -> the evolving decoder's input dict, dedup'd
+    schemas = registry.writer_schemas_for(
+        "http://reg:8081", [7, 7], opener=opener
+    )
+    assert set(schemas) == {7}
+    assert avro_py.parse_flat_schema(schemas[7])[0].name == "id"
+
+    # loud failures: non-JSON body, missing 'schema', transport error
+    def bad_json(url, headers, timeout):
+        return contextlib.closing(io.BytesIO(b"<html>gateway error"))
+
+    with pytest.raises(ValueError, match="non-JSON"):
+        registry.fetch_schema("http://reg:8081", 7, opener=bad_json)
+
+    def no_schema(url, headers, timeout):
+        return contextlib.closing(io.BytesIO(b'{"error_code": 40403}'))
+
+    with pytest.raises(ValueError, match="lacks a 'schema'"):
+        registry.fetch_schema("http://reg:8081", 7, opener=no_schema)
+
+    def boom(url, headers, timeout):
+        raise ConnectionError("refused")
+
+    with pytest.raises(ConnectionError, match="schemas/ids/9"):
+        registry.fetch_schema("http://reg:8081", 9, opener=boom)
