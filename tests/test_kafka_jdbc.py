@@ -358,6 +358,105 @@ def test_avro_logical_types_fail_loudly():
         )
 
 
+def test_avro_codec_edge_hardening():
+    """Round-8 review fixes, pinned:
+
+    1. decimal(38,s) stays EXACT through decode/encode — Python's
+       default decimal context (prec=28) would silently round a
+       38-digit unscaled value during ``scaleb``;
+    2. a record legitimately named ``date`` (or any logical-type name)
+       is resolved as the NAMED type, not shadowed by the logical;
+    3. array-of-array is rejected at plan time, not per-row at encode;
+    4. a reader default whose JSON type mismatches the field type (the
+       Avro spec allows ``"unknown"`` only on string fields) fails at
+       plan time instead of dying mid-batch at the Arrow boundary, and
+       an explicit ``null`` default on a required field is rejected;
+    5. ``latest_writer_json`` picks the max id NUMERICALLY so a
+       string-keyed dict (JSON config) can't pin the stream to an
+       outdated reader ("9" > "10" lexicographically)."""
+    import json
+    from decimal import Decimal
+
+    import pytest
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    # 1. 38 significant digits survive the round trip bit-exact
+    fields = avro_py.parse_flat_schema(json.dumps({
+        "type": "record", "name": "t", "fields": [
+            {"name": "d", "type": {"type": "bytes",
+             "logicalType": "decimal", "precision": 38, "scale": 2}}]}))
+    v = Decimal("123456789012345678901234567890123456.78")
+    assert avro_py.decode_record(
+        avro_py.encode_record((v,), fields), fields
+    )[0] == v
+
+    # 2. named type beats logical-name shadowing
+    shadows = avro_py.parse_flat_schema(json.dumps({
+        "type": "record", "name": "env", "fields": [
+            {"name": "d", "type": {"type": "record", "name": "date",
+             "fields": [{"name": "x", "type": "long"}]}},
+            {"name": "d2", "type": ["null", "date"]}]}))
+    assert isinstance(shadows[1].value_type, avro_py.AvroRecord)
+
+    # 3. nested arrays rejected at plan time
+    with pytest.raises(ValueError, match="nested arrays"):
+        avro_py.parse_flat_schema(json.dumps({
+            "type": "record", "name": "r", "fields": [
+                {"name": "m", "type": {"type": "array",
+                 "items": {"type": "array", "items": "float"}}}]}))
+
+    # 4. default type gate (build_writer_aligners = plan time)
+    v1 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}]})
+
+    def reader_with(field):
+        return json.dumps({"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"}, field]})
+
+    with pytest.raises(ValueError, match="does not match"):
+        avro_py.build_writer_aligners(
+            {1: v1}, reader_with(
+                {"name": "n", "type": "long", "default": "unknown"}))
+    with pytest.raises(ValueError, match="does not match"):
+        avro_py.build_writer_aligners(
+            {1: v1}, reader_with(
+                {"name": "b", "type": "double", "default": True}))
+    with pytest.raises(ValueError, match="null default"):
+        avro_py.build_writer_aligners(
+            {1: v1}, reader_with(
+                {"name": "n", "type": "long", "default": None}))
+    # well-typed defaults still pass
+    _, writers = avro_py.build_writer_aligners(
+        {1: v1}, reader_with(
+            {"name": "n", "type": "long", "default": 7}))
+    assert writers[1][1]([42]) == [42, 7]
+
+    # 5. numeric max over string keys
+    assert avro_py.latest_writer_json({"9": "old", "10": "new"}) == "new"
+
+
+def test_schema_registry_http_error_mapping():
+    """A non-2xx from the registry (urllib's HTTPError needs 5
+    constructor args — ``raise type(ex)(msg)`` would TypeError) maps to
+    one stable ConnectionError carrying the status and the registry's
+    error body."""
+    import io
+    import urllib.error
+
+    import pytest
+
+    from ultimate_data_engineering_project_spark.sources import registry
+
+    def boom(url, headers, timeout):
+        raise urllib.error.HTTPError(
+            url, 404, "not found", {}, io.BytesIO(b'{"error_code":40403}')
+        )
+
+    with pytest.raises(ConnectionError, match=r"HTTP 404.*40403"):
+        registry.fetch_schema("http://reg:8081", 9, opener=boom)
+
+
 _ROW_SCHEMA = T.StructType(
     [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
 )

@@ -89,6 +89,10 @@ _LOGICAL_WIRE = {
 }
 _EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 _EPOCH_DATE = _dt.date(1970, 1, 1)
+# decimal(38,s) carries up to 38 significant digits; Python's DEFAULT
+# context is prec=28 and Decimal.scaleb ROUNDS to context precision, so
+# every scale shift must run under a context wide enough to stay exact.
+_DEC_EXACT = _decimal.Context(prec=77)
 
 
 def _logical_name(ftype: dict, field_name: str) -> str:
@@ -143,6 +147,14 @@ def _logical_name(ftype: dict, field_name: str) -> str:
             raise ValueError(
                 f"field {field_name!r}: array items must be a non-null "
                 f"scalar type, got {items!r} (use spark-avro)"
+            )
+        if _ARRAY_RE.match(item_name):
+            # without this, array-of-array parses here but only fails
+            # per row inside _encode_scalar on an executor — reject at
+            # plan time like every other unsupported shape
+            raise ValueError(
+                f"field {field_name!r}: nested arrays are not supported "
+                "by the pure-Python codec (use spark-avro)"
             )
         return f"array<{item_name}>"
     # a dict with no logicalType is just an inline type declaration
@@ -210,15 +222,18 @@ class AvroField:
 
 def _parse_branch(b, field_name: str, defined: dict):
     if isinstance(b, str):
-        if (
-            b == "null"
-            or b in _PRIMITIVES
-            or _DECIMAL_RE.match(b)
-            or b in _LOGICAL_WIRE
-        ):
+        if b == "null" or b in _PRIMITIVES:
             return b
         if b in defined:  # named-type reference ("after": ["null","Value"])
+            # checked BEFORE the synthetic logical names below so a
+            # schema that legitimately defines a record named "date"
+            # isn't shadowed by the date logical type
             return defined[b]
+        if _DECIMAL_RE.match(b) or b in _LOGICAL_WIRE:
+            # synthetic branch names used by codec-internal callers
+            # (encode_record over pre-parsed fields); not legal Avro
+            # JSON, but harmless to accept when no named type claims it
+            return b
         raise ValueError(
             f"field {field_name!r}: unsupported type {b!r} "
             "(use spark-avro for non-primitive fields)"
@@ -342,7 +357,7 @@ def _decode_value(buf: bytes, pos: int, ftype: str):
         raw, pos = _decode_value(buf, pos, "bytes")
         unscaled = int.from_bytes(raw, "big", signed=True)
         return (
-            _decimal.Decimal(unscaled).scaleb(-int(m.group(2))),
+            _decimal.Decimal(unscaled).scaleb(-int(m.group(2)), _DEC_EXACT),
             pos,
         )
     if ftype == "timestamp-micros" or ftype == "timestamp-millis":
@@ -503,7 +518,7 @@ def _encode_scalar(out: bytearray, v, ftype: str, fname: str) -> None:
                 "inexact; pass decimal.Decimal, int, or str"
             )
         d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(v)
-        q = d.scaleb(scale)
+        q = d.scaleb(scale, _DEC_EXACT)
         unscaled = int(q)
         if q != unscaled:
             raise ValueError(
@@ -674,14 +689,42 @@ def _raw_record_fields(t, raw_defs: dict):
     return None
 
 
+#: JSON default value types the aligner may backfill per Avro type.
+#: bool is an int subclass in Python — excluded explicitly below.
+_DEFAULT_OK = {
+    "boolean": (bool,),
+    "int": (int,),
+    "long": (int,),
+    "float": (int, float),
+    "double": (int, float),
+    "string": (str,),
+}
+
+
 def _validate_default(rf: AvroField, default, where: str) -> None:
-    if default is not None and (
-        not isinstance(rf.value_type, str)
-        or rf.value_type not in _PRIMITIVES
-    ):
+    """Plan-time gate for a reader field's JSON ``default``: the const
+    goes straight into an Arrow column of the field's Spark type, so a
+    type-mismatched default (``"unknown"`` on a long field, null on a
+    required field) must fail HERE, not mid-batch on an executor."""
+    if default is None:
+        if not rf.nullable:
+            raise ValueError(
+                f"reader field {where}: null default on a required "
+                "(non-nullable) field"
+            )
+        return
+    if not isinstance(rf.value_type, str) or rf.value_type not in _DEFAULT_OK:
         raise ValueError(
             f"reader field {where}: non-null defaults are only supported "
-            "for primitive types"
+            "for primitive types (bytes/logical defaults: use spark-avro)"
+        )
+    ok = _DEFAULT_OK[rf.value_type]
+    if not isinstance(default, ok) or (
+        bool not in ok and isinstance(default, bool)
+    ):
+        raise ValueError(
+            f"reader field {where}: default {default!r} does not match "
+            f"field type {rf.value_type!r}"
         )
 
 
@@ -753,6 +796,14 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
         f"writer schema {sid}: field {where!r} type mismatch "
         f"({wf.branches!r} vs {rf.branches!r})"
     )
+
+
+def latest_writer_json(writer_schemas: dict) -> str:
+    """The reader schema for an evolving topic: the HIGHEST-id writer
+    version (registry ids are monotone per subject).  Keys are compared
+    numerically — a map loaded from JSON config arrives with STRING
+    keys, and lexicographic max picks "9" over "10"."""
+    return writer_schemas[max(writer_schemas, key=int)]
 
 
 def build_writer_aligners(writer_schemas: dict[int, str],

@@ -61,8 +61,9 @@ def fetch_schema(
 
     ``opener`` injects the transport (tests pass a fake returning
     canned bytes); default is stdlib urllib.  Raises ``ValueError`` on
-    a malformed response and lets transport errors propagate with the
-    URL attached.
+    a malformed response and ``ConnectionError`` on any transport/HTTP
+    failure, carrying the URL, the status code, and the registry's
+    error body.
     """
     url = f"{base_url.rstrip('/')}/schemas/ids/{int(schema_id)}"
     opener = opener or _default_opener
@@ -70,7 +71,23 @@ def fetch_schema(
         with opener(url, registry_headers(auth=auth), timeout) as resp:
             body = resp.read()
     except Exception as ex:  # noqa: BLE001 - annotate, then re-raise
-        raise type(ex)(f"schema registry fetch failed for {url}: {ex}") from ex
+        # NOT `raise type(ex)(...)`: urllib's HTTPError (the default
+        # opener's primary failure mode — any non-2xx) needs 5
+        # constructor args, so re-raising its type with one string
+        # would itself TypeError and mask the real failure.  Raise one
+        # stable type carrying the status and the registry error body.
+        code = getattr(ex, "code", None)
+        detail = f" (HTTP {code})" if code is not None else ""
+        if hasattr(ex, "read"):  # HTTPError response body
+            try:
+                err_body = ex.read()[:200]
+            except Exception:  # noqa: BLE001
+                err_body = b""
+            if err_body:
+                detail += f" body={err_body!r}"
+        raise ConnectionError(
+            f"schema registry fetch failed for {url}{detail}: {ex}"
+        ) from ex
     try:
         doc = json.loads(body)
     except json.JSONDecodeError as ex:

@@ -19,6 +19,8 @@ Tests drive them with Trigger.AvailableNow against temp dirs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -294,7 +296,7 @@ def run_cdc_stream(
         if isinstance(avro_schema, dict):
             from ultimate_data_engineering_project_spark.sources import avro_py
 
-            reader = avro_schema[max(avro_schema)]
+            reader = avro_py.latest_writer_json(avro_schema)
             _check_avro_envelope(reader, row_schema)
             # resolve every historic writer version against the reader
             avro_py.build_writer_aligners(avro_schema, reader)
@@ -474,7 +476,7 @@ def parse_avro_envelope(
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     if isinstance(avro_schema_json, dict):
-        reader = avro_schema_json[max(avro_schema_json)]
+        reader = avro_py.latest_writer_json(avro_schema_json)
         ts = _check_avro_envelope(reader, row_schema)
         decoded = avro_py.decode_confluent_evolving(
             raw, avro_schema_json, reader, value_col, bad_magic=bad_magic
@@ -655,6 +657,32 @@ def cdc_apply_batch(
     return kept.unionByName(upserts).join(deletes, on=keys, how="left_anti")
 
 
+def _read_batch_partitions(
+    spark: SparkSession, root: str, before_batch: int
+) -> DataFrame | None:
+    """``batch=<id>``-partitioned history STRICTLY BEFORE the current
+    batch — the shared probe-side read of every incremental index
+    stream (dedup, IVF, PQ).  A REPLAYED batch (crash between partition
+    writes and checkpoint commit) would otherwise see its own rows in
+    the index and match against itself; excluding ``batch >=
+    before_batch`` restores the exact pre-batch history, keeping the
+    ``batch=<id>`` overwrite genuinely idempotent.  ``basePath`` keeps
+    partition discovery rooted; returns None when no history exists yet
+    (local filesystem layout — these streams persist their index on the
+    driver-visible store)."""
+    import glob
+
+    if not glob.glob(os.path.join(root, "batch=*", "*.parquet")):
+        return None
+    df = (
+        spark.read.option("basePath", root)
+        .parquet(root)
+        .filter(F.col("batch") < F.lit(before_batch))
+        .drop("batch")
+    )
+    return df if df.limit(1).count() else None
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     docs: DataFrame,
@@ -701,29 +729,12 @@ def run_incremental_dedup_stream(
     range for co-located probes) — the corpus text is stored once in
     the companion ``_docs`` table and touched only per-candidate.
     """
-    import glob
-    import os
-
     from ultimate_data_engineering_project_spark.operators import dedup
 
     docs_dir = index_dir.rstrip("/") + "_docs"
 
     def _read_batches(root: str, before_batch: int) -> DataFrame | None:
-        # batch=<id> partition dirs; basePath keeps partition discovery
-        # rooted.  A REPLAYED batch (crash between partition writes and
-        # checkpoint commit) would otherwise see its own band rows in
-        # the index and match against itself — excluding batch ids >=
-        # the current one restores the exact pre-batch history, keeping
-        # the batch=<id> overwrite genuinely idempotent.
-        if not glob.glob(os.path.join(root, "batch=*", "*.parquet")):
-            return None
-        df = (
-            spark.read.option("basePath", root)
-            .parquet(root)
-            .filter(F.col("batch") < F.lit(before_batch))
-            .drop("batch")
-        )
-        return df if df.limit(1).count() else None
+        return _read_batch_partitions(spark, root, before_batch)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
@@ -810,21 +821,10 @@ def run_incremental_ann_stream(
     At 100 TB, partition the index by ``__cid`` range so each probe
     touches only co-located inverted lists.
     """
-    import glob
-    import os
-
     from ultimate_data_engineering_project_spark.operators import similarity
 
     def _read_index(before_batch: int) -> DataFrame | None:
-        if not glob.glob(os.path.join(index_dir, "batch=*", "*.parquet")):
-            return None
-        df = (
-            spark.read.option("basePath", index_dir)
-            .parquet(index_dir)
-            .filter(F.col("batch") < F.lit(before_batch))
-            .drop("batch")
-        )
-        return df if df.limit(1).count() else None
+        return _read_batch_partitions(spark, index_dir, before_batch)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
@@ -905,9 +905,6 @@ def run_incremental_pq_stream(
     batch sees the exact pre-batch history instead of matching its own
     half-written rows.
     """
-    import glob
-    import os
-
     from ultimate_data_engineering_project_spark.operators import similarity
 
     if rerank > k and docs_dir is None:
@@ -917,15 +914,7 @@ def run_incremental_pq_stream(
         )
 
     def _read_hist(base: str, before_batch: int) -> DataFrame | None:
-        if not glob.glob(os.path.join(base, "batch=*", "*.parquet")):
-            return None
-        df = (
-            spark.read.option("basePath", base)
-            .parquet(base)
-            .filter(F.col("batch") < F.lit(before_batch))
-            .drop("batch")
-        )
-        return df if df.limit(1).count() else None
+        return _read_batch_partitions(spark, base, before_batch)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
