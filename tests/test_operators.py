@@ -262,6 +262,45 @@ def test_simhash_md5_twin_properties(spark, near_dup_docs):
         for r in dedup.simhash_near_pairs_md5(near_dup_docs, "doc_id").collect()
     }
     assert pairs.get((1, 4)) == 0
+    # the twin guarantees EXACT recall: its pair set equals brute force
+    # over all sketch pairs at the same threshold (pigeonhole holds
+    # because max_hamming < n_blocks — enforced below)
+    ids = sorted(sh)
+    brute = {
+        (a, b): ham(sh[a], sh[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(sh[a], sh[b]) <= 3
+    }
+    assert pairs == brute
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs_md5(near_dup_docs, "doc_id", max_hamming=4)
+
+
+def test_cosine_zero_vector_ranks_last(spark):
+    """A zero-norm vector must NOT become every query's #1 neighbor:
+    naive 0/0 = NaN sorts ABOVE all real doubles in Spark's windows
+    (r8).  The kernel pins zero-norm to -1.0 — same convention DuckDB's
+    list_cosine_similarity uses, so the oracle agrees at this edge."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # true neighbor of 0
+        (2, [0.0, 0.0]),   # zero vector: must rank last, never first
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=1
+    ).collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 1
+    sims = {
+        r["neighbor_id"]: r["cosine_sim"]
+        for r in similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=3
+        ).collect()
+    }
+    assert sims[2] == -1.0  # zero vector: floor similarity, not NaN
 
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
@@ -440,6 +479,14 @@ def test_timeseries_euclidean_and_dtw(spark):
            for r in timeseries.series_pairs_dtw(ev).collect()}
     assert dtw[(1, 2)] == 0.0
     assert dtw[(1, 3)] > 0
+    # length-mismatched pairs beyond the nominal band must widen the
+    # corridor to |n-m| instead of returning an unreachable-cell inf
+    import math
+    narrow = {(r["user_a"], r["user_b"]): r["dtw"]
+              for r in timeseries.series_pairs_dtw(ev.filter(
+                  "user_id = 1 or (user_id = 3 and event_id <= 300)"
+              ), band=1).collect()}
+    assert math.isfinite(narrow[(1, 3)]) and narrow[(1, 3)] > 0
     top = timeseries.series_topk_similar(ev, k=1)
     best = {r["user_id"]: r["similar_user_id"] for r in top.collect()}
     assert best[1] == 2 and best[2] == 1
@@ -661,6 +708,27 @@ def test_connected_components_chain_and_isolated_clusters(spark):
     }
     assert all(got[i] == 0 for i in range(31))
     assert all(got[i] == 100 for i in (100, 101, 102))
+
+
+def test_connected_components_keeps_self_loop_only_nodes(spark):
+    """The contract returns a row for EVERY node that appears in an
+    edge — including a node whose only edge is a self-loop (r8: the
+    u != v prefilter silently dropped those).  Both paths."""
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 5), (1, 2), (7, 7), (2, 7)], ["id_a", "id_b"]
+    )
+    for thresh in (0, 200_000):  # distributed + union-find paths
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                df, small_graph_threshold=thresh
+            ).collect()
+        }
+        assert got == {5: 5, 1: 1, 2: 1, 7: 1}, (thresh, got)
 
 
 def test_md5_bucket_portable_and_deterministic(spark):

@@ -677,6 +677,34 @@ def test_resize_images_shapes_and_determinism(spark, sf_dir):
         assert r.n_bytes_in > 0
 
 
+def test_multimodal_keeps_caller_id_column(spark, sf_dir):
+    """decode_features / resize_images must carry the CALLER's id
+    column through — name AND type (r8: a hardcoded doc_id:long schema
+    renamed alt ids and crashed at Arrow for string ids)."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.operators.multimodal import (
+        attach_fake_binary,
+        decode_features,
+        resize_images,
+    )
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = attach_fake_binary(docs).select(
+        F.concat(F.lit("img-"), F.col("doc_id")).alias("image_id"),
+        "media_bytes",
+    )
+    feats = decode_features(media, id_col="image_id")
+    assert feats.columns[0] == "image_id"
+    assert dict(feats.dtypes)["image_id"] == "string"
+    got = {r.image_id for r in feats.collect()}
+    assert len(got) == 5 and all(i.startswith("img-") for i in got)
+    thumbs = resize_images(media, id_col="image_id", width=2, height=2)
+    assert thumbs.columns[0] == "image_id"
+    assert thumbs.count() == 5
+
+
 def test_incremental_pq_stream_matches_batch(spark, sf_dir, tmp_path):
     """The streaming PQ path (foreachBatch ADC probe + code append)
     must emit exactly what the BATCH probe finds for each batch against

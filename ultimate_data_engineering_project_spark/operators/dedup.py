@@ -760,6 +760,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     expression (aggregate over a 64-slot array) — map-only, no shuffle,
     no Python.
     """
+    # round-robin spread first: the bit-vote fold is heavy per-row map
+    # work, and a single-file corpus would run it all on one core (the
+    # minhash `_spread_width` discipline)
+    df = df.repartition(_spread_width(df))
     # SQL-expression form: the Python API's shiftright/shiftleft only
     # accept literal ints for the shift amount, the SQL functions accept
     # any expression.  Vote layout: per-BIT scalar aggregates over the
@@ -770,7 +774,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     votes = F.expr(
         f"""
         element_at(transform(
-          array(transform(split({text_col}, ' '), t -> xxhash64(t))),
+          array(transform(split(`{text_col}`, ' '), t -> xxhash64(t))),
           th -> transform(sequence(0, 63),
             b -> CAST(2 * aggregate(th, CAST(0 AS BIGINT),
                                     (acc, h) -> acc + (shiftright(h, b) & 1))
@@ -808,13 +812,16 @@ def simhash_md5(
             "truncating would leave the top bits permanently zero"
         )
     n_hex = n_bits // 4
+    # round-robin spread first (see `simhash`): heavy per-row fold must
+    # not run on a single-file scan's one partition
+    df = df.repartition(_spread_width(df))
     # per-bit scalar aggregates over the once-bound token-hash array
     # (see `simhash` — 2x faster than the per-token array fold,
     # bit-identical)
     votes = F.expr(
         f"""
         element_at(transform(
-          array(transform(split({text_col}, ' '),
+          array(transform(split(`{text_col}`, ' '),
                 t -> cast(conv(substring(md5(cast(t as binary)), 1, {n_hex}),
                                16, 10) as bigint))),
           th -> transform(sequence(0, {n_bits - 1}),
@@ -845,7 +852,7 @@ def simhash_near_pairs_md5(
     id_col: str,
     text_col: str = "text",
     *,
-    max_hamming: int = 4,
+    max_hamming: int = 3,
     n_bits: int = 48,
     block_bits: int = 12,
 ) -> DataFrame:
@@ -854,8 +861,14 @@ def simhash_near_pairs_md5(
     votes, block keys, bit_count hamming) is exact integer arithmetic a
     SQL engine reproduces hash-for-hash, so the APPROXIMATE SimHash
     path itself carries a full oracle (the `minhash_lsh_pairs_md5`
-    pattern).  Blocks on n_bits/block_bits slices (pigeonhole recall);
-    same banded-equi-join scale shape as the xxhash64 production path.
+    pattern).  Blocks on n_bits/block_bits slices; pigeonhole recall is
+    GUARANTEED only when max_hamming < n_blocks (a pair differing in at
+    most n_blocks-1 bits must leave one block untouched), so that is
+    enforced — the twin's output is then EXACTLY the brute-force
+    {hamming <= max_hamming} pair set, not an approximation of it.  For
+    looser thresholds use more/smaller blocks or the xxhash64
+    production path, whose wider radius is documented as approximate.
+    Same banded-equi-join scale shape as the production path.
 
     Returns (id_a, id_b, hamming) with id_a < id_b,
     hamming <= max_hamming."""
@@ -864,6 +877,13 @@ def simhash_near_pairs_md5(
             f"n_bits ({n_bits}) must be divisible by block_bits ({block_bits})"
         )
     n_blocks = n_bits // block_bits
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) >= n_blocks ({n_blocks}): "
+            "pigeonhole blocking cannot guarantee recall — pairs with "
+            "one differing bit per block would share no key and be "
+            "silently dropped; lower max_hamming or shrink block_bits"
+        )
     mask = (1 << block_bits) - 1
     # keyed repartition = materialization barrier (the minhash pattern):
     # without it the self-join's two branches do NOT share the
@@ -1031,11 +1051,18 @@ def connected_components(
     are asserted identical in tests.  Pass 0 to force the distributed
     path.
     """
-    e = (
+    raw = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    # a node that appears ONLY in self-loop edges still counts as "a
+    # node that appears in an edge" (the documented contract): keep
+    # those as singleton (id, id) rows and fold them in at the end —
+    # filtering u != v first would silently drop them from the output
+    e = raw.filter(F.col("u") != F.col("v"))
+    loops = raw.filter(F.col("u") == F.col("v")).select(
+        F.col("u").alias("id"), F.col("u").alias("component")
     )
     if (
         small_graph_threshold
@@ -1063,8 +1090,13 @@ def connected_components(
                 else:
                     parent[ru] = rv
         out = [(x, find(x)) for x in parent]
-        return edges.sparkSession.createDataFrame(
+        local = edges.sparkSession.createDataFrame(
             out, "id long, component long"
+        )
+        return (
+            local.unionByName(loops)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
         )
 
     def _sym(df: DataFrame) -> DataFrame:
@@ -1153,7 +1185,11 @@ def connected_components(
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
         e.select(F.col("v").alias("id"), F.col("v").alias("component"))
     )
-    return comp.groupBy("id").agg(F.min("component").alias("component"))
+    return (
+        comp.unionByName(loops)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def ngram_contamination(
@@ -1183,7 +1219,12 @@ def ngram_contamination(
     def exploded(df: DataFrame, out_id: str) -> DataFrame:
         toks_ok = F.size(F.split(F.col(text_col), " ")) >= shingle_n
         return (
-            df.filter(toks_ok)
+            # round-robin spread BEFORE the per-row shingle pipeline —
+            # a single-file corpus would otherwise hash every shingle
+            # on one core (the same trap _spread_width closes for the
+            # minhash/jaccard paths)
+            df.repartition(_spread_width(df))
+            .filter(toks_ok)
             .select(
                 F.col(id_col).alias(out_id),
                 F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__sh"),

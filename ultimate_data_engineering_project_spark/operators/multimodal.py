@@ -116,6 +116,13 @@ def decode_features(
     result does not depend on installed codecs)."""
     id_name, bytes_name = id_col, bytes_col
     use_pil = kernel == "auto"
+    # output schema keeps the CALLER's id column (name AND type) — a
+    # hardcoded doc_id:long would silently rename an alt id column and
+    # crash at the Arrow boundary for string ids (the pq_encode pattern)
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(_DECODED_SCHEMA.fields[1:])
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -124,7 +131,7 @@ def decode_features(
             blobs = pdf[bytes_name]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_name],
+                    id_name: pdf[id_name],
                     "n_bytes": blobs.map(len).astype("int64"),
                     "content_sha": blobs.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
@@ -135,7 +142,7 @@ def decode_features(
                 }
             )
 
-    return df.select(id_col, bytes_col).mapInPandas(batches, schema=_DECODED_SCHEMA)
+    return df.select(id_col, bytes_col).mapInPandas(batches, schema=schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1_000) -> DataFrame:
@@ -220,13 +227,17 @@ def resize_images(
     when codecs exist."""
     id_name, bytes_name = id_col, bytes_col
     use_pil = kernel == "auto"
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(_RESIZED_SCHEMA.fields[1:])
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             blobs = pdf[bytes_name]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_name],
+                    id_name: pdf[id_name],
                     "out_width": width,
                     "out_height": height,
                     "n_bytes_in": blobs.map(len).astype("int64"),
@@ -236,4 +247,4 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, bytes_col).mapInPandas(batches, schema=_RESIZED_SCHEMA)
+    return df.select(id_col, bytes_col).mapInPandas(batches, schema=schema)

@@ -346,8 +346,10 @@ def union_evolving(*dfs: DataFrame) -> DataFrame:
 
 
 def except_distinct(left: DataFrame, right: DataFrame) -> DataFrame:
-    """ANSI EXCEPT (distinct)."""
-    return left.distinct().exceptAll(right.distinct())
+    """ANSI EXCEPT (distinct) — ``subtract`` IS the built-in
+    EXCEPT DISTINCT operator (the ``distinct().exceptAll(distinct())``
+    spelling adds two aggregations the operator doesn't need)."""
+    return left.subtract(right)
 
 
 def intersect_distinct(left: DataFrame, right: DataFrame) -> DataFrame:

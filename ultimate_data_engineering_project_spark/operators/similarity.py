@@ -22,7 +22,20 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float|double> columns, computed
-    with double accumulators, sequential fold (bit-stable)."""
+    with double accumulators, sequential fold (bit-stable).
+
+    A zero-norm vector yields -1.0, NOT the naive 0/0 (r8): under ANSI
+    mode (Spark 4 default) that division THROWS DIVIDE_BY_ZERO mid-
+    query, and under non-ANSI it is NaN — which Spark orders ABOVE
+    every real double, ranking a zero vector as every query's #1
+    neighbor in the top-k windows.  -1.0 (below any real similarity)
+    matches what DuckDB's ``list_cosine_similarity`` returns for a
+    zero vector, keeping the oracle parity exact at this edge too.
+    ``try_divide`` + ``nanvl`` + ``coalesce`` rather than a ``when``
+    guard so the norm folds are evaluated once (interpreted HOF
+    contexts do no subexpression elimination); a NaN ELEMENT in either
+    vector also lands at -1.0 — garbage embeddings rank last instead
+    of first."""
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
     na = F.aggregate(
@@ -35,7 +48,12 @@ def cosine(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    return F.coalesce(
+        F.nanvl(
+            F.try_divide(dot, F.sqrt(na) * F.sqrt(nb)), F.lit(-1.0)
+        ),
+        F.lit(-1.0),
+    )
 
 
 def norm(a: Column) -> Column:

@@ -50,7 +50,6 @@ def token_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    quoted = ", ".join(f"'{w}'" for w in stopwords)
     return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
 
 
@@ -380,12 +379,14 @@ def chunk_windows(
 
 # PII scrub patterns — written to behave identically under Java regex
 # (Spark) and RE2 (DuckDB): character classes + bounded repetition only,
-# no backrefs or lookaround.  Replacement order is fixed (email, ip,
-# phone) so the engines transform identically.
+# no backrefs or lookaround, and no \s (Java's includes \x0B, RE2's does
+# not — the same divergence bpe_ish_tokens spells out above, so the
+# phone separator class is written explicitly).  Replacement order is
+# fixed (email, ip, phone) so the engines transform identically.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
-    ("phone", r"\+[0-9][0-9()\-\s]{7,}[0-9]", "[PHONE]"),
+    ("phone", r"\+[0-9][0-9()\- \t\n\f\r]{7,}[0-9]", "[PHONE]"),
 )
 
 

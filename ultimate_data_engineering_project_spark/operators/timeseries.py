@@ -406,12 +406,17 @@ def series_pairs_dtw(
                 x = np.asarray(sa, dtype=np.float64)
                 y = np.asarray(sb, dtype=np.float64)
                 n, m = len(x), len(y)
+                # the corridor must be at least |n-m| wide or D[n,m]
+                # is unreachable and every length-mismatched pair
+                # (common: per-user event counts vary) silently comes
+                # back Infinity — the standard Sakoe-Chiba adjustment
+                w = max(band, abs(n - m))
                 big = np.inf
                 D = np.full((n + 1, m + 1), big)
                 D[0, 0] = 0.0
                 for i in range(1, n + 1):
-                    lo = max(1, i - band)
-                    hi = min(m, i + band)
+                    lo = max(1, i - w)
+                    hi = min(m, i + w)
                     d_row = np.abs(x[i - 1] - y[lo - 1 : hi])
                     for off, j in enumerate(range(lo, hi + 1)):
                         c = d_row[off]

@@ -700,19 +700,23 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN blocked b ON a.q = b.q AND a.block = b.block
                       AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 4
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
     """,
 )
 def simhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, engine-portable twin (X2): md5-derived
     48-bit sketches make the bit votes, block keys, and hamming
     distances exact integer arithmetic on any engine, so the DuckDB
-    oracle reproduces the APPROXIMATE SimHash candidate set and output
-    hash-for-hash — completing the hash-checked-twin set (MinHash md5,
-    ANN int planes, series md5 blocks).  The xxhash64 64-bit path
-    (`simhash_near_dup_pairs`) remains the production kernel."""
+    oracle reproduces the SimHash output hash-for-hash — completing the
+    hash-checked-twin set (MinHash md5, ANN int planes, series md5
+    blocks).  max_hamming=3 < n_blocks=4 keeps the pigeonhole recall
+    guarantee, so this twin's output is EXACTLY the brute-force
+    {hamming <= 3} pair set (r8: 4 used to slip hamming-4 pairs with
+    one differing bit per block).  The xxhash64 64-bit path
+    (`simhash_near_dup_pairs`) remains the production kernel with the
+    wider, documented-approximate radius."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs_md5(docs, "doc_id", max_hamming=4)
+    return dedup.simhash_near_pairs_md5(docs, "doc_id", max_hamming=3)
 
 
 @register("ngram_jaccard_pairs", oracle=None)
