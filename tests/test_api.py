@@ -27,6 +27,27 @@ def test_guard_rejects_writes():
         assert not is_read_only_sql(bad)
 
 
+def test_guard_rejects_with_wrapped_dml():
+    """Spark's grammar is ``ctes? dmlStatementNoWith`` — a first-token
+    check alone lets 'WITH … INSERT OVERWRITE DIRECTORY' (a real write,
+    verified) through (r8).  Keywords inside strings/comments/backtick
+    identifiers must NOT trip the guard."""
+    for bad in [
+        "WITH t AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '/tmp/x' "
+        "USING parquet SELECT * FROM t",
+        "with c as (select 1) insert into t select * from c",
+        "WITH c AS (SELECT 1) DELETE FROM t WHERE x IN (SELECT * FROM c)",
+        "WITH c AS (SELECT 1) UPDATE t SET x = 1",
+        "WITH c AS (SELECT 1) MERGE INTO t USING c ON t.x = c.x "
+        "WHEN MATCHED THEN DELETE",
+    ]:
+        assert not is_read_only_sql(bad), bad
+    # quoted/commented occurrences are content, not statements
+    assert is_read_only_sql("SELECT 'please insert this string' AS s")
+    assert is_read_only_sql("SELECT x -- insert overwrite note\nFROM t")
+    assert is_read_only_sql("SELECT `insert` FROM t")
+
+
 def test_sql_runs_and_guards(engine):
     df = engine.sql("SELECT COUNT(*) AS n FROM orders")
     assert df.first()["n"] > 0

@@ -169,6 +169,34 @@ def test_linear_fraud_scores_semantics(tables):
     assert auc >= 0.55, f"fraud-score AUC degraded: {auc:.4f}"
 
 
+def test_fraud_training_frame_keeps_circular_only_accounts(spark):
+    """The training population is the FULL union of the feature and
+    label universes: an account whose only activity is a NON-completed
+    circular pair must keep its row with zero features and label 1
+    (r8: the features-side left join silently dropped it)."""
+    from ultimate_data_engineering_project_spark.fraud import fraud_training_frame
+
+    rows = [
+        # account 1 <-> 2: same-day circular transfers, both FAILED
+        (10, 1, 2, "Transfer", "failed", "2024-03-01 09:00:00", 100.0),
+        (11, 2, 1, "Transfer", "failed", "2024-03-01 10:00:00", 100.0),
+        # account 3: plain completed activity, no transfers
+        (12, 3, None, "Deposit", "completed", "2024-03-01 11:00:00", 9000.0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "transaction_id long, account_id long, related_account_id long, "
+        "transaction_type string, status string, transaction_date string, "
+        "amount double",
+    )
+    got = {r["account_id"]: r for r in fraud_training_frame(t).collect()}
+    assert set(got) == {1, 2, 3}
+    for acc in (1, 2):
+        assert (got[acc]["n_trx"], got[acc]["n_big"]) == (0, 0)
+        assert got[acc]["is_circular"] == 1
+    assert got[3]["is_circular"] == 0 and got[3]["n_big"] == 1
+
+
 def test_linear_fraud_scores_singular_matrix_is_null(tables):
     """A singular normal-equation matrix (single account, constant
     features => det = 0) must yield NULL coefficients/scores on BOTH

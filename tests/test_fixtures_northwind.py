@@ -190,6 +190,18 @@ def test_jdbc_options_pushdown_contract():
     assert opts["partitionColumn"] == "transaction_id"
     assert opts["numPartitions"] == "16"
     assert opts["fetchsize"] == "10000"
+    # misconfigured parallel reads fail at plan time, not inside load():
+    # missing bounds would reach Spark as the literal string "None";
+    # num_partitions without a partition column is silently ignored
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        jdbc_options(
+            "jdbc:postgresql://h/db", "t", partition_column="id",
+            num_partitions=8,
+        )
+    with _pytest.raises(ValueError, match="partition_column"):
+        jdbc_options("jdbc:postgresql://h/db", "t", num_partitions=8)
 
 
 def test_s3a_conf_minio_defaults():

@@ -345,6 +345,13 @@ def test_avro_logical_types_fail_loudly():
         )
     with pytest.raises(ValueError, match="varint"):
         avro_py._read_long(b"\xff" * 11, 0)
+    # exactly 10 bytes but the final byte overflows the one bit int64
+    # has left: must be the codec's ValueError, not a late Arrow error
+    with pytest.raises(ValueError, match="64 bits"):
+        avro_py._read_long(bytes([0xFF] * 9 + [0x7F]), 0)
+    # the int64 boundary itself still decodes (min long = zigzag all-1s)
+    v, _ = avro_py._read_long(bytes([0xFF] * 9 + [0x01]), 0)
+    assert v == -(2**63)
     with pytest.raises(ValueError, match="logical"):
         avro_py.parse_flat_schema(
             '{"type":"record","name":"t","fields":[{"name":"x",'

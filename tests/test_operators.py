@@ -241,6 +241,13 @@ def test_hash_split_group_cohesion(spark, sf_dir):
         for r in labeled.select("user_id", "split").distinct().collect()
     }
     assert again == first
+    # NULL keys get a NULL label, never the final split (r8: the bare
+    # when-chain fell through to 'test' for every NULL key)
+    nulls = spark.createDataFrame([(None,), (7,)], "user_id int").withColumn(
+        "split", hash_split("user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    got = {r["user_id"]: r["split"] for r in nulls.collect()}
+    assert got[None] is None and got[7] is not None
 
 
 def test_simhash_md5_twin_properties(spark, near_dup_docs):

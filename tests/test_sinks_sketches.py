@@ -193,6 +193,34 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert ids == sorted(ids)
 
 
+def test_compact_parquet_recovers_interrupted_swap(spark, tmp_path):
+    """The two-rename swap is not atomic; a crash between the renames
+    leaves the live path missing and the data in ``.compact.old``.  The
+    next call must RESTORE that state before compacting (r8), and a
+    stale ``.compact.old`` left after a completed swap must not break
+    the subsequent swap's rename."""
+    import glob
+    import os
+    import shutil
+
+    from ultimate_data_engineering_project_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "bronze")
+    spark.range(100).repartition(5).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    # simulate the crash window: first rename done, second never ran
+    shutil.move(path, path + ".compact.old")
+    assert not os.path.exists(path)
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == n
+    assert not glob.glob(f"{path}.compact.*")
+    # stale .old relic from a crash after a completed swap
+    spark.range(7).write.mode("overwrite").parquet(path + ".compact.old")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == n
+    assert not glob.glob(f"{path}.compact.*")
+
+
 def test_compact_parquet_partitioned(spark, tmp_path):
     """Hive-partitioned compaction: one file per partition directory
     afterward, partition values intact."""

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ultimate_data_engineering_project_spark.session import configure_session
-from ultimate_data_engineering_project_spark.sources.readers import FIXTURE_TABLES, load_table
+from ultimate_data_engineering_project_spark.sources.readers import register_temp_views
 
 
 class ReadOnlyStatementError(ValueError):
@@ -23,20 +23,52 @@ class ReadOnlyStatementError(ValueError):
 
 _READ_PREFIXES = ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
 
+#: DML keywords reachable BEHIND a read-looking prefix: Spark's grammar
+#: is ``ctes? dmlStatementNoWith``, so "WITH t AS (...) INSERT/UPDATE/
+#: DELETE/MERGE ..." (and INSERT OVERWRITE DIRECTORY) all start with the
+#: allowed first token WITH.  A first-token check alone therefore lets
+#: writes through; these are re-checked as whole-word tokens over the
+#: statement with strings/comments/backtick identifiers stripped.
+_WRITE_TOKENS = frozenset(
+    {"INSERT", "OVERWRITE", "UPDATE", "DELETE", "MERGE", "TRUNCATE"}
+)
+
+_STRIP_RE = None  # compiled lazily (module import stays regex-free)
+
+
+def _strip_literals(sql: str) -> str:
+    """Remove string literals ('…' with '' escapes, "…"), backtick
+    identifiers, and -- / block comments, so keyword scanning cannot be
+    fooled (or false-positived) by quoted content."""
+    import re
+
+    global _STRIP_RE
+    if _STRIP_RE is None:
+        _STRIP_RE = re.compile(
+            r"'(?:[^']|'')*'"      # single-quoted string, '' escape
+            r"|\"(?:[^\"])*\""     # double-quoted string
+            r"|`(?:[^`])*`"        # backtick identifier
+            r"|--[^\n]*"           # line comment
+            r"|/\*.*?\*/",         # block comment
+            re.DOTALL,
+        )
+    return _STRIP_RE.sub(" ", sql)
+
 
 def is_read_only_sql(sql: str) -> bool:
-    """First-token guard (S15 — the reference's sqlparse check,
-    PostgreSQL/test.py:31-44): only read statements pass."""
-    stripped = sql.lstrip()
-    # strip leading line/block comments
-    while stripped.startswith(("--", "/*")):
-        if stripped.startswith("--"):
-            stripped = stripped.split("\n", 1)[1] if "\n" in stripped else ""
-        else:
-            stripped = stripped.split("*/", 1)[1] if "*/" in stripped else ""
-        stripped = stripped.lstrip()
-    first = stripped.split(None, 1)[0].upper() if stripped else ""
-    return first in _READ_PREFIXES
+    """Read-statement guard (S15 — the reference's sqlparse check,
+    PostgreSQL/test.py:31-44): the first token must be a read prefix
+    AND no DML keyword may appear anywhere outside strings/comments
+    (closing the ``WITH … INSERT OVERWRITE DIRECTORY`` bypass).  Fails
+    CLOSED: a column literally named ``insert`` must be backticked."""
+    import re
+
+    cleaned = _strip_literals(sql).lstrip()
+    first = cleaned.split(None, 1)[0].upper() if cleaned else ""
+    if first not in _READ_PREFIXES:
+        return False
+    tokens = {t.upper() for t in re.findall(r"[A-Za-z_]+", cleaned)}
+    return not (tokens & _WRITE_TOKENS)
 
 
 @dataclass
@@ -50,8 +82,7 @@ class Engine:
     @classmethod
     def for_fixtures(cls, spark: SparkSession, sf_dir: str) -> "Engine":
         eng = cls(spark=configure_session(spark))
-        for name in FIXTURE_TABLES:
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        register_temp_views(spark, sf_dir)
         return eng
 
     def register(self, name: str, df: DataFrame) -> None:

@@ -62,7 +62,15 @@ def fraud_training_frame(transactions: DataFrame) -> DataFrame:
 
     One aggregate over transactions + one tiny distinct-account join;
     features are exact integers so the downstream closed-form trainer
-    is engine-reproducible."""
+    is engine-reproducible.
+
+    The account universe is the FULL union of the two populations:
+    features come from completed transactions, the label from transfer
+    pairs of ANY status (a failed/pending circular attempt is still a
+    fraud signal), so an account whose only activity is a non-completed
+    circular pair keeps its row with zero-filled features instead of
+    being silently dropped by a features-side left join (r8) — the
+    docstring's "appears on either side" contract now actually holds."""
     completed = transactions.filter(F.col("status") == "completed")
     feats = completed.groupBy("account_id").agg(
         F.count(F.lit(1)).alias("n_trx"),
@@ -76,7 +84,9 @@ def fraud_training_frame(transactions: DataFrame) -> DataFrame:
         .withColumn("__circ", F.lit(1).cast("long"))
     )
     return (
-        feats.join(circ, "account_id", "left")
+        feats.join(circ, "account_id", "full")
+        .withColumn("n_trx", F.coalesce(F.col("n_trx"), F.lit(0).cast("long")))
+        .withColumn("n_big", F.coalesce(F.col("n_big"), F.lit(0).cast("long")))
         .withColumn("is_circular", F.coalesce(F.col("__circ"), F.lit(0).cast("long")))
         .drop("__circ")
     )

@@ -39,9 +39,11 @@ def dsum_sql(expr: str, precision: int = 25, scale: int = 10) -> str:
     )
 
 
-def davg(col: Column | str, count_col: Column | None = None) -> Column:
-    """Order-independent AVG: exact decimal sum -> double, divided by a
-    bigint count in double arithmetic (deterministic on both engines).
+def davg(col: Column | str) -> Column:
+    """Order-independent AVG: exact decimal sum -> double, divided by
+    COUNT(col) in double arithmetic (deterministic on both engines).
+    (No denominator override — a dead ``count_col`` parameter used to
+    advertise one without implementing it.)
 
     Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / COUNT(x)``.
     """
@@ -127,10 +129,17 @@ def hash_split(
     domain) and cross-split leakage is structurally impossible, which a
     row-wise ``randomSplit`` cannot guarantee.  Map-side expression
     only: no shuffle, no state, reproducible across runs, engines, and
-    cluster sizes."""
+    cluster sizes.
+
+    A NULL key yields a NULL label — md5(NULL) is NULL, every
+    ``bucket < hi`` comparison is NULL, and the bare when-chain would
+    fall through to the FINAL label, silently inflating the last split
+    with exactly the rows that have no entity key (r8).  NULL-keyed
+    rows are a data-quality decision the caller must make explicitly;
+    they never belong to a split by accident."""
     bucket = md5_bucket(col, n_hex)
     pairs = split_thresholds(fractions, n_hex)
     expr = F.lit(pairs[-1][0])
     for label, hi in reversed(pairs[:-1]):
         expr = F.when(bucket < F.lit(hi), F.lit(label)).otherwise(expr)
-    return expr
+    return F.when(bucket.isNotNull(), expr)

@@ -241,10 +241,15 @@ def fakestream_circular_transfers(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY account_id
     ),
     labeled AS (
-        SELECT f.account_id, f.n_trx, f.n_big,
+        -- FULL join: a circular account with no completed transaction
+        -- keeps its row (zero features), mirroring
+        -- fraud.fraud_training_frame's population contract
+        SELECT COALESCE(f.account_id, c.account_id) AS account_id,
+               COALESCE(f.n_trx, 0) AS n_trx,
+               COALESCE(f.n_big, 0) AS n_big,
                CAST(CASE WHEN c.account_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
                    AS is_circular
-        FROM feats f LEFT JOIN circ c USING (account_id)
+        FROM feats f FULL JOIN circ c ON f.account_id = c.account_id
     ),
     s AS (
         SELECT COUNT(*) AS n,

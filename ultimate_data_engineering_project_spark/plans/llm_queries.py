@@ -1025,7 +1025,9 @@ def _split_oracle() -> str:
     )
 
     pairs = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
-    case = "CASE "
+    # NULL keys get a NULL split in BOTH engines (hash_split's r8
+    # contract) — a bare ELSE would route them into the final label
+    case = "CASE WHEN user_id IS NULL THEN NULL "
     for label, hi in pairs[:-1]:
         case += (
             f"WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '{hi}' "

@@ -328,6 +328,12 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
         if not (b & 0x80):
             break
         shift += 7
+    if acc > 0xFFFFFFFFFFFFFFFF:
+        # a 10-byte varint whose final byte carries more than the one
+        # bit an int64 has room for — without this, the oversized int
+        # escapes as an opaque Arrow/timedelta OverflowError on an
+        # executor instead of the codec's own ValueError family
+        raise ValueError("malformed Avro varint (exceeds 64 bits)")
     return (acc >> 1) ^ -(acc & 1), pos
 
 

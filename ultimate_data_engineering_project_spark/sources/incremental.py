@@ -60,12 +60,20 @@ def incremental_batch(
     (JDBC WHERE or parquet row-group pruning).  Returns (delta_df,
     new_watermark); call ``store.set`` only after the delta is durably
     written (write-then-commit, exactly-once for idempotent sinks).
+
+    The delta is SNAPSHOTTED (eager localCheckpoint) before the
+    watermark aggregate: against a LIVE source (JDBC), letting the
+    caller's later write/count re-scan would see rows committed after
+    this aggregate — rows the new watermark does not cover, so the next
+    tick would re-select and duplicate them.  One scan, one consistent
+    row set: the watermark is the max ts of exactly the rows the caller
+    will write.
     """
     wm = store.get(table)
     delta = source if wm is None else source.filter(F.col(ts_col) > F.lit(wm))
-    row = delta.agg(F.max(ts_col).alias("mx")).first()
-    new_wm = row["mx"]
-    return delta, new_wm
+    snap = delta.localCheckpoint(eager=True)
+    new_wm = snap.agg(F.max(ts_col).alias("mx")).first()["mx"]
+    return snap, new_wm
 
 
 def ingest_increment(
@@ -77,6 +85,10 @@ def ingest_increment(
 ) -> int:
     """One incremental tick: read delta → append to bronze parquet
     partitioned by ingest date → commit watermark.  Returns rows landed.
+
+    The write and the count both consume ``incremental_batch``'s
+    checkpointed snapshot, so the live source is scanned ONCE per tick
+    and the committed watermark covers exactly the written rows.
     """
     delta, new_wm = incremental_batch(source, table, store, ts_col)
     if new_wm is None:

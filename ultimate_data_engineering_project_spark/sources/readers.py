@@ -215,11 +215,25 @@ def jdbc_options(
         "pushDownLimit": "true",
     }
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach Spark as the literal "None" and die
+            # at load() with a NumberFormatException far from this call
+            raise ValueError(
+                "partition_column requires explicit lower_bound and "
+                "upper_bound (Spark range-partitions the scan between "
+                "them)"
+            )
         opts.update(
             partitionColumn=partition_column,
             lowerBound=str(lower_bound),
             upperBound=str(upper_bound),
             numPartitions=str(num_partitions or 8),
+        )
+    elif num_partitions is not None:
+        raise ValueError(
+            "num_partitions without partition_column is silently ignored "
+            "by the JDBC source (single-partition read) — pass "
+            "partition_column + bounds for a parallel scan"
         )
     opts.update(options)
     return opts

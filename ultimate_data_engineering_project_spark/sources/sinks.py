@@ -76,14 +76,17 @@ def compact_parquet(
     layer degrades into: thousands of KB-scale files per partition turn
     a 100 TB scan into a metadata storm (one task + one open per file,
     NameNode/liststore pressure) and defeat row-group-level skipping.
-    Compaction = read -> repartition to ceil(bytes/target) -> atomic
+    Compaction = read -> repartition to ceil(bytes/target) -> two-rename
     swap.  ``sort_within_by`` additionally sorts rows inside each
     output file (sortWithinPartitions — NO global shuffle) so min/max
     row-group stats become selective for those columns: the cheap
     cousin of Z-ordering for the single-column case.
 
     The rewrite lands in ``path + '.compact.tmp'`` and is swapped in via
-    two LOCAL renames; remote scheme paths (hdfs://, s3a://) are
+    two LOCAL renames — NOT atomic: a crash between them leaves the
+    live path missing with the data intact in ``.compact.old``.  That
+    window is self-healing: the next call (or a reader using this
+    function) restores ``.compact.old`` before doing anything else; remote scheme paths (hdfs://, s3a://) are
     rejected up front — there, write a NEW prefix and flip the table
     location (rename is copy+delete on object stores).  Input bytes are
     read from the filesystem listing, not estimated from row counts, so
@@ -110,6 +113,12 @@ def compact_parquet(
         )
     if scheme == "file":
         path = parts.path
+    old = path.rstrip("/") + ".compact.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # crash happened between the two swap renames of a previous
+        # run: the pre-compaction data is complete in .compact.old —
+        # restore it before reading
+        shutil.move(old, path)
     base = spark.read.parquet(path)
     total = sum(
         os.path.getsize(os.path.join(dirpath, f))
@@ -130,11 +139,15 @@ def compact_parquet(
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
     tmp = path.rstrip("/") + ".compact.tmp"
-    old = path.rstrip("/") + ".compact.old"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
+    if os.path.exists(old):
+        # leftover from a crash AFTER a previous swap completed but
+        # before its cleanup — the live path is intact, drop the relic
+        # (shutil.move into an existing dir would nest, not replace)
+        shutil.rmtree(old)
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
