@@ -237,6 +237,25 @@ def test_cdc_stream_foreachbatch(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
     assert got == {1: "b", 3: "c"}
 
+    # crash-window recovery (r8): the whole-image write stages to .tmp
+    # then swaps via two renames.  Simulate dying between them — the
+    # live path gone, the full image in .old — and verify the next
+    # batch RESTORES it instead of reseeding an empty table from the
+    # PATH_NOT_FOUND branch (which silently lost all history before).
+    import shutil
+
+    shutil.move(table_dir, table_dir + ".old")
+    assert not os.path.exists(table_dir)
+    (env_dir / "batch3.jsonl").write_text(
+        '{"op":"c","ts_ms":6,"before":null,"after":"{\\"k\\":4,\\"v\\":\\"d\\"}"}\n'
+    )
+    q3 = run_cdc_stream(spark, str(env_dir), row_schema, ["k"], table_dir, ckpt)
+    q3.awaitTermination(120)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(table_dir).collect()}
+    assert got == {1: "b", 3: "c", 4: "d"}  # history survived the crash
+    assert not os.path.exists(table_dir + ".old")
+    assert not os.path.exists(table_dir + ".tmp")
+
 
 def _env_line(op, ts_ms, before, after):
     import json
@@ -617,6 +636,11 @@ def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
         # column would upsert a NULL-key row (verified data-loss path)
         _json.dumps({"op": "c", "ts_ms": 7, "after": "{broken json"}),
         _json.dumps({"op": "d", "ts_ms": 8, "before": "not { json"}),
+        # a DELETE with a corrupt (normally absent) after: the struct-
+        # of-nulls would win coalesce(after, before) and null the
+        # delete's key (r8) — must quarantine, not pass as good
+        _json.dumps({"op": "d", "ts_ms": 9,
+                     "before": '{"k":9,"v":"z"}', "after": "{oops"}),
     ]
     raw = spark.createDataFrame([(x,) for x in lines], "value string")
     changes, quarantined = split_envelope_quarantine(raw, row_schema)
@@ -624,12 +648,12 @@ def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
     # the good side carries clean row structs (no corrupt-record field)
     assert "_corrupt_record" not in changes.select("after.*").columns
     got = {r.value: r.reason for r in quarantined.collect()}
-    assert len(got) == 8
+    assert len(got) == 9
     reasons = sorted(got.values())
     assert reasons == sorted(
         ["unparseable_envelope", "bad_op", "bad_op", "missing_ts",
          "missing_after", "missing_before", "corrupt_after",
-         "corrupt_before"]
+         "corrupt_after", "corrupt_before"]
     )
 
     # end-to-end through run_cdc_stream with quarantine_dir
@@ -647,7 +671,14 @@ def test_cdc_quarantine_routes_corrupt_envelopes(spark, tmp_path):
     img = spark.read.parquet(table_dir)
     assert {(r.k, r.v) for r in img.collect()} == {(1, "a")}
     dlq = spark.read.parquet(qdir)
-    assert dlq.count() == 8 and set(dlq.columns) == {"value", "reason"}
+    # DLQ rows land under batch=<id> partitions (replay-idempotent
+    # overwrite, r8); the partition column doubles as provenance
+    assert dlq.count() == 9 and set(dlq.columns) == {"value", "reason", "batch"}
+    # Kafka tombstones (NULL value) are protocol, not corruption: they
+    # appear on NEITHER side
+    tomb = spark.createDataFrame([(None,), (lines[0],)], "value string")
+    ch2, q2 = split_envelope_quarantine(tomb, row_schema)
+    assert ch2.count() == 1 and q2.count() == 0
     import pytest as _pytest
 
     bad_schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])

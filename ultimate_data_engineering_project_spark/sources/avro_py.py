@@ -820,7 +820,31 @@ def build_writer_aligners(writer_schemas: dict[int, str],
     resolves too), and return (reader_fields, {id: (writer_fields,
     align_fn)}).  align_fn maps a decoded writer tuple to reader field
     order.  Raises on any incompatible historic version — call this at
-    stream START to fail before the first micro-batch."""
+    stream START to fail before the first micro-batch.
+
+    Memoized on the (writer set, reader) pair: schemas are CONFIG, and
+    a foreachBatch loop that re-parses every historic version per
+    micro-batch would repeat pure driver work on the hot path."""
+    key = tuple(
+        sorted((int(sid), wjson) for sid, wjson in writer_schemas.items())
+    )
+    return _aligners_cached(key, reader_schema_json)
+
+
+def _aligners_cached(writer_items: tuple, reader_schema_json: str):
+    import functools
+
+    # functools.cache on the module function itself would make the
+    # public dict signature unhashable; cache on the frozen tuple form
+    if not hasattr(_aligners_cached, "_cache"):
+        _aligners_cached._cache = functools.lru_cache(maxsize=64)(
+            _build_aligners_impl
+        )
+    return _aligners_cached._cache(writer_items, reader_schema_json)
+
+
+def _build_aligners_impl(writer_items: tuple, reader_schema_json: str):
+    writer_schemas = dict(writer_items)
     reader = parse_flat_schema(reader_schema_json)
     raw_defs: dict[str, list] = {}
     r_raw_fields = json.loads(reader_schema_json).get("fields", [])

@@ -322,9 +322,24 @@ def run_cdc_stream(
                 batch_df, row_schema, materialize=True
             )
             if quarantined.head(1):
-                quarantined.write.mode("append").parquet(quarantine_dir)
+                # batch-scoped overwrite, not a blind append: a crash-
+                # replayed micro-batch rewrites ITS partition instead
+                # of double-counting every quarantined frame (the same
+                # idempotence rule the incremental index streams use);
+                # the batch id doubles as DLQ provenance on read-back
+                quarantined.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_dir, f"batch={batch_id}")
+                )
         else:
             changes = parse_debezium_envelope(batch_df, row_schema)
+        import shutil
+
+        old = table_dir.rstrip("/") + ".old"
+        if not os.path.exists(table_dir) and os.path.exists(old):
+            # crash landed between the two swap renames below: the full
+            # pre-batch image is intact in .old — restore it instead of
+            # letting the PATH_NOT_FOUND branch reseed an empty table
+            shutil.move(old, table_dir)
         try:
             current = spark.read.parquet(table_dir)
         except AnalysisException as ex:
@@ -360,12 +375,22 @@ def run_cdc_stream(
                 )
         if n_buckets is None:
             updated = cdc_apply_batch(current, changes, keys)
-            # materialize before overwrite: the plan reads the same
-            # files it replaces, so stage through a local collect-free
-            # checkpoint
-            updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-                table_dir
-            )
+            # stage-then-swap, never overwrite in place: an in-place
+            # mode('overwrite') deletes the live image before the job
+            # commits, so a crash mid-write left table_dir empty and
+            # the next restart's PATH_NOT_FOUND branch silently
+            # reseeded from nothing — the whole history gone (r8).
+            # Writing to .tmp also means the plan never reads the
+            # files it replaces, so no localCheckpoint staging needed.
+            tmp = table_dir.rstrip("/") + ".tmp"
+            updated.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(old):
+                shutil.rmtree(old)  # relic of a completed prior swap
+            if os.path.exists(table_dir):
+                shutil.move(table_dir, old)
+            shutil.move(tmp, table_dir)
+            if os.path.exists(old):
+                shutil.rmtree(old)
             return
         # partition-scoped apply: the change keys determine the touched
         # buckets; the collect is bounded by n_buckets (a config-sized
@@ -576,6 +601,12 @@ def split_envelope_quarantine(
         "mode": "PERMISSIVE",
         "columnNameOfCorruptRecord": "_corrupt_record",
     }
+    # Kafka tombstones (NULL value) are routine compaction protocol,
+    # not corrupt frames (sources/kafka.py documents the contract) —
+    # they carry no envelope and no new upsert information, so they are
+    # excluded from BOTH sides instead of flooding the dead-letter
+    # table as 'unparseable_envelope' on every compacted delete
+    raw = raw.filter(F.col("value").isNotNull())
     env = F.from_json(F.col("value").cast("string"), env_schema, corrupt_opts)
     parsed = raw.select(
         F.col("value"),
@@ -599,7 +630,12 @@ def split_envelope_quarantine(
         .when(F.col("ts_ms").isNull(), "missing_ts")
         .when((F.col("op") != "d") & F.col("after").isNull(), "missing_after")
         .when(
-            (F.col("op") != "d") & F.col("after._corrupt_record").isNotNull(),
+            # checked for EVERY op, not just op != 'd': a delete whose
+            # (normally absent) after string is corrupt JSON parses to
+            # a non-null struct-of-nulls that coalesce(after, before)
+            # PREFERS over the valid before — the delete would target
+            # key NULL and silently drop (r8)
+            F.col("after._corrupt_record").isNotNull(),
             "corrupt_after",
         )
         .when((F.col("op") == "d") & F.col("before").isNull(), "missing_before")
@@ -634,12 +670,33 @@ def cdc_apply_batch(
     Pure DataFrame logic so it is unit-testable without Kafka and
     becomes a Delta MERGE verbatim when a transactional table format is
     available.
+
+    ``ts_ms`` is millisecond-resolution, so two changes to one key in
+    the same ms are routine; ``row_number`` over ts_ms alone would pick
+    an ARBITRARY winner that can flip on a crash-replayed batch,
+    breaking idempotent replay.  Ties break deterministically: op
+    lifecycle rank (d > u > c > r — a same-ms delete most plausibly
+    follows the upsert it tombstones; snapshot reads come first), then
+    a content hash as the total-order fallback.  A real Debezium feed
+    carries ``source.pos``/``lsn`` for true ordering; this minimal
+    envelope omits it, so the tie-break is deterministic-by-convention
+    rather than log-accurate.
     """
     from pyspark.sql import Window
 
+    op_rank = (
+        F.when(F.col("op") == "d", 3)
+        .when(F.col("op") == "u", 2)
+        .when(F.col("op") == "c", 1)
+        .otherwise(0)
+    )
     w = Window.partitionBy(
         *[F.col(f"img.{k}") for k in keys]
-    ).orderBy(F.col("ts_ms").desc())
+    ).orderBy(
+        F.col("ts_ms").desc(),
+        op_rank.desc(),
+        F.xxhash64(F.to_json(F.col("img"))).desc(),
+    )
     latest = (
         changes.withColumn("img", F.coalesce("after", "before"))
         .withColumn("__rn", F.row_number().over(w))
