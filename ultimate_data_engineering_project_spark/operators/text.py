@@ -84,15 +84,25 @@ def quality_score_col(text_col: str = "text") -> Column:
     single source of truth for the scoring formula, shared by the
     quality_score frame, the docs_quality_scores catalog entry, and the
     one-pass curation pipeline (plans.llm_queries)."""
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("long")
-    n_dist = F.size(F.array_distinct(toks)).cast("long")
-    return F.round(
-        F.least(n_tok.cast("double") / 32.0, F.lit(1.0)) * 0.4
-        + (1.0 - n_stop.cast("double") / n_tok) * 0.2
-        + (n_dist.cast("double") / n_tok) * 0.4,
-        6,
+    # the tokens array is a LAMBDA VARIABLE (the _repetition_struct
+    # binding discipline): the score references it five times, and an
+    # interpreted Filter consuming this column would otherwise re-split
+    # the text per reference — ~5x the gate's per-row tokenize cost
+    def _score(ts: Column) -> Column:
+        n_tok = F.size(ts).cast("long")
+        n_stop = F.size(F.filter(ts, lambda w: w.isin(*STOPWORDS))).cast(
+            "long"
+        )
+        n_dist = F.size(F.array_distinct(ts)).cast("long")
+        return F.round(
+            F.least(n_tok.cast("double") / 32.0, F.lit(1.0)) * 0.4
+            + (1.0 - n_stop.cast("double") / n_tok) * 0.2
+            + (n_dist.cast("double") / n_tok) * 0.4,
+            6,
+        )
+
+    return F.element_at(
+        F.transform(F.array(tokens(F.col(text_col))), _score), 1
     )
 
 

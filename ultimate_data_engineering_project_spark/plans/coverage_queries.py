@@ -310,21 +310,27 @@ def correlated_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataF
     so SUM over doubles is exact in any order; the division,
     0.2-scaling, and comparison are single IEEE ops identical on both
     engines.  Revenue accumulates in DECIMAL (dsum)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # parameterized spark.sql (the grouping_sets_volume pattern), NOT
+    # createOrReplaceTempView: session-global view names race when two
+    # threads evaluate the catalog against different sf_dirs in one
+    # SparkSession — silent wrong-scale results, no error
     return spark.sql(
         """
         SELECT p.p_brand,
                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,10))) AS DOUBLE)
                    / 7.0 AS avg_yearly,
                COUNT(*) AS n_small
-        FROM q17_lineitem l
-        JOIN q17_part p ON p.p_partkey = l.l_partkey
+        FROM {li} l
+        JOIN {part} p ON p.p_partkey = l.l_partkey
         WHERE l.l_quantity < (
             SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
-            FROM q17_lineitem l2
+            FROM {li} l2
             WHERE l2.l_partkey = l.l_partkey
         )
         GROUP BY p.p_brand
-        """
+        """,
+        li=li,
+        part=part,
     )

@@ -452,8 +452,16 @@ def _clamped_ledger_oracle() -> str:
     # row n joins row n-1 per account — the SQL spelling of the
     # applyInPandas fold (both sides accumulate in DOUBLE, so the IEEE
     # op sequence is identical).
+    # the RECURSIVE modifier must lead the whole WITH chain.  Guard the
+    # textual patch: if _LEGS_SQL's leading clause is ever reformatted
+    # the replace would silently no-op and the oracle's self-referencing
+    # `rec` CTE would fail at parity time, far from the edit site.
+    if "WITH t AS" not in _LEGS_SQL:
+        raise ValueError(
+            "fakestream_queries._LEGS_SQL no longer starts with 'WITH t "
+            "AS' — update _clamped_ledger_oracle's RECURSIVE patch"
+        )
     return (
-        # the RECURSIVE modifier must lead the whole WITH chain
         _LEGS_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
         + """
     , ordered AS (

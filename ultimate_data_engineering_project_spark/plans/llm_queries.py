@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ultimate_data_engineering_project_spark.functions.scalar import dsum_sql
 from ultimate_data_engineering_project_spark.operators import dedup, similarity, text
 from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
@@ -479,8 +478,6 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes ONE hashpartitioning(shingle) exchange that both
     # self-join sides reuse, instead of re-shuffling (and re-computing
     # the shingle pipeline for) each side: ~1.7x at sf0.1.
-    from pyspark.sql import Window
-
     df_w = Window.partitionBy("shingle")
     sh_indexed = (
         sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
@@ -636,10 +633,16 @@ def incremental_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  md5-portable, so DuckDB reproduces the exact candidate set
     and verified pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    mx = docs.agg(F.max("doc_id")).collect()[0][0]  # one-row scalar
-    k = int(0.8 * (mx + 1))
-    old = docs.filter(F.col("doc_id") < k)
-    new = docs.filter(F.col("doc_id") >= k)
+    # split point as a one-row broadcast, not a driver collect: building
+    # this DataFrame must stay lazy (a collect here would run a full
+    # documents scan at plan-construction time for every dump_plans /
+    # bench warm-up, and TypeError on an empty table)
+    kdf = docs.agg(
+        F.floor(F.lit(0.8) * (F.max("doc_id") + F.lit(1))).alias("__k")
+    )
+    tagged = docs.join(F.broadcast(kdf))
+    old = tagged.filter(F.col("doc_id") < F.col("__k")).drop("__k")
+    new = tagged.filter(F.col("doc_id") >= F.col("__k")).drop("__k")
     index = dedup.minhash_band_index_md5(old, "doc_id")
     return dedup.minhash_match_index_md5(
         new, index, old, "doc_id", jaccard_threshold=0.5
