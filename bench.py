@@ -4,8 +4,13 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced to full execution with a count-style noop action
-(write to nowhere would skew I/O; collect would skew driver transfer).
+Each query is forced to full execution with the built-in ``noop``
+batch sink: every output column is computed and materialized, none is
+written (collect would skew driver transfer).  A ``count()`` force —
+used through r07 — is WRONG for projection-only queries: Catalyst
+prunes all unreferenced expression work under a count, down to a
+zero-column parquet scan answered from row-group footers, so the
+"time" was a metadata read.
 """
 
 from __future__ import annotations
@@ -103,14 +108,19 @@ def main() -> None:
         for _ in range(N_RUNS):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        n = fn(spark, sf_dir).count()  # untimed sanity row count
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None  # non-sf<N> fixture dir: report null, never crash
+        # after the whole benchmark has already run
 
     # Host-speed canary: fixed single-process numpy workload (seeded,
     # identical every run/round).  The bench hosts differ round to
@@ -133,7 +143,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
                 # methodology, so round-over-round compares like-for-like:
                 # r01-r03 used best-of-2; r04+ uses best-of-3 AND adds
                 # dedup_clusters / docs_pii_redaction /
@@ -154,7 +164,13 @@ def main() -> None:
                     "timeseries_similar_users (blocked path from r05); "
                     "r06 adds 6 queries (range join, repetition gates, "
                     "cluster representatives, PQ ANN, incremental dedup, "
-                    "curation flagship); totals not comparable to earlier "
+                    "curation flagship); r08 forces execution via the "
+                    "noop sink instead of count() — count() let Catalyst "
+                    "prune ALL expression work from projection-only "
+                    "entries (docs_pii_redaction, docs_repetition_stats, "
+                    "docs_quality_scores, ... timed a zero-column "
+                    "metadata scan through r07), so per-query times rise "
+                    "honestly vs r07; totals not comparable to earlier "
                     "rounds, compare per-query normalized by "
                     "host_canary_sec"
                 ),

@@ -8,8 +8,11 @@ sf0.1 with a pure, seed-free construction (same bytes every run):
 each fact table is unioned as N_COPIES key-shifted copies via a
 crossJoin with spark.range(N_COPIES) — one scan, no shuffle, 10x rows.
 
-Semantics per table (copy 0 is ALWAYS the verbatim sf0.1 rows, so
-sf0.1 is a strict subset of sf1):
+Semantics per table (copy 0 carries the verbatim sf0.1 VALUES; keys are
+row-subset-preserving for the block-shifted tables — copy 0 keeps its
+original keys — but documents/embeddings INTERLEAVE ids, doc_id ->
+doc_id*N_COPIES, so for those two tables sf0.1 rows are present with
+REMAPPED ids, not a strict id-level subset):
   * region/nation/supplier/part: verbatim (fixed dimensions — the star
     join's broadcast sides should NOT grow; TPC-H scales some of these,
     but the 12 swept entries never join them on the scaled side).

@@ -38,7 +38,11 @@ _INSERT_RE = re.compile(r"^INSERT INTO (\w+) VALUES \((.*)\);\s*$")
 
 def split_values(s: str) -> list[str]:
     """Split a Postgres VALUES tuple body on top-level commas.
-    Single-quoted strings use '' as the escape for a literal quote."""
+    Single-quoted strings use '' as the escape for a literal quote.
+    Quoted content is bracketed by \\x00 markers on BOTH ends (NULL vs
+    'NULL', and so the token-level .strip() — which must eat whitespace
+    around unquoted literals — can never reach whitespace that is part
+    of the quoted value itself: 'Owner ' keeps its trailing space)."""
     out, buf, i, in_str = [], [], 0, False
     while i < len(s):
         c = s[i]
@@ -49,6 +53,7 @@ def split_values(s: str) -> list[str]:
                     i += 2
                     continue
                 in_str = False
+                buf.append("\x00")  # close marker: protects edge spaces
             else:
                 buf.append(c)
         else:
@@ -72,6 +77,8 @@ def convert(raw: str, dtype) -> object:
     quoted = raw.startswith("\x00")
     if quoted:
         raw = raw[1:]
+        if raw.endswith("\x00"):
+            raw = raw[:-1]  # close marker (see split_values)
     elif raw.upper() == "NULL":
         return None
     if isinstance(dtype, (T.IntegerType, T.ShortType, T.LongType)):

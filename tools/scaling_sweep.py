@@ -50,12 +50,18 @@ def main(sf1_dir: str) -> None:
     rows_at: dict[str, dict[str, int]] = {}
     for label, d in dirs:
         for name in ENTRIES:
-            best, n = None, 0
+            best = None
             for _ in range(N_RUNS):
                 t0 = time.time()
-                n = qs[name](spark, d).count()
+                # noop sink, not count(): count() lets Catalyst prune
+                # every unreferenced expression from projection-only
+                # plans (see bench.py) — the sweep must time real work
+                qs[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+            n = qs[name](spark, d).count()  # untimed row count
             results.setdefault(name, {})[label] = round(best, 3)
             rows_at.setdefault(name, {})[label] = n
             print(f"{label} {name}: {best:.3f}s {n} rows", file=sys.stderr)

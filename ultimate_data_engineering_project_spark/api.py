@@ -33,42 +33,67 @@ _WRITE_TOKENS = frozenset(
     {"INSERT", "OVERWRITE", "UPDATE", "DELETE", "MERGE", "TRUNCATE"}
 )
 
-_STRIP_RE = None  # compiled lazily (module import stays regex-free)
+_STRIP_RES: tuple | None = None  # compiled lazily (module import stays regex-free)
 
 
-def _strip_literals(sql: str) -> str:
-    """Remove string literals ('…' with '' escapes, "…"), backtick
-    identifiers, and -- / block comments, so keyword scanning cannot be
-    fooled (or false-positived) by quoted content."""
+def _strip_literals(sql: str) -> tuple[str, str]:
+    """Remove string literals, backtick identifiers, and -- / block
+    comments, so keyword scanning cannot be fooled (or false-positived)
+    by quoted content.  Literal extents depend on the session's
+    ``spark.sql.parser.escapedStringLiterals`` conf: under the default
+    (false) ``'\\''`` is one escaped quote INSIDE a literal, under true
+    it is a complete literal followed by a bare quote.  A stripper built
+    for only one mode mis-scopes literals under the other, swallowing
+    real keywords (a ``WITH … '\\'' … INSERT`` smuggles DML past a
+    non-escape-aware scan).  Returns BOTH interpretations; the guard
+    requires both to pass — fails closed whichever mode the session is
+    in."""
     import re
 
-    global _STRIP_RE
-    if _STRIP_RE is None:
-        _STRIP_RE = re.compile(
-            r"'(?:[^']|'')*'"      # single-quoted string, '' escape
-            r"|\"(?:[^\"])*\""     # double-quoted string
+    global _STRIP_RES
+    if _STRIP_RES is None:
+        common = (
             r"|`(?:[^`])*`"        # backtick identifier
             r"|--[^\n]*"           # line comment
-            r"|/\*.*?\*/",         # block comment
-            re.DOTALL,
+            r"|/\*.*?\*/"          # block comment
         )
-    return _STRIP_RE.sub(" ", sql)
+        _STRIP_RES = (
+            re.compile(  # escapedStringLiterals=true: backslash is literal
+                r"'(?:[^']|'')*'"          # single-quoted, '' escape
+                r"|\"(?:[^\"])*\""         # double-quoted
+                + common,
+                re.DOTALL,
+            ),
+            re.compile(  # default mode: backslash escapes inside literals
+                r"'(?:[^'\\]|\\.|'')*'"    # single-quoted, \x and '' escapes
+                r"|\"(?:[^\"\\]|\\.)*\""   # double-quoted, \x escapes
+                + common,
+                re.DOTALL,
+            ),
+        )
+    return tuple(p.sub(" ", sql) for p in _STRIP_RES)
 
 
 def is_read_only_sql(sql: str) -> bool:
     """Read-statement guard (S15 — the reference's sqlparse check,
     PostgreSQL/test.py:31-44): the first token must be a read prefix
     AND no DML keyword may appear anywhere outside strings/comments
-    (closing the ``WITH … INSERT OVERWRITE DIRECTORY`` bypass).  Fails
-    CLOSED: a column literally named ``insert`` must be backticked."""
+    (closing the ``WITH … INSERT OVERWRITE DIRECTORY`` bypass), under
+    BOTH string-escape interpretations (see _strip_literals).  Fails
+    CLOSED: a column literally named ``insert`` must be backticked.
+    Leading ``(`` is skipped before the prefix check so parenthesized
+    reads — ``(SELECT 1) UNION (SELECT 2)`` — pass."""
     import re
 
-    cleaned = _strip_literals(sql).lstrip()
-    first = cleaned.split(None, 1)[0].upper() if cleaned else ""
-    if first not in _READ_PREFIXES:
-        return False
-    tokens = {t.upper() for t in re.findall(r"[A-Za-z_]+", cleaned)}
-    return not (tokens & _WRITE_TOKENS)
+    for cleaned in _strip_literals(sql):
+        head = cleaned.lstrip(" \t\r\n;(")
+        first = head.split(None, 1)[0].upper() if head else ""
+        if first not in _READ_PREFIXES:
+            return False
+        tokens = {t.upper() for t in re.findall(r"[A-Za-z_]+", cleaned)}
+        if tokens & _WRITE_TOKENS:
+            return False
+    return True
 
 
 @dataclass

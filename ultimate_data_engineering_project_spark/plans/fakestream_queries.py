@@ -78,7 +78,7 @@ _LEGS_SQL = f"""
       CAST((SELECT count_if(status <> 'active') FROM read_parquet('{_ACCT}')) AS BIGINT) AS n_inactive,
       CAST((SELECT COUNT(*) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_transactions,
       CAST((SELECT count_if((transaction_type = 'Withdrawal' AND amount >= 10000) OR amount >= 100000) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_impossible_amount,
-      CAST((SELECT count_if(transaction_date < created_at - INTERVAL 5 DAY) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_late_arriving,
+      CAST((SELECT count_if(transaction_date <= created_at - INTERVAL 5 DAY) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_late_arriving,
       CAST((SELECT count_if(transaction_date > created_at) FROM read_parquet('{_TRX}')) AS BIGINT) AS n_future_dated,
       CAST((SELECT count_if(status = 'pending') FROM read_parquet('{_TRX}')) AS BIGINT) AS n_pending,
       CAST((SELECT count_if(status = 'failed') FROM read_parquet('{_TRX}')) AS BIGINT) AS n_failed,
@@ -754,7 +754,7 @@ def fakestream_balance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.amount AS DOUBLE) AS amount, t.currency,
            t.transaction_date, t.description, t.related_account_id,
            t.status, t.created_at, t.updated_at,
-           t.transaction_date < t.created_at - INTERVAL 5 DAY AS dq_late,
+           t.transaction_date <= t.created_at - INTERVAL 5 DAY AS dq_late,
            t.transaction_date > t.created_at AS dq_future,
            ((t.transaction_type = 'Withdrawal' AND t.amount >= 10000)
             OR t.amount >= 100000) AS dq_impossible_amount,

@@ -62,7 +62,11 @@ def impossible_amount() -> Column:
 
 
 def late_arriving(days: int = 5) -> Column:
-    return F.col("transaction_date") < F.col("created_at") - F.expr(
+    # <= not <: the injected defect class draws integer day offsets
+    # randint(5, 30) (reference polished_transactions.py:381; our
+    # generator mirrors the inclusive lower bound), so the 5-days-exact
+    # boundary rows are in-class and a strict < misses ~1/25 of them
+    return F.col("transaction_date") <= F.col("created_at") - F.expr(
         f"INTERVAL {days} DAYS"
     )
 
