@@ -48,6 +48,28 @@ def test_guard_rejects_with_wrapped_dml():
     assert is_read_only_sql("SELECT `insert` FROM t")
 
 
+def test_guard_backslash_escape_bypass_blocked():
+    """Under Spark's default escapedStringLiterals=false, ``'\\''`` is
+    ONE escaped quote inside a literal — a stripper unaware of
+    backslash escapes ends the literal at ``\\'`` and swallows the
+    following DML as string content.  Live-Spark verified: the payload
+    below parses as InsertIntoStatement (r8).  The guard must scan
+    under both escape interpretations and fail closed."""
+    attack = r"WITH a AS (SELECT '\'' AS c) INSERT INTO tbl SELECT 'x' FROM a"
+    assert not is_read_only_sql(attack)
+    # the mirror hazard: a stripper aware ONLY of backslash escapes
+    # mis-scopes literals when escapedStringLiterals=true ('' stays the
+    # sole escape there); both modes must agree the statement is a read
+    assert is_read_only_sql(r"SELECT '\'' AS quote_char")
+    assert is_read_only_sql("SELECT 'it''s fine' AS s")
+
+
+def test_guard_accepts_parenthesized_reads():
+    assert is_read_only_sql("(SELECT 1) UNION (SELECT 2)")
+    assert is_read_only_sql("  ((SELECT 1))")
+    assert not is_read_only_sql("(INSERT INTO t VALUES (1))")
+
+
 def test_sql_runs_and_guards(engine):
     df = engine.sql("SELECT COUNT(*) AS n FROM orders")
     assert df.first()["n"] > 0

@@ -60,6 +60,19 @@ def test_account_transaction_defect_rates(tables):
     assert 0.005 < _rate(trep["n_impossible_amount"], N_TRX) < 0.025
     assert 0.03 < _rate(trep["n_late_arriving"], N_TRX) < 0.07
     assert 0.003 < _rate(trep["n_future_dated"], N_TRX) < 0.03
+    # boundary of the injected class: offsets are randint-style {5..29}
+    # days INCLUSIVE of 5 (reference polished_transactions.py:381), so
+    # exactly-5-days-late rows must be flagged — a strict < misses them
+    trx = tables["transactions"]
+    at_boundary = trx.filter(
+        F.col("transaction_date")
+        == F.col("created_at") - F.expr("INTERVAL 5 DAYS")
+    )
+    n_boundary = at_boundary.count()
+    assert n_boundary > 0  # the class's lower edge exists in the sample
+    assert (
+        at_boundary.filter(quality.late_arriving()).count() == n_boundary
+    )
     inact = quality.inactive_account_transactions(
         tables["transactions"], tables["accounts"]
     ).count()

@@ -98,6 +98,26 @@ def test_northwind_fixtures_frozen(spark):
 
 # --- northwind registry ------------------------------------------------
 
+def test_northwind_split_values_preserves_quoted_whitespace():
+    """The dump loader's token .strip() must eat whitespace only around
+    UNQUOTED literals — quoted content keeps its edge spaces bit-exact
+    (r8: close-marker fix; a value like 'Owner ' was silently trimmed
+    before, corrupting the frozen fixture undetectably)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import pyspark.sql.types as T
+    from load_northwind import convert, split_values
+
+    vals = split_values("1, 'abc  ', NULL, 'Owner ' , '  lead', 'a''b'")
+    assert convert(vals[0], T.IntegerType()) == 1
+    assert convert(vals[1], T.StringType()) == "abc  "
+    assert convert(vals[2], T.StringType()) is None
+    assert convert(vals[3], T.StringType()) == "Owner "
+    assert convert(vals[4], T.StringType()) == "  lead"
+    assert convert(vals[5], T.StringType()) == "a'b"
+
+
 def test_northwind_registry_complete():
     assert len(schemas.NORTHWIND_SCHEMAS) == 14
     assert set(schemas.NORTHWIND_COMPOSITE_KEYS) <= set(schemas.NORTHWIND_SCHEMAS)
