@@ -633,16 +633,15 @@ def incremental_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  md5-portable, so DuckDB reproduces the exact candidate set
     and verified pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    # split point as a one-row broadcast, not a driver collect: building
-    # this DataFrame must stay lazy (a collect here would run a full
-    # documents scan at plan-construction time for every dump_plans /
-    # bench warm-up, and TypeError on an empty table)
-    kdf = docs.agg(
-        F.floor(F.lit(0.8) * (F.max("doc_id") + F.lit(1))).alias("__k")
-    )
-    tagged = docs.join(F.broadcast(kdf))
-    old = tagged.filter(F.col("doc_id") < F.col("__k")).drop("__k")
-    new = tagged.filter(F.col("doc_id") >= F.col("__k")).drop("__k")
+    # DOCUMENTED BOUNDED COLLECT: one row (max over parquet column
+    # statistics), fetched once to make the split point a Python
+    # literal — so BOTH branch filters push into the parquet scan
+    # (PushedFilters: doc_id < k / >= k), which a runtime scalar join
+    # cannot do.  Empty table -> empty split, no TypeError.
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]  # one-row scalar
+    k = int(0.8 * (mx + 1)) if mx is not None else 0
+    old = docs.filter(F.col("doc_id") < k)
+    new = docs.filter(F.col("doc_id") >= k)
     index = dedup.minhash_band_index_md5(old, "doc_id")
     return dedup.minhash_match_index_md5(
         new, index, old, "doc_id", jaccard_threshold=0.5
