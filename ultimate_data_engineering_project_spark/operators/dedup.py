@@ -240,27 +240,39 @@ def _spread_width(df: DataFrame) -> int:
     probing .rdd.getNumPartitions() instead would finalize the AQE plan
     and EXECUTE upstream exchange stages when the caller passes a
     derived frame (join/agg output), running that pipeline twice."""
+    n_conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_splits = _estimate_splits(df)
+    if n_splits is None:
+        return n_conf
+    return min(n_conf, max(8, 4 * n_splits))
+
+
+def _estimate_splits(df: DataFrame) -> int | None:
+    """Estimated scan split count from the frame's input files (file
+    count, or bytes/maxPartitionBytes for large splittable files) —
+    metadata-only, never finalizes the AQE plan.  None when the source
+    has no file listing, a remote scheme, or the listing raced a
+    rewrite (callers fall back to conf width / no spread)."""
     import os
     import re
     from urllib.parse import urlsplit
 
     spark = df.sparkSession
-    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
         files = df.inputFiles()
     except Exception:  # pragma: no cover - sources without file listing
-        return n_conf
+        return None
     if not files:
-        return n_conf
+        return None
     total = 0
     for f in files:
         u = urlsplit(f)
         if u.scheme.lower() not in ("", "file"):
-            return n_conf
+            return None
         try:
             total += os.path.getsize(u.path or f)
         except OSError:  # pragma: no cover - listing raced a rewrite
-            return n_conf
+            return None
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw.strip().lower())
     if m:
@@ -268,8 +280,7 @@ def _spread_width(df: DataFrame) -> int:
         max_split = int(m.group(1)) * mult[m.group(2)]
     else:  # pragma: no cover - unexpected conf format
         max_split = 128 * 1024 * 1024
-    n_splits = max(len(files), -(-total // max_split))
-    return min(n_conf, max(8, 4 * n_splits))
+    return max(len(files), -(-total // max_split))
 
 
 def minhash_lsh_pairs(

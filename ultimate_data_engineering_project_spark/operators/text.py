@@ -58,6 +58,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     token length, stopword ratio, distinct-token ratio.  The standard
     cheap pre-LLM quality gates (length/stopword/repetition heuristics).
     """
+    # no _spread_narrow_scan here: measured at sf0.1, the single-level
+    # tokenize is cheaper than shuffling the text bytes (0.19s unspread
+    # vs 0.24s spread) — only the k-gram fold (repetition_stats) pays
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_chars = F.length(F.col(text_col))
@@ -106,6 +109,26 @@ def quality_score_col(text_col: str = "text") -> Column:
     )
 
 
+def _spread_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin spread before heavy per-row text folds, ONLY when
+    the scan is under-split — a local fixture landing as one parquet
+    file would otherwise run the whole tokenize/k-gram pipeline on one
+    core.  At cluster scale a 100 TB input is thousands of splits, the
+    skip condition holds, and this is a no-op: NO shuffle is added to
+    the well-split path (unlike dedup's unconditional spread, whose
+    per-row minhash kernel dominates any exchange cost)."""
+    from ultimate_data_engineering_project_spark.operators.dedup import (
+        _estimate_splits,
+        _spread_width,
+    )
+
+    n_splits = _estimate_splits(df)
+    if n_splits is None:
+        return df
+    width = _spread_width(df)
+    return df.repartition(width) if width > n_splits else df
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scalar quality score in [0,1]: penalize ultra-short docs, pure
     stopword soup, and heavy repetition.  Deterministic arithmetic only.
@@ -120,7 +143,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token-voting language ID: count hits from each language's
     closed-class word list, argmax with deterministic tie-break on
-    language code.  Pure expressions -> codegen; no UDF."""
+    language code.  Pure expressions -> codegen; no UDF (and no
+    _spread_narrow_scan: measured a wash at sf0.1 — marker filters are
+    single-level, the shuffle buys nothing)."""
     t = tokens(F.col(text_col))
 
     # factory closure, not default-arg lambda — PySpark treats a
@@ -261,11 +286,15 @@ def repetition_stats(
     (0.18 / 0.30).  Boilerplate, keyboard-mash, and template spam score
     high on these even when token-level distinct_ratio looks healthy.
 
-    Pure column expressions, zero shuffle, embarrassingly parallel at
-    100 TB; per-document arrays are bounded by document length, not
-    corpus size.  See _repetition_struct for the binding discipline
-    that keeps the fold O(len) even inside interpreted Filters.
+    Pure column expressions, zero KEY shuffles, embarrassingly parallel
+    at 100 TB (the only possible exchange is _spread_narrow_scan's
+    round-robin spread, taken only when a local few-file scan would
+    serialize the fold); per-document arrays are bounded by document
+    length, not corpus size.  See _repetition_struct for the binding
+    discipline that keeps the fold O(len) even inside interpreted
+    Filters.
     """
+    df = _spread_narrow_scan(df)
     return df.select(
         id_col,
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
