@@ -111,22 +111,25 @@ def quality_score_col(text_col: str = "text") -> Column:
 
 def _spread_narrow_scan(df: DataFrame) -> DataFrame:
     """Round-robin spread before heavy per-row text folds, ONLY when
-    the scan is under-split — a local fixture landing as one parquet
-    file would otherwise run the whole tokenize/k-gram pipeline on one
-    core.  At cluster scale a 100 TB input is thousands of splits, the
-    skip condition holds, and this is a no-op: NO shuffle is added to
-    the well-split path (unlike dedup's unconditional spread, whose
-    per-row minhash kernel dominates any exchange cost)."""
+    the scan is GENUINELY under-split (widening >= 4x) — a local
+    fixture landing as one parquet file would otherwise run the whole
+    tokenize/k-gram pipeline on one core.  A merely-sub-conf split
+    count (say 64 splits under shuffle.partitions=200) does NOT
+    trigger: shuffling every text byte for <4x widening is the net
+    loss the quality_features comment measured.  At cluster scale a
+    100 TB input is thousands of splits and this is a no-op — no
+    exchange (unlike dedup's unconditional spread, whose per-row
+    minhash kernel dominates any exchange cost)."""
     from ultimate_data_engineering_project_spark.operators.dedup import (
         _estimate_splits,
-        _spread_width,
     )
 
-    n_splits = _estimate_splits(df)
+    n_splits = _estimate_splits(df)  # one listing: width shares it
     if n_splits is None:
         return df
-    width = _spread_width(df)
-    return df.repartition(width) if width > n_splits else df
+    n_conf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    width = min(n_conf, max(8, 4 * n_splits))  # _spread_width's formula
+    return df.repartition(width) if width >= 4 * n_splits else df
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
