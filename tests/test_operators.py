@@ -1030,6 +1030,35 @@ def test_bin_range_join_matches_naive_and_boundaries(spark):
         )
 
 
+def test_spread_narrow_scan_fire_and_skip(spark, tmp_path):
+    """The text-fold spread repartitions ONLY for genuinely under-split
+    scans (widening >= 4x): a 1-file corpus fires (one round-robin
+    exchange), a many-file corpus whose split count is merely below
+    shuffle.partitions must NOT pay a text-byte shuffle (r8 review:
+    the earlier width > n_splits rule shuffled 64-split inputs under
+    conf=200 for 3x widening — a measured net loss)."""
+    from ultimate_data_engineering_project_spark.operators.text import (
+        _spread_narrow_scan,
+    )
+
+    def n_roundrobin(df):
+        p = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return p.count("RoundRobinPartitioning")
+
+    base = spark.range(200).selectExpr("id", "repeat('w ', 5) AS text")
+    one = str(tmp_path / "one.parquet")
+    base.coalesce(1).write.parquet(one)
+    assert n_roundrobin(_spread_narrow_scan(spark.read.parquet(one))) == 1
+
+    many = str(tmp_path / "many.parquet")
+    base.repartition(16).write.parquet(many)
+    # 16 files < shuffle.partitions (32) but widening would be only
+    # 2x (width=min(32, 64)=32): the spread must skip
+    assert n_roundrobin(_spread_narrow_scan(spark.read.parquet(many))) == 0
+
+
 def test_repetition_stats_edges(spark):
     """Repetition gates on corner docs: empty-ish, single-token,
     all-same-token, and a known mixed case — fractions computed by
