@@ -1,0 +1,161 @@
+"""Clustering-family semantics (operators/clustering.py): k-means
+assignment / Lloyd refinement / SemDeDup checked against an in-memory
+numpy reference on sf0.001, plus the physical-plan properties that
+carry the 100 TB story (map-only assignment, cluster-keyed equi-join
+for pair generation).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ultimate_data_engineering_project_spark.operators import clustering
+from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+K = 8
+
+
+def _numpy_corpus(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    # mirror the engine quantization: round-half-up on the double value
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * 1_000_000.0 + 0.5).astype(np.int64)
+    return ids, X, Q
+
+
+def _np_assign(Q, cents):
+    d2 = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1), d2.min(axis=1)
+
+
+def test_assign_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.init_centroids(emb, K)
+    got = {
+        r["id"]: (r["cluster_id"], r["dist2"])
+        for r in clustering.assign_clusters(emb, cents).collect()
+    }
+    ids, _, Q = _numpy_corpus(spark, sf_dir)
+    want_c, want_d = _np_assign(Q, np.array(cents, dtype=np.int64))
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == (int(want_c[i]), int(want_d[i])), vid
+
+
+def test_init_centroids_are_quantized_lowest_ids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.init_centroids(emb, K)
+    ids, _, Q = _numpy_corpus(spark, sf_dir)
+    order = np.argsort(ids)
+    for c in range(K):
+        assert cents[c] == list(Q[order[c]]), c
+
+
+def test_lloyd_refine_matches_numpy(spark, sf_dir):
+    """Full iteration parity: integer round-half-up means, empty
+    clusters keep the previous centroid, then exact reassignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r["id"]: (r["cluster_id"], r["dist2"])
+        for r in clustering.kmeans_refine(emb, K, n_iters=1).collect()
+    }
+    ids, _, Q = _numpy_corpus(spark, sf_dir)
+    cents = np.array(clustering.init_centroids(emb, K), dtype=np.int64)
+    a0, _ = _np_assign(Q, cents)
+    new = cents.copy()
+    for c in range(K):
+        members = Q[a0 == c]
+        if len(members):
+            s = members.sum(axis=0)
+            n = len(members)
+            new[c] = np.floor_divide(2 * s + n, 2 * n)  # floor((2s+n)/2n)
+    a1, d1 = _np_assign(Q, new)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == (int(a1[i]), int(d1[i])), vid
+
+
+def test_lloyd_empty_cluster_keeps_fallback(spark):
+    """A centroid that attracts no members survives the update
+    unchanged (standard Lloyd convention) instead of vanishing."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [1.2, 1.0]),
+        (3, [0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # explicit centroids (quantized domain): centroid 1 sits far from
+    # every vector, so it attracts no members
+    cents = [[0, 0], [100_000_000, 100_000_000], [1_000_000, 1_000_000]]
+    assigned = clustering.assign_clusters(df, cents)
+    step = clustering.lloyd_step(assigned)
+    updated = clustering.collect_centroids(step, cents)
+    present = {r["cluster_id"] for r in step.collect()}
+    assert 1 not in present  # no members landed on the far centroid
+    assert updated[1] == cents[1]  # ...so its centroid is unchanged
+    assert len(updated) == 3
+
+
+def test_semantic_dedup_is_within_cluster_cosine(spark, sf_dir):
+    """Every emitted pair is same-cluster with cosine >= threshold, and
+    every same-cluster pair above threshold is emitted (completeness
+    within the cluster blocking — what SemDeDup guarantees)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    thr = 0.30
+    got = {
+        (r["a_id"], r["b_id"]): (r["cluster_id"], r["cosine_sim"])
+        for r in clustering.semantic_dedup_pairs(emb, K, threshold=thr).collect()
+    }
+    ids, X, Q = _numpy_corpus(spark, sf_dir)
+    cents = np.array(clustering.init_centroids(emb, K), dtype=np.int64)
+    a, _ = _np_assign(Q, cents)
+    cluster_of = {int(v): int(c) for v, c in zip(ids, a)}
+    norms = np.sqrt((X * X).sum(axis=1))
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cluster_of[int(ids[i])] != cluster_of[int(ids[j])]:
+                continue
+            cos = round(float(X[i] @ X[j] / (norms[i] * norms[j])), 6)
+            if cos >= thr:
+                want[(int(ids[i]), int(ids[j]))] = cluster_of[int(ids[i])]
+    assert set(got) == set(want)
+    for pair, cid in want.items():
+        assert got[pair][0] == cid
+        assert got[pair][1] >= thr
+
+
+def test_assignment_plan_is_map_only(spark, sf_dir):
+    """The 100 TB property: cluster assignment is scan -> project —
+    no Exchange, no Join anywhere in the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.init_centroids(emb, K)
+    plan = (
+        clustering.assign_clusters(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_semantic_dedup_plan_is_cluster_keyed_equi_join(spark, sf_dir):
+    """Pair generation must be an equi-join on cluster_id — never a
+    cartesian/nested-loop over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        clustering.semantic_dedup_pairs(emb, K, threshold=0.30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "cluster_id" in plan, plan

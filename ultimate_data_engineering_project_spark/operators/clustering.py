@@ -1,0 +1,257 @@
+"""Embedding clustering (SURVEY.md §2.10 X2/X3 adjacency; driver
+contract "training-data pipeline" family): k-means assignment, a Lloyd
+refinement step, and SemDeDup-style within-cluster semantic dedup.
+
+Why this exists: at 100 TB the two clustering consumers are
+  * corpus bucketing — assign every document's embedding to a coarse
+    cluster so downstream work (semantic dedup, mixture sampling,
+    topic quotas) runs per-cluster instead of globally; and
+  * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — near-duplicate
+    SEMANTIC pairs are found within clusters only, turning an O(n²)
+    all-pairs cosine into per-cluster blocks keyed by cluster id.
+
+Scale shape: assignment is a pure map (per-row fold against a
+broadcast literal centroid matrix — no join, no shuffle); the Lloyd
+update is one partial-aggregated groupBy(cluster, dim) shuffle whose
+output is k×dim rows (tiny); SemDeDup candidate generation is a
+cluster-keyed equi-join (never a cartesian — the catalog-wide plan ban
+applies).  Nothing here re-shuffles the corpus beyond the one
+aggregation a mean requires.
+
+Engine portability (the md5-twin trick applied to clustering): all
+distance arithmetic runs on round(x*1e6)-quantized integer vectors, so
+dist² terms are EXACT integers in both engines (per-element products
+≤ 64·(2²·10¹²) ≈ 2.6e14 < 2⁵³; totals carried as BIGINT), and the
+Lloyd mean is integer round-half-up — floor((2·s + n) / (2·n)) — which
+both engines evaluate identically (the quotient is exact-integer-valued
+only when 2s+n = m·2n exactly, in which case IEEE division returns m
+exactly; otherwise the true value is ≥ 1/(2n) away from an integer,
+9+ orders above the ~1-ulp division error while cluster sums stay
+< 2⁵³, i.e. n ≲ 10⁹ rows/cluster at this quantization — beyond that,
+shard the mean or drop to decimal).  The final cosine re-rank reuses
+the `similarity.cosine` double fold already proven portable by the
+`cosine_topk_bruteforce` oracle.
+
+Reference parity: the reference has no clustering operator — this is
+part of the beyond-reference LLM-pipeline surface the driver contract
+asks for (see SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from . import similarity
+
+#: Quantization scale shared with the engine-portable LSH twin
+#: (similarity._int_planes oracle): round(x * 1e6) on IEEE doubles
+#: matches DuckDB's round() on every non-half case (float32 inputs
+#: scaled by 1e6 land on .5 exactly only for hand-crafted values).
+QUANT_SCALE = 1_000_000.0
+
+
+def quantize_vec(vec: Column, scale: float = QUANT_SCALE) -> Column:
+    """array<float|double> -> array<bigint> by round(x*scale) — the
+    exact-integer domain every cross-engine distance runs in."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(scale), 0).cast("long")
+    )
+
+
+def _lit_int_matrix(rows: list[list[int]]) -> Column:
+    """k×dim integer constant as ONE array<array<bigint>> literal (one
+    parsed expr — see similarity._lit_matrix for why not F.lit loops)."""
+    body = ", ".join(
+        "array(" + ", ".join(f"{int(x)}L" for x in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
+def _dist2_int(a: Column, b: Column) -> Column:
+    """Squared L2 between two array<bigint> columns — sequential fold,
+    BIGINT accumulator, exact (dim·(2·scale)² ≲ 2.6e14 per element
+    at QUANT_SCALE, far under int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest(cents_lit: Column, qv: Column) -> Column:
+    """struct<dist2, cid> of the nearest centroid (ties -> lowest cid;
+    array_sort on struct<bigint,int> orders lexicographically)."""
+    return F.array_sort(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                _dist2_int(qv, c).alias("dist2"), i.alias("cid")
+            ),
+        )
+    )[0]
+
+
+def init_centroids(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic init: the quantized vectors of the k lowest ids.
+
+    DOCUMENTED BOUNDED COLLECT: k rows (k is a small constant — the
+    coarse-cluster count, not data-sized), quantized ENGINE-side so the
+    literals are bit-identical to what the SQL oracle derives from the
+    same rows.  Seeded-random init (the production choice for quality)
+    lives in similarity._kmeans_pp_numpy; this init exists so the
+    whole pipeline is reproducible cross-engine."""
+    rows = (
+        corpus.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("__i"), quantize_vec(F.col(vec_col)).alias("__q"))
+        .orderBy("__i")
+        .collect()
+    )
+    return [list(r["__q"]) for r in rows]
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One assignment pass: ``(id, qv, cluster_id, dist2)`` — a pure
+    map against the broadcast literal centroid matrix (no join, no
+    shuffle; the plan is scan -> project, embarrassingly parallel)."""
+    cents = _lit_int_matrix(centroids)
+    qv = quantize_vec(F.col(vec_col))
+    return (
+        corpus.select(F.col(id_col).alias("id"), qv.alias("qv"))
+        .withColumn("__n", _nearest(cents, F.col("qv")))
+        .select(
+            "id",
+            "qv",
+            F.col("__n.cid").cast("long").alias("cluster_id"),
+            F.col("__n.dist2").alias("dist2"),
+        )
+    )
+
+
+def lloyd_step(assigned: DataFrame) -> DataFrame:
+    """One Lloyd update from an :func:`assign_clusters` frame: the
+    integer round-half-up mean of each cluster's members, element-wise.
+
+    Shape: posexplode fans each row to ``dim`` (cluster, pos, val)
+    rows; ONE groupBy(cluster, pos) aggregation (map-side partial sums,
+    then a k·dim-row exchange — tiny regardless of corpus size); the
+    centroid arrays reassemble from sorted (pos, elem) structs.  Empty
+    clusters simply emit no row (callers keep the old centroid).
+    """
+    per_dim = assigned.select(
+        "cluster_id", F.posexplode("qv").alias("pos", "val")
+    )
+    means = per_dim.groupBy("cluster_id", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # round-half-up(s/n) in pure integer terms: floor((2s+n)/(2n)).
+    # Division is exact-enough IEEE (see module docstring bound).
+    elem = F.floor(
+        (F.lit(2) * F.col("s") + F.col("n")) / (F.lit(2) * F.col("n"))
+    ).cast("long")
+    return (
+        means.withColumn("elem", elem)
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "elem"))),
+                lambda st: st["elem"],
+            ).alias("centroid"),
+            F.max("n").alias("n_members"),
+        )
+    )
+
+
+def collect_centroids(
+    lloyd_frame: DataFrame, fallback: list[list[int]]
+) -> list[list[int]]:
+    """k updated centroid rows -> driver literals for the next
+    assignment pass (DOCUMENTED BOUNDED COLLECT: k rows).  Clusters
+    that lost all members keep their ``fallback`` (previous) centroid,
+    the standard Lloyd convention."""
+    new = {int(r["cluster_id"]): list(r["centroid"]) for r in lloyd_frame.collect()}
+    return [new.get(cid, fallback[cid]) for cid in range(len(fallback))]
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    k: int,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means with deterministic init and ``n_iters`` Lloyd updates,
+    returning the final assignment ``(id, cluster_id, dist2)``.
+
+    Each iteration is one corpus map + one k·dim aggregation; the
+    corpus is never shuffled on its own key.  ``n_iters`` is a small
+    constant (driver loop over bounded collects), not data-driven.
+    """
+    cents = init_centroids(corpus, k, id_col, vec_col)
+    for _ in range(n_iters):
+        assigned = assign_clusters(corpus, cents, id_col, vec_col)
+        cents = collect_centroids(lloyd_step(assigned), cents)
+    return assign_clusters(corpus, cents, id_col, vec_col).select(
+        "id", "cluster_id", "dist2"
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    k: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup: near-duplicate pairs by embedding cosine, candidates
+    restricted to SAME-CLUSTER pairs (cluster-keyed equi-join — the
+    O(n²) all-pairs cosine becomes Σ per-cluster blocks; at scale k
+    grows with n so block sizes stay bounded).  Output
+    ``(cluster_id, a_id, b_id, cosine_sim)`` with a_id < b_id and
+    cosine ≥ threshold; cosine is the full-precision double fold
+    (similarity.cosine) rounded for cross-engine ordering."""
+    cents = _lit_int_matrix(init_centroids(corpus, k, id_col, vec_col))
+    # cluster_id computed map-side on the SAME row as the vector — no
+    # assignment join, the only shuffle is the cluster-keyed pair join.
+    tagged = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _nearest(cents, quantize_vec(F.col(vec_col)))["cid"]
+        .cast("long")
+        .alias("cluster_id"),
+    )
+    a = tagged.select(
+        F.col("cluster_id"), F.col("id").alias("a_id"), F.col("__v").alias("__va")
+    )
+    b = tagged.select(
+        F.col("cluster_id"), F.col("id").alias("b_id"), F.col("__v").alias("__vb")
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(similarity.cosine(F.col("__va"), F.col("__vb")), round_digits),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("cluster_id", "a_id", "b_id", "cosine_sim")
+    )
+
+
+def cluster_summary(assigned: DataFrame) -> DataFrame:
+    """Per-cluster size + total inertia (decimal(38,0) so a trillion-row
+    cluster's dist² sum cannot wrap int64 — the fraud-trainer rule)."""
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("inertia"),
+    )

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ultimate_data_engineering_project_spark.operators import dedup, similarity, text
+from ultimate_data_engineering_project_spark.operators import (
+    clustering,
+    dedup,
+    similarity,
+    text,
+)
 from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
 
@@ -1688,3 +1693,168 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )
     return incoming.join(history, "fp", "left_anti").select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Clustering family (X2/X3 adjacency): k-means assignment, Lloyd
+# refinement, SemDeDup — engine-portable via round(x*1e6) integer
+# quantization (see operators/clustering.py module docstring).
+# ---------------------------------------------------------------------------
+_KMEANS_ASSIGN_CTES = """
+    base AS (
+        SELECT vec_id, embedding,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> round(x * 1000000.0, 0)) AS qv
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, qv FROM base WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, embedding, cid AS cluster_id, dist2
+        FROM (
+            SELECT b.vec_id, b.embedding, c.cid,
+                   CAST(list_inner_product(b.qv, b.qv)
+                        + list_inner_product(c.qv, c.qv)
+                        - 2 * list_inner_product(b.qv, c.qv) AS BIGINT)
+                       AS dist2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY CAST(list_inner_product(b.qv, b.qv)
+                                     + list_inner_product(c.qv, c.qv)
+                                     - 2 * list_inner_product(b.qv, c.qv)
+                                     AS BIGINT),
+                                c.cid
+                   ) AS rk
+            FROM base b CROSS JOIN cents c
+        ) WHERE rk = 1
+    )
+"""
+
+
+@register(
+    "kmeans_assign_int",
+    oracle=f"""
+    WITH {_KMEANS_ASSIGN_CTES}
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, dist2
+    FROM assign
+    """,
+)
+def kmeans_assign_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cluster assignment (corpus bucketing for the LLM
+    pipeline): every embedding to its nearest of k=8 deterministic
+    centroids (the k lowest vec_ids), squared-L2 on
+    round(x*1e6)-quantized integer vectors so the distances — and
+    therefore the argmin — are EXACT in both engines.  The Spark side
+    is a pure map against a broadcast literal centroid matrix: no
+    join, no shuffle, scan→project, embarrassingly parallel at any
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.init_centroids(emb, 8)
+    return clustering.assign_clusters(emb, cents).select(
+        F.col("id").alias("vec_id"), "cluster_id", "dist2"
+    )
+
+
+@register(
+    "kmeans_lloyd_refine_int",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> round(x * 1000000.0, 0)) AS qv
+        FROM embeddings
+    ),
+    cents0 AS (SELECT vec_id AS cid, qv FROM base WHERE vec_id < 8),
+    assign0 AS (
+        SELECT vec_id, cid AS cluster_id, qv
+        FROM (
+            SELECT b.vec_id, c.cid, b.qv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY CAST(list_inner_product(b.qv, b.qv)
+                                     + list_inner_product(c.qv, c.qv)
+                                     - 2 * list_inner_product(b.qv, c.qv)
+                                     AS BIGINT),
+                                c.cid
+                   ) AS rk
+            FROM base b CROSS JOIN cents0 c
+        ) WHERE rk = 1
+    ),
+    sums AS (
+        SELECT cluster_id, d.i AS pos,
+               SUM(CAST(qv[d.i] AS BIGINT)) AS s, COUNT(*) AS n
+        FROM assign0, UNNEST(range(1, 65)) AS d(i)
+        GROUP BY cluster_id, d.i
+    ),
+    newc AS (
+        SELECT cluster_id AS cid,
+               list(CAST(FLOOR((2 * s + n) / (2 * n)) AS DOUBLE)
+                    ORDER BY pos) AS qv
+        FROM sums GROUP BY cluster_id
+    ),
+    cents1 AS (
+        SELECT c0.cid, COALESCE(n.qv, c0.qv) AS qv
+        FROM cents0 c0 LEFT JOIN newc n ON n.cid = c0.cid
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist2
+    FROM (
+        SELECT b.vec_id, c.cid,
+               CAST(list_inner_product(b.qv, b.qv)
+                    + list_inner_product(c.qv, c.qv)
+                    - 2 * list_inner_product(b.qv, c.qv) AS BIGINT) AS dist2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY CAST(list_inner_product(b.qv, b.qv)
+                                 + list_inner_product(c.qv, c.qv)
+                                 - 2 * list_inner_product(b.qv, c.qv)
+                                 AS BIGINT),
+                            c.cid
+               ) AS rk
+        FROM base b CROSS JOIN cents1 c
+    ) WHERE rk = 1
+    """,
+)
+def kmeans_lloyd_refine_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (assign → integer round-half-up
+    centroid means → reassign), hash-checked — the ITERATIVE
+    algorithm done Spark-idiomatically: per-iteration cost is one
+    corpus map + one k·dim-row aggregation (posexplode → partial-agg
+    groupBy(cluster,pos)); the corpus itself is never shuffled and the
+    k updated centroids travel driver→literal (bounded collect of k
+    rows).  The mean floor((2s+n)/(2n)) is pure integer round-half-up,
+    so both engines derive bit-identical refined centroids (see
+    operators/clustering.py for the exactness bound)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_refine(emb, 8, n_iters=1).select(
+        F.col("id").alias("vec_id"), "cluster_id", "dist2"
+    )
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=f"""
+    WITH {_KMEANS_ASSIGN_CTES}
+    SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS cosine_sim
+    FROM assign a
+    JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.30
+    """,
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs by
+    embedding cosine, with candidate generation restricted to
+    same-k-means-cluster pairs — the O(n²) all-pairs cosine becomes a
+    cluster-keyed equi-join over per-cluster blocks (at 100 TB, k
+    scales with n so blocks stay bounded; the join shuffles on
+    cluster_id, never cross-cluster).  Cluster assignment is computed
+    map-side on the same row as the vector (no assignment join);
+    cosine is the portable double fold of `cosine_topk_bruteforce`.
+    The 0.30 threshold is fixture-calibrated (driver embeddings are
+    near-orthogonal; real corpora use ~0.95+)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.semantic_dedup_pairs(emb, 8, threshold=0.30)
