@@ -1202,3 +1202,71 @@ def test_pq_topk_recall_and_persisted_codes(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="divisible"):
         similarity.pq_train(emb, m=7)
+
+
+def test_boilerplate_ngrams_planted(spark):
+    """Cross-doc boilerplate: a planted shared footer in 3 docs is
+    flagged; unique text is not; a doc shorter than n tokens reports
+    zero grams and 0.0 fraction."""
+    from ultimate_data_engineering_project_spark.operators import text as T
+
+    footer = "all rights reserved worldwide"
+    rows = [
+        (0, f"alpha beta gamma {footer}"),
+        (1, f"delta epsilon zeta {footer}"),
+        (2, f"eta theta iota {footer}"),
+        (3, "completely unique text with no shared trigrams at all"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_ngrams(df, min_docs=3, flag_frac=0.3).collect()
+    }
+    assert len(out) == 5
+    # footer = 4 tokens -> 2 boilerplate trigrams per doc; 7 tokens -> 5 grams
+    for d in (0, 1, 2):
+        assert out[d]["n_grams"] == 5
+        assert out[d]["n_boilerplate"] == 2
+        assert out[d]["boilerplate_frac"] == 0.4
+        assert out[d]["is_boilerplate"]
+    assert out[3]["n_boilerplate"] == 0
+    assert not out[3]["is_boilerplate"]
+    assert out[4]["n_grams"] == 0
+    assert out[4]["boilerplate_frac"] == 0.0
+    assert not out[4]["is_boilerplate"]
+
+
+def test_boilerplate_ngrams_vs_python_reference(spark, sf_dir):
+    """Exhaustive check vs a pure-Python corpus-global count on the
+    sf0.001 documents fixture."""
+    from collections import Counter, defaultdict
+
+    from ultimate_data_engineering_project_spark.operators import text as T
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = {
+        r["doc_id"]: (r["text"] or "").split(" ")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    grams = {
+        d: [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        for d, t in corpus.items()
+    }
+    df_count = Counter()
+    for d, gs in grams.items():
+        for g in set(gs):
+            df_count[g] += 1
+    boiler = {g for g, c in df_count.items() if c >= 3}
+    got = {
+        r["doc_id"]: r
+        for r in T.boilerplate_ngrams(docs, min_docs=3, flag_frac=0.5).collect()
+    }
+    assert set(got) == set(grams)
+    for d, gs in grams.items():
+        nb = sum(1 for g in gs if g in boiler)
+        assert got[d]["n_grams"] == len(gs), d
+        assert got[d]["n_boilerplate"] == nb, d
+        want_frac = round(nb / len(gs), 6) if gs else 0.0
+        assert abs(got[d]["boilerplate_frac"] - want_frac) < 1e-9, d

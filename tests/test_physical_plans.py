@@ -301,3 +301,15 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     # back on the correlation key
     assert p.count("HashAggregate") >= 2, p
     assert "Join" in p, p
+
+
+def test_boilerplate_exchange_keys_are_fingerprints(spark, sf_dir):
+    """Corpus-global boilerplate gate: every hash exchange keys on the
+    md5 gram fingerprint (__gid) or the doc id — raw n-gram strings
+    never transit a shuffle."""
+    p = physical(SPECS["docs_boilerplate_ngrams"].fn(spark, sf_dir))
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", p)
+    assert exchanges, p
+    offenders = [e for e in exchanges if "__gram" in e]
+    assert not offenders, offenders
+    assert any("__gid" in e for e in exchanges), exchanges

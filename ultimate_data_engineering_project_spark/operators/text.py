@@ -461,6 +461,84 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("redacted", redacted)
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 3,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Cross-document boilerplate detection (the corpus-global half of
+    repeated-substring dedup, Lee et al. 2021 "Deduplicating Training
+    Data Makes Language Models Better" — approximated at n-gram
+    granularity): an n-gram that appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, license blocks,
+    templated spam), and each document reports how much of it is made
+    of such shared text.
+
+    Distinct from the existing gates: ``repetition_stats`` is
+    WITHIN-document repetition, ``ngram_contamination`` is overlap
+    against a specific eval set — this is corpus-global frequency.
+
+    Output: ``(id, n_grams, n_boilerplate, boilerplate_frac,
+    is_boilerplate)``; a doc shorter than n tokens has 0 grams and
+    fraction 0.0.
+
+    Scale shape: every shuffle is keyed on a fixed-width md5 gram
+    fingerprint or the doc id — raw n-gram text never transits an
+    exchange (the r6/r7 fingerprint-dedup rule).  Doc-frequency is one
+    partially-aggregated groupBy(gid); the boilerplate set joins back
+    on gid (equi-join); per-doc totals come map-side from the gram
+    array.  Nothing is all-pairs; candidate volume is O(total grams).
+    """
+    tv = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        # bind the token array once (lambda var) so _grams stays O(len)
+        F.element_at(
+            F.transform(F.array(tv), lambda t: _grams(t, n)), 1
+        ).alias("__g"),
+    )
+    occ = base.select(
+        id_col, F.explode("__g").alias("__gram")
+    ).select(id_col, F.md5(F.col("__gram").cast("binary")).alias("__gid"))
+    boiler = (
+        occ.groupBy("__gid")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gid")
+    )
+    hits = (
+        occ.join(boiler, "__gid")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    per_doc = base.select(
+        id_col, F.size("__g").cast("long").alias("n_grams")
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("n_boilerplate") / F.col("n_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_doc.join(hits, id_col, "left")
+        .withColumn(
+            "n_boilerplate", F.coalesce(F.col("__nb"), F.lit(0).cast("long"))
+        )
+        .withColumn("boilerplate_frac", frac)
+        .withColumn("is_boilerplate", frac >= F.lit(flag_frac))
+        .select(
+            id_col,
+            "n_grams",
+            "n_boilerplate",
+            "boilerplate_frac",
+            "is_boilerplate",
+        )
+    )
+
+
 def source_reputation(
     df: DataFrame,
     *,

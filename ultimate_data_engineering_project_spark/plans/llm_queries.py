@@ -1858,3 +1858,52 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal; real corpora use ~0.95+)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.semantic_dedup_pairs(emb, 8, threshold=0.30)
+
+
+@register(
+    "docs_boilerplate_ngrams",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END
+                    AS BIGINT) AS n_grams
+        FROM toks_t
+    ),
+    occ AS (
+        SELECT doc_id,
+               md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gid
+        FROM toks_t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    boiler AS (
+        SELECT gid
+        FROM (SELECT gid, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY gid)
+        WHERE nd >= 3
+    ),
+    hits AS (
+        SELECT o.doc_id, COUNT(*) AS nb
+        FROM occ o JOIN boiler b ON b.gid = o.gid
+        GROUP BY o.doc_id
+    )
+    SELECT p.doc_id, p.n_grams,
+           COALESCE(h.nb, 0) AS n_boilerplate,
+           CASE WHEN p.n_grams > 0
+                THEN ROUND(CAST(COALESCE(h.nb, 0) AS DOUBLE) / p.n_grams, 6)
+                ELSE 0.0 END AS boilerplate_frac,
+           CASE WHEN p.n_grams > 0
+                THEN ROUND(CAST(COALESCE(h.nb, 0) AS DOUBLE) / p.n_grams, 6)
+                ELSE 0.0 END >= 0.5 AS is_boilerplate
+    FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+    """,
+)
+def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate gate (X4, the cross-document half of
+    repeated-substring dedup per Lee et al. 2021): trigrams appearing
+    in >= 3 distinct documents are boilerplate; each doc reports its
+    shared-text fraction and a removal flag.  All shuffles keyed on
+    md5 gram fingerprints or doc ids — raw n-gram text never transits
+    an exchange (see operators/text.boilerplate_ngrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_ngrams(docs, min_docs=3, flag_frac=0.5)
