@@ -1027,3 +1027,138 @@ def test_cdc_stream_evolving_avro_envelope(spark, tmp_path):
             str(tmp_path / "evo_ck2"), source=stream,
             avro_schema={7: env_bad, 8: env_v2},
         )
+
+
+def test_stream_sessions_stateful_matches_batch(spark, sf_dir, tmp_path):
+    """Event-time-timeout sessionizer: sessions closed by a later
+    event match the batch sessionize twin exactly (start, end, count,
+    sum); the gap boundary is strict (diff == gap stays in-session)."""
+    import time
+    import datetime
+
+    from ultimate_data_engineering_project_spark.operators.windows import sessionize
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        events_file_stream,
+        stream_sessions_stateful,
+    )
+
+    def t(h, m, s=0):
+        return datetime.datetime(2024, 3, 1, h, m, s)
+
+    GAP = 600  # seconds
+    # user 1: (10:00,10:05,10:15) one session — the 10:05->10:15 gap is
+    # EXACTLY 600s, strict boundary keeps it in-session; then 11:00.
+    # user 2: 10:00 alone, then 12:00.
+    real = [
+        (1, t(10, 0), 1.0), (1, t(10, 5), 2.0), (1, t(10, 15), 3.0),
+        (1, t(11, 0), 4.0),
+        (2, t(10, 0), 10.0),
+        (2, t(12, 0), 20.0),
+    ]
+    flush_at = t(20, 0)
+    slices = [
+        [r for r in real if r[1] <= t(10, 30)],
+        [r for r in real if r[1] > t(10, 30)],
+        [(u, flush_at, 0.0) for u in (1, 2)],  # closes every open session
+    ]
+    src = str(tmp_path / "sess_src")
+    for i, rows in enumerate(slices):
+        df = spark.createDataFrame(
+            [(100 + j, ts, u, "view", v, "{}") for j, (u, ts, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.repartition(8).write.mode("append").parquet(src)
+        time.sleep(0.2)
+
+    out = stream_sessions_stateful(
+        events_file_stream(spark, src), gap_seconds=GAP, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+        if r["session_start"] < flush_at  # flush sessions excluded
+    }
+
+    batch_events = spark.createDataFrame(
+        [(u, ts, v) for (u, ts, v) in real], "user_id long, ts timestamp, value double"
+    )
+    twin = (
+        sessionize(batch_events, "user_id", "ts", GAP)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    want = {
+        (r["user_id"], r["s"], r["e"]): (r["n"], r["v"]) for r in twin.collect()
+    }
+    assert emitted == want
+    # the strict-gap session really is one 3-event session
+    assert (1, t(10, 0), t(10, 15)) in want
+
+
+def test_stream_sessions_stateful_timeout_flush(spark, tmp_path):
+    """The EVENT-TIME TIMEOUT path: a user with no further events gets
+    their open session flushed once OTHER users' events advance the
+    watermark past last_event + gap — and the state is removed (the
+    store stays bounded by active users)."""
+    import time
+    import datetime
+
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        events_file_stream,
+        stream_sessions_stateful,
+    )
+
+    def t(h, m):
+        return datetime.datetime(2024, 3, 1, h, m)
+
+    src = str(tmp_path / "sess_to_src")
+    slices = [
+        [(1, t(10, 0), 1.0), (1, t(10, 5), 2.0)],  # user 1, then silence
+        [(2, t(13, 0), 9.0)],  # user 2 pushes the watermark past 10:05+gap
+        [(2, t(14, 0), 9.0)],  # one more batch so the new watermark applies
+    ]
+    for rows in slices:
+        spark.createDataFrame(
+            [(j, ts, u, "view", v, "{}") for j, (u, ts, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).repartition(8).write.mode("append").parquet(src)
+        time.sleep(0.2)
+
+    out = stream_sessions_stateful(
+        events_file_stream(spark, src), gap_seconds=600, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_to")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM sess_to WHERE user_id = 1"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start"] == t(10, 0)
+    assert r["session_end"] == t(10, 5)
+    assert r["n_events"] == 2
+    assert r["sum_value"] == 3.0

@@ -211,6 +211,106 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_sessions_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionizer (T4/T5 surface —
+    applyInPandasWithState with EVENT-TIME TIMEOUT): one row per
+    CLOSED session ``(user_id, session_start, session_end, n_events,
+    sum_value)``.
+
+    Why not the native ``session_window``: it emits only windowed
+    AGGREGATES on watermark close; a custom state machine carries
+    arbitrary per-session state (here count+sum; in production,
+    first/last event type, funnel position) and emits the moment the
+    CLOSING EVENT arrives — not only at watermark — while the
+    event-time timeout still finalizes idle sessions (watermark passes
+    ``last_event + gap`` -> the open session flushes and its state is
+    removed, so the store is bounded by ACTIVE users, not history).
+
+    Session semantics match the batch twin
+    (``operators.windows.sessionize``): a new session starts when the
+    gap since the previous event EXCEEDS ``gap_seconds`` (strictly).
+    Rows are processed in event-time order within each micro-batch;
+    cross-batch regressions (a row older than the open session's last
+    event) merge into the open session without extending its end —
+    the documented at-least-once boundary, same family as the
+    watermark contract.
+
+    Scale shape: state is one 4-field tuple per ACTIVE user; per-batch
+    work is linear in batch rows; the only shuffle is the groupBy key
+    exchange every stateful operator needs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, sum_value double"
+    )
+    state_schema = "start_ms long, last_ms long, n long, total double"
+    gap_ms = gap_seconds * 1000
+
+    def _frame(key, s_ms, l_ms, n, total):
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "session_start": [pd.Timestamp(s_ms, unit="ms")],
+                "session_end": [pd.Timestamp(l_ms, unit="ms")],
+                "n_events": [n],
+                "sum_value": [total],
+            }
+        )
+
+    def update(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: flush the idle session
+            if state.exists:
+                s, l, n, t = state.get
+                yield _frame(uid, s, l, n, t)
+            state.remove()
+            return
+        cur = state.get if state.exists else None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts")
+            ms_col = pdf["ts"].astype("int64") // 1_000_000
+            vals = pdf["value"].fillna(0.0)
+            for ms, v in zip(ms_col, vals):
+                ms = int(ms)
+                if cur is None:
+                    cur = (ms, ms, 1, float(v))
+                elif ms - cur[1] > gap_ms:
+                    yield _frame(uid, *cur)
+                    cur = (ms, ms, 1, float(v))
+                else:
+                    cur = (
+                        cur[0],
+                        max(cur[1], ms),
+                        cur[2] + 1,
+                        cur[3] + float(v),
+                    )
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def cdc_bucket_expr(keys: list[str], n_buckets: int):
     """Stable key-hash bucket id for partition-scoped CDC apply."""
     return F.pmod(
