@@ -76,6 +76,13 @@ HEADLINE = [
     # is per-row Python over Arrow batches, so its throughput needs the
     # same round-over-round watchdog the JVM-side plans get
     "avro_embedding_roundtrip",
+    # r8 (this session): the clustering family's two heavy paths — one
+    # full Lloyd iteration (map + k*dim agg, twice) and the SemDeDup
+    # cluster-blocked pair join — plus the corpus-global boilerplate
+    # gate (two gid-keyed shuffles over every trigram occurrence)
+    "kmeans_lloyd_refine_int",
+    "semantic_dedup_pairs",
+    "docs_boilerplate_ngrams",
 ]
 
 

@@ -105,7 +105,9 @@ def test_lloyd_empty_cluster_keeps_fallback(spark):
 def test_semantic_dedup_is_within_cluster_cosine(spark, sf_dir):
     """Every emitted pair is same-cluster with cosine >= threshold, and
     every same-cluster pair above threshold is emitted (completeness
-    within the cluster blocking — what SemDeDup guarantees)."""
+    within the cluster blocking — what SemDeDup guarantees).  Cosine is
+    over the quantized integer vectors (the operator's documented
+    domain), reproduced independently here."""
     emb = load_table(spark, sf_dir, "embeddings")
     thr = 0.30
     got = {
@@ -116,19 +118,22 @@ def test_semantic_dedup_is_within_cluster_cosine(spark, sf_dir):
     cents = np.array(clustering.init_centroids(emb, K), dtype=np.int64)
     a, _ = _np_assign(Q, cents)
     cluster_of = {int(v): int(c) for v, c in zip(ids, a)}
-    norms = np.sqrt((X * X).sum(axis=1))
+    qnorm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
     want = {}
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             if cluster_of[int(ids[i])] != cluster_of[int(ids[j])]:
                 continue
-            cos = round(float(X[i] @ X[j] / (norms[i] * norms[j])), 6)
+            cos = round(float(int(Q[i] @ Q[j]) / (qnorm[i] * qnorm[j])), 6)
             if cos >= thr:
-                want[(int(ids[i]), int(ids[j]))] = cluster_of[int(ids[i])]
+                want[(int(ids[i]), int(ids[j]))] = (
+                    cluster_of[int(ids[i])],
+                    cos,
+                )
     assert set(got) == set(want)
-    for pair, cid in want.items():
+    for pair, (cid, cos) in want.items():
         assert got[pair][0] == cid
-        assert got[pair][1] >= thr
+        assert got[pair][1] == cos
 
 
 def test_assignment_plan_is_map_only(spark, sf_dir):
@@ -146,9 +151,10 @@ def test_assignment_plan_is_map_only(spark, sf_dir):
     assert "Join" not in plan, plan
 
 
-def test_semantic_dedup_plan_is_cluster_keyed_equi_join(spark, sf_dir):
-    """Pair generation must be an equi-join on cluster_id — never a
-    cartesian/nested-loop over the corpus."""
+def test_semantic_dedup_plan_is_cluster_keyed(spark, sf_dir):
+    """Pair generation is the per-cluster Arrow kernel behind ONE
+    exchange keyed on cluster_id — no join of any kind, nothing
+    all-pairs across clusters."""
     emb = load_table(spark, sf_dir, "embeddings")
     plan = (
         clustering.semantic_dedup_pairs(emb, K, threshold=0.30)
@@ -158,4 +164,9 @@ def test_semantic_dedup_plan_is_cluster_keyed_equi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "cluster_id" in plan, plan
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert exchanges and all("cluster_id" in e for e in exchanges), plan

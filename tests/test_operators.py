@@ -1270,3 +1270,63 @@ def test_boilerplate_ngrams_vs_python_reference(spark, sf_dir):
         assert got[d]["n_boilerplate"] == nb, d
         want_frac = round(nb / len(gs), 6) if gs else 0.0
         assert abs(got[d]["boilerplate_frac"] - want_frac) < 1e-9, d
+
+
+def test_bm25_topk_vs_python_reference(spark, sf_dir):
+    """BM25 scores/ranking match an independent pure-Python
+    implementation on the sf0.001 documents fixture."""
+    import math
+
+    from ultimate_data_engineering_project_spark.operators import text as T
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    terms = ["hash", "join", "vector"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = {
+        r["doc_id"]: (r["text"] or "").split(" ")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    N = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / N
+    df_t = {
+        q: sum(1 for t in corpus.values() if q in t) for q in terms
+    }
+    scores = {}
+    for d, toks in corpus.items():
+        s = 0.0
+        for q in terms:
+            tf = toks.count(q)
+            idf = math.log((N - df_t[q] + 0.5) / (df_t[q] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        if round(s, 6) > 0:
+            scores[d] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in T.bm25_topk(docs, terms, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [(d, s) for d, s, _ in got] == want
+    assert [r for _, _, r in got] == list(range(1, len(got) + 1))
+
+
+def test_bm25_plan_is_scalar_broadcast_plus_topk(spark, sf_dir):
+    """Scale contract: the only join is the 1-row stats broadcast; the
+    top-k is TakeOrderedAndProject, not a global sort."""
+    from ultimate_data_engineering_project_spark.operators import text as T
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        T.bm25_topk(docs, ["hash", "join"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

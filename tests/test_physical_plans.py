@@ -128,6 +128,9 @@ NESTED_LOOP_ALLOWED = {
     # trained coefficients come back as a 1-ROW broadcast crossJoin
     # (scalar-subquery family)
     "fakestream_fraud_scores",
+    # BM25 corpus stats (N, avgdl, per-term df) are a 1-ROW broadcast
+    # crossJoin (scalar-subquery family)
+    "bm25_topk_docs",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep

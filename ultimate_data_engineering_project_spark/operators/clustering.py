@@ -41,8 +41,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from . import similarity
-
 #: Quantization scale shared with the engine-portable LSH twin
 #: (similarity._int_planes oracle): round(x * 1e6) on IEEE doubles
 #: matches DuckDB's round() on every non-half case (float32 inputs
@@ -80,7 +78,13 @@ def _dist2_int(a: Column, b: Column) -> Column:
 
 def _nearest(cents_lit: Column, qv: Column) -> Column:
     """struct<dist2, cid> of the nearest centroid (ties -> lowest cid;
-    array_sort on struct<bigint,int> orders lexicographically)."""
+    array_sort on struct<bigint,int> orders lexicographically).
+
+    Reference semantics — the hot path uses :func:`_dist_array_sql`
+    instead: higher-order functions (transform/aggregate/zip_with)
+    are ALWAYS interpreted in Spark (no whole-stage codegen), so this
+    per-centroid fold costs k·dim lambda evaluations per row; the
+    unrolled arithmetic expression compiles."""
     return F.array_sort(
         F.transform(
             cents_lit,
@@ -89,6 +93,44 @@ def _nearest(cents_lit: Column, qv: Column) -> Column:
             ),
         )
     )[0]
+
+
+def _assign_kernel(centroids: list[list[int]], keep_cols: list[str]):
+    """Arrow-vectorized assignment kernel (mapInPandas): squared-L2 of
+    each row's quantized vector against every centroid in ONE int64
+    numpy matmul — |q|² + |c|² − 2·q·c, every term an EXACT integer
+    (≤ dim·(2·QUANT_SCALE)² ≈ 2.6e14 per product sum, far under
+    int64), so the result is bit-identical to the sequential
+    :func:`_dist2_int` fold and to the SQL oracle.  argmin returns the
+    FIRST minimum — ties to the lowest centroid id, same as the
+    reference path.
+
+    Why a kernel and not column expressions (§2.11 documented
+    inexpressible-efficiently case): Spark's higher-order functions
+    are always interpreted (k·dim lambda evals per row), and unrolling
+    the arithmetic into k·dim literal terms explodes codegen (measured
+    seconds per 1k rows once the generated method overflows the JIT
+    limits).  Dense linear algebra over Arrow batches is the same
+    escape hatch the PQ ADC scan uses."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = (Q * Q).sum(axis=1)[:, None] + c2[None, :] - 2 * (Q @ C.T)
+            cid = d.argmin(axis=1)
+            out = {c: pdf[c] for c in keep_cols}
+            out["cluster_id"] = cid.astype(np.int64)
+            out["dist2"] = d[np.arange(len(d)), cid]
+            yield pd.DataFrame(out)
+
+    return fn
 
 
 def init_centroids(
@@ -121,19 +163,16 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """One assignment pass: ``(id, qv, cluster_id, dist2)`` — a pure
-    map against the broadcast literal centroid matrix (no join, no
-    shuffle; the plan is scan -> project, embarrassingly parallel)."""
-    cents = _lit_int_matrix(centroids)
-    qv = quantize_vec(F.col(vec_col))
-    return (
-        corpus.select(F.col(id_col).alias("id"), qv.alias("qv"))
-        .withColumn("__n", _nearest(cents, F.col("qv")))
-        .select(
-            "id",
-            "qv",
-            F.col("__n.cid").cast("long").alias("cluster_id"),
-            F.col("__n.dist2").alias("dist2"),
-        )
+    map (scan -> quantize projection -> Arrow kernel), no join, no
+    shuffle, embarrassingly parallel at any corpus size.  Distance
+    arithmetic is exact int64 (see :func:`_assign_kernel`); ties go to
+    the lowest centroid id."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    return base.mapInPandas(
+        _assign_kernel(centroids, ["id", "qv"]),
+        "id long, qv array<bigint>, cluster_id long, dist2 long",
     )
 
 
@@ -205,46 +244,85 @@ def kmeans_refine(
     )
 
 
+def derive_k(corpus: DataFrame, target_cluster: int = 64) -> int:
+    """k = max(8, ceil(n / target_cluster)) — cluster count grows with
+    the corpus so per-cluster pair blocks stay BOUNDED (the property
+    that keeps SemDeDup's within-cluster O(block²) linear overall).
+    DOCUMENTED BOUNDED COLLECT: one count row; the SQL oracle derives
+    the same k with a scalar subquery."""
+    import math
+
+    n = corpus.count()
+    return max(8, math.ceil(n / float(target_cluster)))
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
-    k: int,
+    k: int | None,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    target_cluster: int = 64,
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs by embedding cosine, candidates
-    restricted to SAME-CLUSTER pairs (cluster-keyed equi-join — the
-    O(n²) all-pairs cosine becomes Σ per-cluster blocks; at scale k
-    grows with n so block sizes stay bounded).  Output
-    ``(cluster_id, a_id, b_id, cosine_sim)`` with a_id < b_id and
-    cosine ≥ threshold; cosine is the full-precision double fold
-    (similarity.cosine) rounded for cross-engine ordering."""
-    cents = _lit_int_matrix(init_centroids(corpus, k, id_col, vec_col))
-    # cluster_id computed map-side on the SAME row as the vector — no
-    # assignment join, the only shuffle is the cluster-keyed pair join.
-    tagged = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__v"),
-        _nearest(cents, quantize_vec(F.col(vec_col)))["cid"]
-        .cast("long")
-        .alias("cluster_id"),
-    )
-    a = tagged.select(
-        F.col("cluster_id"), F.col("id").alias("a_id"), F.col("__v").alias("__va")
-    )
-    b = tagged.select(
-        F.col("cluster_id"), F.col("id").alias("b_id"), F.col("__v").alias("__vb")
-    )
-    return (
-        a.join(b, "cluster_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cosine_sim",
-            F.round(similarity.cosine(F.col("__va"), F.col("__vb")), round_digits),
+    restricted to SAME-CLUSTER pairs (the O(n²) all-pairs cosine
+    becomes Σ per-cluster blocks; ``k=None`` derives k ∝ n via
+    :func:`derive_k` so block sizes stay bounded as the corpus grows).
+    Output ``(cluster_id, a_id, b_id, cosine_sim)`` with a_id < b_id
+    and cosine ≥ threshold.
+
+    Cosine is computed over the QUANTIZED integer vectors (round(x·1e6)
+    — relative error ~1e-6, irrelevant for a near-dup measure): the
+    Gram matrix of a cluster block is one exact int64 numpy matmul, and
+    the only float ops are the final sqrt/divide — bit-identical in
+    both engines, so the SQL oracle reproduces every pair and score.
+    A zero vector scores -1.0 against everything (below any real
+    similarity), matching similarity.cosine's edge rule.
+
+    Plan shape: scan -> quantize -> Arrow assignment kernel (pure map)
+    -> ONE exchange on cluster_id -> per-cluster pair kernel.  No
+    joins at all; nothing all-pairs across clusters."""
+    import numpy as np
+    import pandas as pd
+
+    if k is None:
+        k = derive_k(corpus, target_cluster)
+    assigned = assign_clusters(corpus, init_centroids(corpus, k, id_col, vec_col),
+                               id_col, vec_col).select("id", "qv", "cluster_id")
+
+    def pairs_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        Q = np.array(pdf["qv"].to_numpy()[order].tolist(), dtype=np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster_id": [], "a_id": [], "b_id": [], "cosine_sim": []}
+            )
+        G = Q @ Q.T  # exact int64 (dim·(2·QUANT_SCALE)² ≪ 2⁶³)
+        nrm = np.sqrt(np.diag(G).astype(np.float64))
+        denom = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = G / denom
+        cos[~np.isfinite(cos)] = -1.0  # zero-norm rows rank last
+        cos = np.round(cos, round_digits)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = cos[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(iu), int(pdf["cluster_id"].iloc[0])),
+                "a_id": ids[iu],
+                "b_id": ids[ju],
+                "cosine_sim": cos[iu, ju],
+            }
         )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("cluster_id", "a_id", "b_id", "cosine_sim")
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        pairs_fn,
+        "cluster_id long, a_id long, b_id long, cosine_sim double",
     )
 
 

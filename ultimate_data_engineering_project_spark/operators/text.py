@@ -9,7 +9,7 @@ all until a per-lang/source rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny function-word lists per language for the n-gram/marker heuristic
 # language ID.  Deliberately small and public-knowledge (closed-class
@@ -537,6 +537,85 @@ def boilerplate_ngrams(
             "is_boilerplate",
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene
+    positive-idf variant): top-k documents for a bag-of-terms query —
+    the lexical-search leg of training-data curation (e.g. surfacing
+    domain documents for a mixture, or eval-adjacent text beyond exact
+    n-gram contamination).
+
+    score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1-b+b·dl/avgdl)),
+    idf_t = ln((N - df_t + 0.5)/(df_t + 0.5) + 1).
+
+    Scale shape: per-document term frequencies and length are pure
+    map-side array folds (no tokenize shuffle, no inverted index
+    build); the corpus statistics (N, avgdl, per-term df) reduce to ONE
+    single-row aggregate that broadcasts back (scalar-subquery
+    pattern); scoring is again map-side; top-k is TakeOrderedAndProject
+    (per-partition heads, never a global sort).  Two passes over the
+    corpus, zero data-sized shuffles.  The expression order of the
+    score polynomial is fixed left-to-right so IEEE evaluation matches
+    the SQL oracle term for term (ln+ROUND(6) portability proven by the
+    `source_top_terms` TF-IDF oracle).
+    """
+    tv = tokens(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # closure factory, NOT a default-arg lambda: PySpark HOFs parse
+        # default-arg lambdas as multi-arg and fail
+        def eq(t: Column) -> Column:
+            return t == F.lit(term)
+
+        return F.size(F.filter(tv, eq)).cast("long")
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(tv).cast("long").alias("__dl"),
+        *[_tf(q).alias(f"__tf_{i}") for i, q in enumerate(query_terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sdl").cast("double") / F.col("__n")
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"__tf_{i}")
+        term_score = (tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+        )
+        contrib = idf * term_score
+        score = contrib if score is None else score + contrib
+    scored = (
+        joined.withColumn("score", F.round(score, round_digits))
+        .filter(F.col("score") > 0)
+        .select(id_col, "score")
+    )
+    top = scored.orderBy(F.desc("score"), id_col).limit(k)
+    w = Window.orderBy(F.desc("score"), id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def source_reputation(

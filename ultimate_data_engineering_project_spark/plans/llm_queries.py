@@ -1831,33 +1831,68 @@ def kmeans_lloyd_refine_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_pairs",
-    oracle=f"""
-    WITH {_KMEANS_ASSIGN_CTES}
-    SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
-           a.vec_id AS a_id, b.vec_id AS b_id,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6)
-               AS cosine_sim
-    FROM assign a
-    JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6)
-          >= 0.30
+    oracle="""
+    WITH kk AS (
+        SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS k
+        FROM embeddings
+    ),
+    base AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> round(x * 1000000.0, 0)) AS qv
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, qv,
+               sqrt(list_inner_product(qv, qv)) AS qn
+        FROM base
+    ),
+    cents AS (
+        SELECT vec_id AS cid, qv FROM base CROSS JOIN kk WHERE vec_id < kk.k
+    ),
+    assign AS (
+        SELECT vec_id, qv, qn, cid AS cluster_id
+        FROM (
+            SELECT b.vec_id, b.qv, b.qn, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY CAST(list_inner_product(b.qv, b.qv)
+                                     + list_inner_product(c.qv, c.qv)
+                                     - 2 * list_inner_product(b.qv, c.qv)
+                                     AS BIGINT),
+                                c.cid
+                   ) AS rk
+            FROM normed b CROSS JOIN cents c
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT CAST(a.cluster_id AS BIGINT) AS cluster_id,
+               a.vec_id AS a_id, b.vec_id AS b_id,
+               CASE WHEN a.qn > 0 AND b.qn > 0
+                    THEN ROUND(list_inner_product(a.qv, b.qv)
+                               / (a.qn * b.qn), 6)
+                    ELSE -1.0 END AS cosine_sim
+        FROM assign a
+        JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    )
+    SELECT cluster_id, a_id, b_id, cosine_sim
+    FROM pairs WHERE cosine_sim >= 0.30
     """,
 )
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs by
     embedding cosine, with candidate generation restricted to
-    same-k-means-cluster pairs — the O(n²) all-pairs cosine becomes a
-    cluster-keyed equi-join over per-cluster blocks (at 100 TB, k
-    scales with n so blocks stay bounded; the join shuffles on
-    cluster_id, never cross-cluster).  Cluster assignment is computed
-    map-side on the same row as the vector (no assignment join);
-    cosine is the portable double fold of `cosine_topk_bruteforce`.
-    The 0.30 threshold is fixture-calibrated (driver embeddings are
-    near-orthogonal; real corpora use ~0.95+)."""
+    same-k-means-cluster pairs — the O(n²) all-pairs cosine becomes
+    bounded per-cluster blocks.  k is DERIVED from the corpus size
+    (max(8, ceil(n/64)), mirrored by the oracle's scalar subquery) so
+    blocks stay bounded as data grows; each cluster block's Gram
+    matrix is one exact int64 Arrow-kernel matmul over the quantized
+    vectors, so the oracle reproduces every pair and score (see
+    operators/clustering.semantic_dedup_pairs).  The 0.30 threshold is
+    fixture-calibrated (driver embeddings are near-orthogonal; real
+    corpora use ~0.95+)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return clustering.semantic_dedup_pairs(emb, 8, threshold=0.30)
+    return clustering.semantic_dedup_pairs(emb, None, threshold=0.30)
 
 
 @register(
@@ -1907,3 +1942,55 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exchange (see operators/text.boilerplate_ngrams)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.boilerplate_ngrams(docs, min_docs=3, flag_frac=0.5)
+
+
+@register(
+    "bm25_topk_docs",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+        FROM toks_t
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+               SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM per_doc
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND(
+                   ln((n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                   * ((tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+                 + ln((n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                   * ((tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+                 + ln((n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                   * ((tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+               , 6) AS score
+        FROM per_doc CROSS JOIN stats
+    )
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM scored WHERE score > 0
+    )
+    WHERE rank <= 10
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (X4 adjacency — the ranked-search leg of
+    curation): top-10 documents for the query {hash, join, vector};
+    Lucene positive-idf variant, k1=1.2, b=0.75.  Map-side term
+    frequencies, ONE single-row corpus-stats aggregate broadcast back,
+    map-side scoring, TakeOrderedAndProject top-k (see
+    operators/text.bm25_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, ["hash", "join", "vector"], k=10)
