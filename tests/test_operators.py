@@ -1330,3 +1330,45 @@ def test_bm25_plan_is_scalar_broadcast_plus_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicated_spans_planted(spark):
+    """Substring-span dedup: a 200-char span pasted into two documents
+    at DIFFERENT offsets is detected with correct offsets in both; the
+    reported span lies inside the planted region; unrelated docs yield
+    no pair; docs shorter than w are ignored; a string pasted into many
+    docs is suppressed by the occurrence cap."""
+    from ultimate_data_engineering_project_spark.operators import dedup as D
+
+    span = " ".join(f"tok{i:03d}" for i in range(29))  # 202 chars, varied
+    pre_a, pre_b = "left padding text one two ", "zz "
+    rows = [
+        (10, pre_a + span + " tail alpha"),
+        (20, pre_b + span + " other ending entirely"),
+        (30, "completely different content with no overlap whatsoever ok"),
+        (40, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.duplicated_spans(df, w=24, stride=4).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert pairs == {(10, 20)}
+    a0, b0 = len(pre_a) + 1, len(pre_b) + 1  # 1-based span starts
+    for r in out:
+        # same diagonal as the planted copy, inside the planted region
+        assert r["a_start"] - r["b_start"] == a0 - b0
+        assert r["a_start"] >= a0
+        assert r["a_start"] + r["span_len"] - 1 <= a0 + len(span) - 1
+        assert r["n_anchors"] >= 1 and r["span_len"] >= 24
+    # ~50 aligned grams at 1/4 selection: the merged span covers most
+    # of the planted region (deterministic given md5 — pin it)
+    assert max(r["span_len"] for r in out) >= 100
+
+    # occurrence cap: the same span in 6 docs with max_occ=4 -> no pairs
+    many = spark.createDataFrame(
+        [(i, f"doc head {i} " + span) for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert D.duplicated_spans(many, w=24, stride=4, max_occ=4).count() == 0
+    # ...but a cap at 16 reports all 15 pairs
+    got = D.duplicated_spans(many, w=24, stride=4, max_occ=16)
+    assert got.select("doc_a", "doc_b").distinct().count() == 15

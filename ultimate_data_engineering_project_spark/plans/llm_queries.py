@@ -1994,3 +1994,59 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.bm25_topk)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bm25_topk(docs, ["hash", "join", "vector"], k=10)
+
+
+@register(
+    "docs_duplicated_spans",
+    oracle="""
+    WITH anc AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p,
+               md5(substr(text, CAST(p AS INT), 24)) AS h
+        FROM documents, UNNEST(range(1, len(text) - 22)) AS u(p)
+        WHERE ('0x' || substr(md5(substr(text, CAST(p AS INT), 24)), 1, 12))::BIGINT
+              % 4 = 0
+    ),
+    kept AS (
+        SELECT doc_id, p, h FROM (
+            SELECT anc.*, COUNT(*) OVER (PARTITION BY h) AS occ FROM anc
+        ) WHERE occ <= 16
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.p AS pa, a.p - b.p AS diag
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, pa, diag,
+               SUM(CASE WHEN prev IS NULL OR pa - prev > 48 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT m.*,
+                   LAG(pa) OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS prev
+            FROM m
+        )
+    )
+    SELECT doc_a, doc_b, MIN(pa) AS a_start,
+           MIN(pa) - diag AS b_start,
+           MAX(pa) - MIN(pa) + 24 AS span_len,
+           COUNT(*) AS n_anchors
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, island
+    """,
+)
+def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity exact dedup (X1/X2 extension — the
+    ExactSubstr op of Lee et al. 2022): verbatim spans shared ACROSS
+    documents, found by content-defined md5 anchoring (w=24 chars,
+    expected 1-in-4 selection), one anchor-hash equi-join, and
+    diagonal islands-merge into maximal spans.  Doc-level MinHash
+    scores a pasted licence header or quoted paragraph below any
+    threshold; this reports the exact shared region and its offsets in
+    both documents (see operators/dedup.duplicated_spans for the
+    100 TB shape: anchors filtered map-side BEFORE the explode, a
+    corpus-wide occurrence cap bounding bucket blowup, and zero
+    exchanges after the match join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, w=24, stride=4, max_occ=16)
