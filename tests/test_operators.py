@@ -1372,3 +1372,45 @@ def test_duplicated_spans_planted(spark):
     # ...but a cap at 16 reports all 15 pairs
     got = D.duplicated_spans(many, w=24, stride=4, max_occ=16)
     assert got.select("doc_a", "doc_b").distinct().count() == 15
+
+
+def test_pagerank_int_vs_python_reference(spark):
+    """pagerank_int matches an exact-integer python power iteration on
+    a hand-built weighted digraph; a node with no in-edges holds the
+    teleport base; lineage checkpointing does not change results."""
+    from ultimate_data_engineering_project_spark.operators.graph import (
+        PPM,
+        pagerank_int,
+    )
+
+    raw = [(0, 1, 2), (1, 2, 1), (2, 0, 1), (0, 2, 1), (3, 0, 5)]
+    damping, iters = 850_000, 7
+    base = PPM - damping
+
+    out_tot = {}
+    for s, _, w in raw:
+        out_tot[s] = out_tot.get(s, 0) + w
+    nodes = sorted({n for e in raw for n in e[:2]})
+    r = {n: PPM for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, v, w in raw:
+            s[v] += (r[u] * w) // out_tot[u]
+        r = {n: base + (damping * s[n]) // PPM for n in nodes}
+
+    df = spark.createDataFrame(raw, "src long, dst long, weight long")
+    got = {
+        row["node"]: row["rank_ppm"]
+        for row in pagerank_int(
+            df, iters=iters, damping_ppm=damping, checkpoint_every=2
+        ).collect()
+    }
+    assert got == r
+    assert got[3] == base  # no in-edges -> pure teleport mass
+    no_ckpt = {
+        row["node"]: row["rank_ppm"]
+        for row in pagerank_int(
+            df, iters=iters, damping_ppm=damping, checkpoint_every=0
+        ).collect()
+    }
+    assert no_ckpt == got

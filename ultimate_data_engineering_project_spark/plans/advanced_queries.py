@@ -730,3 +730,90 @@ def composite_pk_lineitem_returns(spark: SparkSession, sf_dir: str) -> DataFrame
         dsum("l_extendedprice").alias("returned_revenue"),
         F.min(F.col("l_shipdate").cast("date")).alias("first_return_ship"),
     )
+
+
+def _pagerank_oracle(iters: int, damping: int = 850_000) -> str:
+    """Unrolled power-iteration CTE chain mirroring graph.pagerank_int
+    bit-for-bit: DuckDB prohibits aggregates in a recursive member, so
+    a fixed iteration count unrolls into r1..rN (all arithmetic BIGINT
+    floor division — `//` here, `div` in Spark, identical on
+    non-negative operands)."""
+    base = 1_000_000 - damping
+    parts = [
+        """
+    WITH edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               COUNT(*) AS weight
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY src, dst
+    ),
+    outd AS (SELECT src, SUM(weight) AS w_out FROM edges GROUP BY src),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst AS node FROM edges
+        )
+    ),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT n.node,
+               CAST({base} + ({damping} * COALESCE(s.s, 0)) // 1000000
+                    AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM((r.r * e.weight) // o.w_out) AS s
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN outd o ON e.src = o.src
+            GROUP BY e.dst
+        ) s ON n.node = s.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT nn.n_name AS nation, r.r AS rank_ppm
+    FROM r{iters} r JOIN nation nn ON nn.n_nationkey = r.node"""
+    )
+    return "".join(parts)
+
+
+@register("nation_trade_pagerank", oracle=_pagerank_oracle(6))
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (iterative-algorithm
+    family): nodes are nations, an edge supplier-nation → customer-
+    nation weighted by lineitem count, 6 power iterations at damping
+    0.85 in exact ppm fixed-point (see operators/graph.pagerank_int —
+    the edge frame partitions on src ONCE and only the |V|-row rank
+    frame moves per iteration; the oracle unrolls the same integer
+    recurrence).  Integer weights (counts, not revenue) keep every
+    engine's arithmetic exact."""
+    from ultimate_data_engineering_project_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = graph.pagerank_int(edges, iters=6, damping_ppm=850_000)
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select(F.col("n_name").alias("nation"), "rank_ppm")
