@@ -1414,3 +1414,32 @@ def test_pagerank_int_vs_python_reference(spark):
         ).collect()
     }
     assert no_ckpt == got
+
+
+def test_bm25_posting_index_persisted_probe(spark, sf_dir, tmp_path):
+    """The persisted sharded posting index round-trips: a probe from
+    disk returns the same top-k as the in-memory probe, and the scan
+    is PRUNED to the query terms' shard directories (PartitionFilters
+    on shard, data filter on term)."""
+    from ultimate_data_engineering_project_spark.operators import text as T
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, lexicon, stats = T.bm25_index(docs)
+    terms = ["hash", "join", "vector"]
+    mem = T.bm25_probe(postings, lexicon, stats, terms, k=10).collect()
+
+    path = str(tmp_path / "bm25_postings")
+    T.write_posting_index(postings, path)
+    disk_post = T.read_posting_shards(spark, path, terms)
+    disk = T.bm25_probe(disk_post, lexicon, stats, terms, k=10).collect()
+    assert {(r["doc_id"], r["score"], r["rank"]) for r in disk} == {
+        (r["doc_id"], r["score"], r["rank"]) for r in mem
+    }
+
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        disk_post._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    # the shard pruning predicate must actually reach the scan
+    assert "shard" in plan.split("PartitionFilters")[1].split("]")[0]

@@ -682,3 +682,122 @@ def filter_by_source_reputation(
         min_distinct_rate=min_distinct_rate,
     ).filter(F.col("is_blocked")).select(source_col)
     return df.join(broadcast(blocked), on=source_col, how="left_anti")
+
+
+def bm25_index(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Inverted-index build for BM25: ``(postings, lexicon, stats)``.
+
+    The index-once / probe-many counterpart of :func:`bm25_topk` (which
+    re-scans the corpus per query — right for one query, wrong for a
+    query workload).  postings = (term, doc_id, tf, dl) — the document
+    length rides along map-side so probes never rejoin the corpus;
+    lexicon = (term, df) per-term document frequency; stats = ONE row
+    (n docs, sdl total length).  Build cost is one tokenize pass and
+    one (term, doc_id) aggregate — partial map-side combine makes the
+    exchange carry one row per distinct (term, doc_id), not per token
+    occurrence."""
+    tv = tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tv).cast("long").alias("dl"),
+        F.explode(tv).alias("term"),
+    )
+    postings = exploded.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    lexicon = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.select(F.size(tokens(F.col(text_col))).cast("long").alias("__dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl")
+    )
+    return postings, lexicon, stats
+
+
+#: Shard count for the persisted posting layout (a term's postings land
+#: in partition directory shard=xxhash64(term) % N_SHARDS, so a probe
+#: reads only its query terms' shards via partition pruning).
+INDEX_SHARDS = 64
+
+
+def write_posting_index(postings: DataFrame, path: str, *, shards: int = INDEX_SHARDS) -> None:
+    """Persist postings partitioned by term-hash shard: at 100 TB the
+    probe's cost is the bytes scanned, and the shard directory prunes
+    the scan to |query terms| / ``shards`` of the index (asserted by
+    the PartitionFilters plan test)."""
+    postings.withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int")
+    ).write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def read_posting_shards(spark, path: str, query_terms: list[str], *, shards: int = INDEX_SHARDS) -> DataFrame:
+    """Read back ONLY the shards the query terms hash into (partition
+    pruning), then re-filter to the exact terms."""
+    wanted = (
+        spark.createDataFrame([(t,) for t in query_terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int").alias("s"))
+        .distinct()
+        .collect()
+    )  # bounded collect: one row per query term
+    shard_ids = sorted({r["s"] for r in wanted})
+    return (
+        spark.read.parquet(path)
+        .where(F.col("shard").isin(shard_ids))
+        .where(F.col("term").isin(query_terms))
+        .drop("shard")
+    )
+
+
+def bm25_probe(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 top-k from a prebuilt index: postings filtered to the query
+    terms (pushed to the scan / pruned to shards when persisted), idf
+    from the broadcast lexicon, corpus stats from the broadcast 1-row
+    frame, ONE aggregate keyed on doc_id, TakeOrderedAndProject top-k.
+
+    Per-term contributions combine via FIXED-ORDER conditional sums
+    (one column per query term, added left-to-right) — a plain SUM over
+    the group would add doubles in partition order and break the
+    cross-engine hash; this way the float evaluation order is the same
+    expression tree :func:`bm25_topk` uses, term for term."""
+    lex = lexicon.where(F.col("term").isin(query_terms))
+    post = postings.where(F.col("term").isin(query_terms))
+    j = post.join(F.broadcast(lex), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("tf")
+    contrib = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    rows = j.select("doc_id", "term", contrib.alias("__c"))
+    per_term = rows.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("__c"))).alias(f"__s_{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    score = None
+    for i in range(len(query_terms)):
+        c = F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    scored = (
+        per_term.withColumn("score", F.round(score, round_digits))
+        .filter(F.col("score") > 0)
+        .select("doc_id", "score")
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

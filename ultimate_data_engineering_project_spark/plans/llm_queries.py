@@ -2050,3 +2050,61 @@ def docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges after the match join)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicated_spans(docs, w=24, stride=4, max_occ=16)
+
+
+@register(
+    "bm25_index_topk",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS sdl FROM toks_t),
+    post AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, u.term,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks_t, UNNEST(toks) AS u(term)
+        WHERE u.term IN ('hash', 'join', 'vector')
+        GROUP BY doc_id, dl, u.term
+    ),
+    lex AS (SELECT term, COUNT(*) AS dfq FROM post GROUP BY term),
+    contribs AS (
+        SELECT p.doc_id, p.term,
+               ln((s.n - l.dfq + CAST(0.5 AS DOUBLE))
+                  / (l.dfq + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * ((p.tf * CAST(2.2 AS DOUBLE))
+                  / (p.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * p.dl
+                          / (CAST(s.sdl AS DOUBLE) / s.n)))) AS c
+        FROM post p JOIN lex l ON p.term = l.term CROSS JOIN stats s
+    ),
+    per AS (
+        SELECT doc_id,
+               ROUND(COALESCE(SUM(CASE WHEN term = 'hash' THEN c END), 0.0)
+                   + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0.0)
+                   + COALESCE(SUM(CASE WHEN term = 'vector' THEN c END), 0.0),
+                   6) AS score
+        FROM contribs GROUP BY doc_id
+    )
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM per WHERE score > 0
+    )
+    WHERE rank <= 10
+    """,
+)
+def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from a prebuilt INVERTED INDEX (the index-once/probe-many
+    twin of `bm25_topk_docs` — same query {hash, join, vector}, same
+    scores): postings + lexicon + 1-row stats built by
+    operators/text.bm25_index, probed with term-pushdown filters, a
+    broadcast lexicon join, and ONE doc-keyed aggregate whose per-term
+    conditional sums add in fixed order so the float math matches the
+    oracle bit-for-bit.  The persisted layout shards postings by term
+    hash for partition-pruned probes (write_posting_index /
+    read_posting_shards; PartitionFilters plan-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings, lexicon, stats = text.bm25_index(docs)
+    return text.bm25_probe(postings, lexicon, stats, ["hash", "join", "vector"], k=10)
