@@ -1443,3 +1443,18 @@ def test_bm25_posting_index_persisted_probe(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     # the shard pruning predicate must actually reach the scan
     assert "shard" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy pins: uniform 4-char alphabet -> exactly 2 bits;
+    single repeated char -> 0; empty text -> 0 with 0 distinct;
+    'abca' -> 1.5 bits (2*(1/4*2) + 1/2*1)."""
+    from ultimate_data_engineering_project_spark.operators.text import char_entropy
+
+    rows = [(0, "abcd"), (1, "aaaa"), (2, ""), (3, "abca")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[0]["entropy_bits"] == 2.0 and out[0]["n_distinct_chars"] == 4
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["n_distinct_chars"] == 1
+    assert out[2]["entropy_bits"] == 0.0 and out[2]["n_distinct_chars"] == 0
+    assert abs(out[3]["entropy_bits"] - 1.5) < 1e-9

@@ -801,3 +801,45 @@ def bm25_probe(
     top = scored.orderBy(F.desc("score"), "doc_id").limit(k)
     w = Window.orderBy(F.desc("score"), "doc_id")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def char_entropy(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character unigram
+    distribution, in bits — the cheap model-free quality signal that
+    separates natural text (~4 bits/char) from base64 blobs (~6) and
+    repeated-character junk (~0); a standard pre-filter dimension
+    alongside the stopword/length features in quality_features.
+
+    Float-determinism design: each character's −p·log₂p term is
+    quantized to integer NANOBITS (round(x·1e9), the QUANT_SCALE
+    discipline) and the per-document total is an exact BIGINT sum —
+    order-independent, so the cross-engine hash cannot be broken by
+    summation order.  ``entropy_bits`` is one final division.  The
+    whole thing is a map-side array fold over sorted distinct chars
+    (O(distinct·len) per doc, distinct ≈ alphabet size): no explode,
+    no shuffle, embarrassingly parallel at any corpus size."""
+    text = F.col(text_col)
+    chars = F.split(text, "")
+    n = F.size(chars)
+    cs = F.array_sort(F.array_distinct(chars))
+
+    def term(c: Column) -> Column:
+        def eq(x: Column) -> Column:
+            return x == c
+
+        p = F.size(F.filter(chars, eq)).cast("double") / n
+        return F.round(-(p * F.log2(p)) * F.lit(1000000000.0), 0).cast("long")
+
+    nb = F.when(F.length(text) > 0, F.aggregate(
+        F.transform(cs, term), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(text) > 0, F.size(cs)).otherwise(0)
+        .cast("long")
+        .alias("n_distinct_chars"),
+        nb.alias("entropy_nb"),
+        (nb / F.lit(1000000000.0)).alias("entropy_bits"),
+    )

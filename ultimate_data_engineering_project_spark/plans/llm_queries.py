@@ -2108,3 +2108,39 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     postings, lexicon, stats = text.bm25_index(docs)
     return text.bm25_probe(postings, lexicon, stats, ["hash", "join", "vector"], k=10)
+
+
+@register(
+    "docs_char_entropy",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(text) > 0
+                THEN CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+                ELSE 0 END AS n_distinct_chars,
+           nb AS entropy_nb,
+           nb / 1000000000.0 AS entropy_bits
+    FROM (
+        SELECT doc_id, text,
+               CASE WHEN len(text) > 0 THEN (
+                   SELECT CAST(COALESCE(SUM(CAST(ROUND(
+                       -(len(list_filter(string_split(text, ''), x -> x = u.c))
+                         / CAST(len(string_split(text, '')) AS DOUBLE))
+                       * log2(len(list_filter(string_split(text, ''), x -> x = u.c))
+                              / CAST(len(string_split(text, '')) AS DOUBLE))
+                       * 1000000000.0, 0) AS BIGINT)), 0) AS BIGINT)
+                   FROM UNNEST(list_sort(list_distinct(string_split(text, ''))))
+                        AS u(c)
+               ) ELSE 0 END AS nb
+        FROM documents
+    )
+    """,
+)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document (X4 quality
+    dimension — catches base64/binary blobs and repeated-char junk that
+    stopword ratios miss).  Each −p·log₂p term quantizes to integer
+    nanobits and sums as an exact BIGINT, so the score is summation-
+    order-independent and the oracle hash-matches bit-for-bit; one
+    map-side fold, no shuffle (see operators/text.char_entropy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs)
