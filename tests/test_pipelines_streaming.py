@@ -1162,3 +1162,70 @@ def test_stream_sessions_stateful_timeout_flush(spark, tmp_path):
     assert r["session_end"] == t(10, 5)
     assert r["n_events"] == 2
     assert r["sum_value"] == 3.0
+
+
+def test_stream_heavy_hitters_mg_guarantee(spark, sf_dir, tmp_path):
+    """Misra-Gries stream sketch: state stays bounded at k counters per
+    shard while the MG guarantee holds against the exact batch counts —
+    every key with true count > n_shard/k is present, and every stored
+    count is within [true - n_shard/k, true]."""
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        stream_heavy_hitters,
+    )
+
+    k, n_shards = 16, 4
+    src = str(tmp_path / "hh_src")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(16).write.parquet(src)
+
+    out = stream_heavy_hitters(
+        events_file_stream(spark, src), "user_id", k=k, n_shards=n_shards
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("SELECT * FROM hh").collect()
+    assert emitted
+    # keep only each shard's FINAL summary (highest shard_items)
+    last_n = {}
+    for r in emitted:
+        last_n[r["shard"]] = max(last_n.get(r["shard"], 0), r["shard_items"])
+    final = {
+        r["key"]: (r["shard"], r["approx_count"])
+        for r in emitted
+        if r["shard_items"] == last_n[r["shard"]]
+    }
+    # bounded state: at most k counters per shard survive
+    per_shard = {}
+    for _, (s, _c) in final.items():
+        per_shard[s] = per_shard.get(s, 0) + 1
+    assert all(c <= k for c in per_shard.values())
+
+    truth = {
+        str(r["user_id"]): (r["shard"], r["n"])
+        for r in events.groupBy(
+            F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(n_shards))
+            .cast("int")
+            .alias("shard"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    shard_n = {}
+    for _, (s, n) in truth.items():
+        shard_n[s] = shard_n.get(s, 0) + n
+    assert last_n == shard_n  # every item was consumed exactly once
+    for key, (s, true_n) in truth.items():
+        bound = shard_n[s] / k
+        if true_n > bound:
+            assert key in final, f"guaranteed heavy hitter {key} missing"
+        if key in final:
+            got = final[key][1]
+            assert true_n - bound <= got <= true_n, (key, got, true_n, bound)

@@ -1109,3 +1109,80 @@ def run_incremental_pq_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_heavy_hitters(
+    items: DataFrame,
+    key_col: str = "user_id",
+    *,
+    k: int = 32,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state (T5 surface —
+    Misra-Gries summaries, mergeable per Agarwal et al. 2012): finds
+    the frequent keys of an unbounded stream while holding at most
+    ``k`` counters per shard, however long the stream runs — the
+    bounded-memory alternative to an ever-growing groupBy().count()
+    whose state is one row per DISTINCT key forever.
+
+    Keys hash-partition into ``n_shards`` groups (xxhash64), so each
+    key's full mass lands in exactly one shard and the global answer is
+    the union of per-shard summaries.  Per micro-batch: exact pandas
+    value_counts within the batch (vectorized), merge into the k
+    counters, and when the table overflows subtract the (k+1)-th
+    largest count from every counter and drop the non-positives — the
+    mergeable-summaries rule that keeps the classic MG guarantee:
+    every stored count c_hat satisfies  true − n_shard/k ≤ c_hat ≤
+    true, and any key with true count > n_shard/k is guaranteed
+    present (pinned by the batch-twin test).
+
+    Emits the full summary per shard every trigger:
+    ``(shard, key, approx_count, shard_items)``.  State is two
+    length-≤k arrays + a counter per shard — bytes, not keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "shard int, key string, approx_count long, shard_items long"
+    state_schema = "keys array<string>, counts array<long>, n long"
+
+    def update(key, pdf_iter, state: GroupState):
+        shard = key[0]
+        if state.exists:
+            ks, cs, n = state.get
+            ctr = dict(zip(ks, cs))
+        else:
+            ctr, n = {}, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            vc = pdf["__key"].value_counts()
+            n += int(vc.sum())
+            for kk, c in vc.items():
+                ctr[kk] = ctr.get(kk, 0) + int(c)
+            if len(ctr) > k:
+                vals = sorted(ctr.values(), reverse=True)
+                sub = vals[k]  # the (k+1)-th largest
+                ctr = {kk: c - sub for kk, c in ctr.items() if c - sub > 0}
+        state.update((list(ctr.keys()), [int(v) for v in ctr.values()], n))
+        yield pd.DataFrame(
+            {
+                "shard": pd.Series([shard] * len(ctr), dtype="int32"),
+                "key": list(ctr.keys()),
+                "approx_count": [int(v) for v in ctr.values()],
+                "shard_items": [n] * len(ctr),
+            }
+        )
+
+    keyed = items.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("__shard"),
+        F.col(key_col).cast("string").alias("__key"),
+    )
+    return keyed.groupBy("__shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
