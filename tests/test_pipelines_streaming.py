@@ -1229,3 +1229,50 @@ def test_stream_heavy_hitters_mg_guarantee(spark, sf_dir, tmp_path):
         if key in final:
             got = final[key][1]
             assert true_n - bound <= got <= true_n, (key, got, true_n, bound)
+
+
+def test_incremental_bm25_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally-built BM25 index answers a query IDENTICALLY
+    (scores and ranks, float for float) to a from-scratch bm25_topk
+    over the full corpus; a before_batch view replays the index at a
+    batch boundary and scores only that prefix."""
+    from ultimate_data_engineering_project_spark.operators import text as T
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_incremental_bm25_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    third = n // 3
+    src = str(tmp_path / "docs_src")
+    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, n)]):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(src + f"/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    index_dir, stats_dir = str(tmp_path / "bm25_idx"), str(tmp_path / "bm25_st")
+    q = run_incremental_bm25_stream(
+        spark, stream, index_dir, stats_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    terms = ["hash", "join", "vector"]
+    inc = T.bm25_query_incremental(spark, index_dir, stats_dir, terms, k=10)
+    full = T.bm25_topk(docs, terms, k=10)
+    assert [
+        (r["doc_id"], r["score"], r["rank"]) for r in inc.collect()
+    ] == [(r["doc_id"], r["score"], r["rank"]) for r in full.collect()]
+
+    # replay view: index as of batch 1 == from-scratch over batch 0 docs
+    prefix = T.bm25_query_incremental(
+        spark, index_dir, stats_dir, terms, k=10, before_batch=1
+    )
+    full0 = T.bm25_topk(docs.filter(F.col("doc_id") < third), terms, k=10)
+    assert [
+        (r["doc_id"], r["score"], r["rank"]) for r in prefix.collect()
+    ] == [(r["doc_id"], r["score"], r["rank"]) for r in full0.collect()]

@@ -843,3 +843,51 @@ def char_entropy(
         nb.alias("entropy_nb"),
         (nb / F.lit(1000000000.0)).alias("entropy_bits"),
     )
+
+
+def bm25_query_incremental(
+    spark,
+    index_dir: str,
+    stats_dir: str,
+    query_terms: list[str],
+    *,
+    shards: int = INDEX_SHARDS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """BM25 top-k against the INCREMENTALLY-built index
+    (run_incremental_bm25_stream's on-disk layout:
+    ``index_dir/batch=<id>/shard=<s>`` postings and
+    ``stats_dir/batch=<id>`` one-row partials).
+
+    The probe scans only the query terms' shard directories across all
+    batch partitions (two-level pruning), derives each term's df by
+    COUNTING its pruned posting rows (doc ids are append-only unique,
+    so postings rows are (term, doc) unique corpus-wide), and sums the
+    per-batch stats partials into the global (N, avgdl) — so the score
+    is IDENTICAL, float for float, to a from-scratch bm25_topk over
+    the full corpus (pinned by the stream test).  ``before_batch``
+    replays the index as of a batch boundary (the replay-idempotence
+    view every incremental stream here exposes)."""
+    post = spark.read.option("basePath", index_dir).parquet(index_dir)
+    stats_raw = spark.read.option("basePath", stats_dir).parquet(stats_dir)
+    if before_batch is not None:
+        post = post.where(F.col("batch") < before_batch)
+        stats_raw = stats_raw.where(F.col("batch") < before_batch)
+    wanted = (
+        spark.createDataFrame([(t,) for t in query_terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(shards)).cast("int").alias("s"))
+        .distinct()
+        .collect()
+    )  # bounded collect: one row per query term
+    shard_ids = sorted({r["s"] for r in wanted})
+    post = (
+        post.where(F.col("shard").isin(shard_ids))
+        .where(F.col("term").isin(query_terms))
+        .drop("shard", "batch")
+    )
+    lexicon = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = stats_raw.agg(F.sum("n").alias("n"), F.sum("sdl").alias("sdl"))
+    return bm25_probe(post, lexicon, stats, query_terms, k1=k1, b=b, k=k)

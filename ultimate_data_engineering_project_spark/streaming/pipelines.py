@@ -1186,3 +1186,62 @@ def stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_incremental_bm25_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    stats_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int | None = None,
+    available_now: bool = True,
+):
+    """The lexical-search face of the incremental contract (dedup, IVF,
+    PQ have it — this closes the index family): arriving documents
+    extend the sharded BM25 posting index per micro-batch, so a query
+    workload probes an always-current index without EVER re-tokenizing
+    the corpus.
+
+    Per batch (foreachBatch — cross-batch state IS the on-disk index):
+    the batch's postings (term, doc_id, tf, dl) land under
+    ``index_dir/batch=<id>/shard=<hash(term) % shards>`` and its ONE
+    stats row (n docs, total length) under ``stats_dir/batch=<id>``.
+    Global statistics are never maintained in place — they are the SUM
+    of immutable per-batch partials, which is what makes the layout
+    replay-idempotent: a crash-replayed batch overwrites its own
+    ``batch=<id>`` partitions and nothing else (the dedup stream's
+    rule).  Probe cost: term-shard directory pruning keeps the scan at
+    |query terms|/shards of the index regardless of corpus size;
+    stats/lexicon derive from the pruned subset + the tiny partials.
+
+    Query with operators/text.bm25_query_incremental; equality with a
+    from-scratch full-corpus bm25_topk is pinned by the stream test.
+    """
+    from ultimate_data_engineering_project_spark.operators import text as _text
+
+    n_shards = _text.INDEX_SHARDS if shards is None else shards
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        postings, _, stats = _text.bm25_index(
+            batch_df, id_col=id_col, text_col=text_col
+        )
+        postings.withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
+        ).write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+        stats.write.mode("overwrite").parquet(
+            os.path.join(stats_dir, f"batch={batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
