@@ -1458,3 +1458,60 @@ def test_char_entropy_known_values(spark):
     assert out[1]["entropy_bits"] == 0.0 and out[1]["n_distinct_chars"] == 1
     assert out[2]["entropy_bits"] == 0.0 and out[2]["n_distinct_chars"] == 0
     assert abs(out[3]["entropy_bits"] - 1.5) < 1e-9
+
+
+def test_bpe_merges_vs_python_reference(spark):
+    """bpe_merges equals a classic in-memory BPE trainer (greedy
+    left-to-right merge, lexicographic tie-break) on a corpus with
+    overlapping pairs ('aaa') and prefix-sharing symbols; the
+    separator guard and pair-exhaustion error fire loudly."""
+    import pytest as _pytest
+
+    from ultimate_data_engineering_project_spark.operators.text import bpe_merges
+
+    corpus = ["aaa aaa ab", "low lower lowest low", "aaa ab ab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+
+    # reference trainer (Sennrich-style, word-frequency dict)
+    words = {}
+    for t in corpus:
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    vocab = {tuple(w): n for w, n in words.items()}
+    want = []
+    for step in range(1, 6):
+        counts = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        (s1, s2), total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, s1, s2, s1 + s2, total))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+
+    got = [
+        (r["step"], r["sym1"], r["sym2"], r["merged"], r["pair_n"])
+        for r in bpe_merges(df, 5).orderBy("step").collect()
+    ]
+    assert got == want
+
+    bad = spark.createDataFrame([(0, "has\x1fsep")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="separator"):
+        bpe_merges(bad, 1)
+    tiny = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="exhausted"):
+        bpe_merges(tiny, 1)

@@ -891,3 +891,108 @@ def bm25_query_incremental(
     lexicon = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = stats_raw.agg(F.sum("n").alias("n"), F.sum("sdl").alias("sdl"))
     return bm25_probe(post, lexicon, stats, query_terms, k1=k1, b=b, k=k)
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Byte-pair-encoding VOCABULARY INDUCTION (Sennrich et al. 2016):
+    learn the first ``n_merges`` BPE merge rules from a corpus —
+    returns ``(step, sym1, sym2, merged, pair_n)``, the ordered merge
+    table a tokenizer trainer emits.  The iterative sibling of
+    `docs_bpe_token_stats` (which only COUNTS with a fixed
+    pre-tokenizer; this LEARNS the vocabulary).
+
+    Classic BPE is a single-machine loop over a word-frequency dict;
+    the distributed recast keeps exactly that structure but makes each
+    step a bounded Spark job over the DISTINCT-WORD frame (vocabulary,
+    not corpus, cardinality — millions of rows at 100 TB, after one
+    corpus-wide tokenize+count):
+
+    - each word's symbol sequence is a WRAPPED STRING
+      ``{sep}s1{sep}{sep}s2{sep}…`` — merging pair (a,b) is then ONE
+      engine-portable substring replace of ``{sep}a{sep}{sep}b{sep}``
+      with ``{sep}ab{sep}`` whose left-to-right non-overlapping scan
+      IS greedy BPE merge order, and the double-separator wrapping
+      makes prefix-sharing symbols unambiguous without regex lookahead
+      (RE2 — the DuckDB oracle — has none);
+    - pair counting explodes adjacent symbol pairs map-side and sums
+      word counts per pair (one keyed shuffle);
+    - the argmax pair (ties: lexicographic on sym1, sym2 — pinned in
+      both engines) is a DOCUMENTED BOUNDED COLLECT of one row per
+      step, the same driver-loop shape as kmeans_refine's centroid
+      collect;
+    - the vocab frame localCheckpoints each step, so step t+1 reads a
+      materialized vocab instead of recomputing t replaces.
+
+    ``sep`` (default unit-separator \\x1f) must not occur in the
+    corpus; a loud guard raises if it does.  Raises if the corpus
+    exhausts mergeable pairs before ``n_merges`` (the oracle unrolls a
+    fixed step count)."""
+    spark = df.sparkSession
+    if df.where(F.col(text_col).contains(sep)).limit(1).count():
+        raise ValueError(
+            "bpe_merges separator occurs in the corpus; pass a sep "
+            "character absent from the text"
+        )
+    sep2 = sep + sep
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit(sep), F.array_join(F.split("word", ""), sep2), F.lit(sep)
+            ).alias("w"),
+            "n",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                F.expr(
+                    f"split(substring(w, 2, length(w)-2), '{sep2}')"
+                ).alias("l"),
+                "n",
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(l, 1, size(l)-1),"
+                        " slice(l, 2, size(l)-1),"
+                        " (x, y) -> struct(x AS s1, y AS s2))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("n").alias("total"))
+            .orderBy(F.desc("total"), "s1", "s2")
+            .limit(1)
+            .collect()
+        )  # bounded collect: exactly one argmax row per merge step
+        if not pairs:
+            raise ValueError(
+                f"corpus exhausted mergeable pairs at step {step} "
+                f"(< n_merges={n_merges})"
+            )
+        s1, s2, total = pairs[0]["s1"], pairs[0]["s2"], pairs[0]["total"]
+        merges.append((step, s1, s2, s1 + s2, total))
+        words = words.select(
+            F.replace(
+                F.col("w"),
+                F.lit(sep + s1 + sep2 + s2 + sep),
+                F.lit(sep + s1 + s2 + sep),
+            ).alias("w"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step long, sym1 string, sym2 string, merged string, pair_n long"
+    )

@@ -2144,3 +2144,64 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side fold, no shuffle (see operators/text.char_entropy)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.char_entropy(docs)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE-training CTE chain mirroring text.bpe_merges: the
+    wrapped-symbol replace trick makes each merge ONE substring
+    replace, so a fixed merge count unrolls into (pairs -> argmax ->
+    replace) triples.  chr(31) is the \\x1f separator."""
+    s, ss = "chr(31)", "chr(31)||chr(31)"
+    parts = [
+        f"""
+    WITH words0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT u.word FROM documents,
+                 UNNEST(string_split(text, ' ')) AS u(word)
+        )
+        WHERE len(word) > 0 GROUP BY word
+    ),
+    w0 AS (
+        SELECT {s} || array_to_string(string_split(word, ''), {ss}) || {s}
+                   AS w, n
+        FROM words0
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    p{i} AS (
+        SELECT s1, s2, CAST(SUM(n) AS BIGINT) AS total FROM (
+            SELECT l[j] AS s1, l[j + 1] AS s2, n FROM (
+                SELECT string_split(substr(w, 2, len(w) - 2), {ss}) AS l, n
+                FROM w{i - 1}
+            ), UNNEST(range(1, len(l))) AS r(j)
+        ) GROUP BY s1, s2
+    ),
+    b{i} AS (SELECT s1, s2, total FROM p{i}
+             ORDER BY total DESC, s1, s2 LIMIT 1),
+    w{i} AS (
+        SELECT replace(w, {s}||s1||{ss}||s2||{s}, {s}||s1||s2||{s}) AS w, n
+        FROM w{i - 1} CROSS JOIN b{i}
+    )"""
+        )
+    steps = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, s1 AS sym1, s2 AS sym2, "
+        f"s1 || s2 AS merged, total AS pair_n FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    {steps}")
+    return "".join(parts)
+
+
+@register("docs_bpe_merges", oracle=_bpe_oracle(6))
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction over the corpus (X4 iterative — learns
+    the first 6 merge rules a tokenizer trainer would emit; see
+    operators/text.bpe_merges for the wrapped-symbol replace recast
+    that keeps each step one keyed shuffle over the VOCABULARY frame
+    plus a one-row argmax collect, with the DuckDB oracle unrolling
+    the identical greedy recurrence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_merges(docs, 6)
