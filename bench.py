@@ -83,6 +83,9 @@ HEADLINE = [
     "kmeans_lloyd_refine_int",
     "semantic_dedup_pairs",
     "docs_boilerplate_ngrams",
+    # r8 (this session): substring-span dedup — the per-position md5
+    # anchor fold + hash self-join is the newest heavy map+shuffle path
+    "docs_duplicated_spans",
 ]
 
 
