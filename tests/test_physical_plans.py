@@ -129,8 +129,10 @@ NESTED_LOOP_ALLOWED = {
     # (scalar-subquery family)
     "fakestream_fraud_scores",
     # BM25 corpus stats (N, avgdl, per-term df) are a 1-ROW broadcast
-    # crossJoin (scalar-subquery family)
+    # crossJoin (scalar-subquery family) — both the full-scan entry and
+    # the inverted-index probe share it
     "bm25_topk_docs",
+    "bm25_index_topk",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep
