@@ -1276,3 +1276,52 @@ def test_incremental_bm25_stream_matches_batch(spark, sf_dir, tmp_path):
     assert [
         (r["doc_id"], r["score"], r["rank"]) for r in prefix.collect()
     ] == [(r["doc_id"], r["score"], r["rank"]) for r in full0.collect()]
+
+
+def test_incremental_span_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming span probe (anchors vs history index) emits
+    exactly the CROSS-BATCH spans the batch duplicated_spans operator
+    finds (orientation flipped: stream reports new-vs-old, the batch
+    op smaller-vs-larger id; batches arrive in ascending id order)."""
+    from ultimate_data_engineering_project_spark.operators import dedup
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_incremental_span_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    third = n // 3
+    src = str(tmp_path / "span_src")
+    for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, n)]):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(src + f"/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = run_incremental_span_stream(
+        spark,
+        stream,
+        str(tmp_path / "span_idx"),
+        str(tmp_path / "spans"),
+        str(tmp_path / "ckpt"),
+        w=24,
+        stride=4,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_b, r.doc_a, r.b_start, r.a_start, r.span_len, r.n_anchors)
+        for r in spark.read.parquet(str(tmp_path / "spans")).collect()
+    }
+
+    full = dedup.duplicated_spans(docs, w=24, stride=4, max_occ=1 << 60)
+    batch_of = lambda d: 0 if d < third else (1 if d < 2 * third else 2)
+    want = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_len, r.n_anchors)
+        for r in full.collect()
+        if batch_of(r.doc_a) != batch_of(r.doc_b)
+    }
+    assert got == want and len(want) > 0

@@ -1313,14 +1313,44 @@ def duplicated_spans(
     with 1-based character offsets; ``span_len = last_anchor_pos −
     first_anchor_pos + w`` (the verified-duplicated extent).
     """
-    from pyspark.sql import Window
+    if merge_gap is None:
+        merge_gap = 2 * w
+    kept = _cap_anchor_occurrences(
+        span_anchors(df, w=w, stride=stride, id_col=id_col, text_col=text_col),
+        max_occ,
+    )
+    matches = (
+        kept.alias("a")
+        .join(kept.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.p").alias("pa"),
+            (F.col("a.p") - F.col("b.p")).alias("diag"),
+        )
+    )
+    return merge_match_spans(matches, w=w, merge_gap=merge_gap,
+                             min_anchors=min_anchors)
 
+
+def span_anchors(
+    df: DataFrame,
+    *,
+    w: int = 24,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined anchor extraction (the shared first stage of
+    `duplicated_spans` and its incremental stream): ``(doc_id, p, h)``
+    — md5 of every w-gram, kept iff hash ≡ 0 (mod stride), filtered
+    inside the array fold BEFORE the explode.  The anchor frame IS the
+    persisted span index layout."""
     from ultimate_data_engineering_project_spark.operators.text import (
         _spread_narrow_scan,
     )
 
-    if merge_gap is None:
-        merge_gap = 2 * w
     # the per-position md5 fold dominates: a local few-file scan must
     # be spread or one core hashes the whole corpus (no-op at cluster
     # scale where the input is thousands of splits)
@@ -1339,25 +1369,40 @@ def duplicated_spans(
         % stride
         == 0,
     )
-    anchors = (
+    return (
         df.where(F.length(text) >= w)
         .select(F.col(id_col).alias("doc_id"), F.explode(sel).alias("a"))
         .select("doc_id", F.col("a.p").alias("p"), F.col("a.h").alias("h"))
     )
-    kept = (
+
+
+def _cap_anchor_occurrences(anchors: DataFrame, max_occ: int) -> DataFrame:
+    """Boilerplate cap: drop anchor hashes occurring > max_occ times in
+    the given frame (degenerate-bucket bound for the h-keyed join)."""
+    from pyspark.sql import Window
+
+    return (
         anchors.withColumn(
             "__occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
         )
         .where(F.col("__occ") <= max_occ)
         .drop("__occ")
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    matches = a.join(b, "h").where(F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.p").alias("pa"),
-        (F.col("a.p") - F.col("b.p")).alias("diag"),
-    )
+
+
+def merge_match_spans(
+    matches: DataFrame,
+    *,
+    w: int,
+    merge_gap: int,
+    min_anchors: int = 1,
+) -> DataFrame:
+    """Diagonal islands-merge (the shared last stage): matches
+    ``(doc_a, doc_b, pa, diag)`` on the same diagonal merge into
+    maximal spans; the groupBy keys on a superset of the window's
+    partition key, so no second exchange."""
+    from pyspark.sql import Window
+
     wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = matches.withColumn("__prev", F.lag("pa").over(wd)).withColumn(
         "island",

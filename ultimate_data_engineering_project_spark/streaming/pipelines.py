@@ -1245,3 +1245,87 @@ def run_incremental_bm25_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_incremental_span_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    spans_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 24,
+    stride: int = 4,
+    merge_gap: int | None = None,
+    max_occ: int | None = None,
+    min_anchors: int = 1,
+    available_now: bool = True,
+):
+    """Substring-span dedup on a stream (X1/X2 extension — the
+    incremental face of operators/dedup.duplicated_spans): arriving
+    documents are checked for verbatim shared spans against everything
+    indexed so far, then their own anchors extend the index — the same
+    per-batch-cost contract dedup/IVF/PQ/BM25 carry.
+
+    Per micro-batch (foreachBatch — cross-batch state IS the on-disk
+    anchor index):
+      1. probe: the batch's content-defined anchors equi-join the
+         HISTORY index (``batch < batch_id`` partitions only — the
+         replay-idempotence read) on the anchor hash; diagonal
+         islands-merge produces ``(doc_a=new, doc_b=old, a_start,
+         b_start, span_len, n_anchors)`` -> ``spans_dir/batch=<id>``;
+      2. extend: the batch's anchor frame lands under
+         ``index_dir/batch=<id>`` (overwrite — idempotent).
+
+    ``max_occ`` here caps an anchor hash's occurrences within
+    (history + batch) at probe time — a PER-PROBE boilerplate bound;
+    with the cap off, the stream's output is EXACTLY the cross-batch
+    subset of the batch operator's spans (pinned by the stream test).
+    Per-batch cost: O(batch anchors x matched history occupancy),
+    never O(corpus) — history contributes only rows whose hash the
+    batch mentions."""
+    from ultimate_data_engineering_project_spark.operators import dedup
+
+    gap = 2 * w if merge_gap is None else merge_gap
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        anchors = dedup.span_anchors(
+            batch_df, w=w, stride=stride, id_col=id_col, text_col=text_col
+        )
+        hist = _read_batch_partitions(spark, index_dir, batch_id)
+        if hist is not None:
+            new_a, old_a = anchors, hist
+            if max_occ is not None:
+                both = new_a.select("h").union(old_a.select("h"))
+                occ = both.groupBy("h").agg(F.count(F.lit(1)).alias("__occ"))
+                hot = occ.where(F.col("__occ") > max_occ).select("h")
+                new_a = new_a.join(hot, "h", "left_anti")
+                old_a = old_a.join(hot, "h", "left_anti")
+            matches = (
+                new_a.alias("a")
+                .join(old_a.alias("b"), "h")
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.p").alias("pa"),
+                    (F.col("a.p") - F.col("b.p")).alias("diag"),
+                )
+            )
+            dedup.merge_match_spans(
+                matches, w=w, merge_gap=gap, min_anchors=min_anchors
+            ).write.mode("overwrite").parquet(
+                os.path.join(spans_dir, f"batch={batch_id}")
+            )
+        anchors.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
