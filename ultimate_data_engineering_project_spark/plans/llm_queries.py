@@ -2205,3 +2205,136 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical greedy recurrence)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_merges(docs, 6)
+
+
+@register(
+    "docs_search_pipeline",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bstats AS (SELECT COUNT(*) AS n, SUM(len(toks)) AS sdl FROM toks_t),
+    per_doc AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+        FROM toks_t
+    ),
+    dfs AS (
+        SELECT SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM per_doc
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND(
+                   ln((n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                   * ((tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+                 + ln((n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                   * ((tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+                 + ln((n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+                   * ((tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+               , 6) AS score
+        FROM per_doc CROSS JOIN bstats CROSS JOIN dfs
+    ),
+    cand AS (
+        SELECT doc_id, score FROM (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM scored WHERE score > 0
+        ) WHERE rk <= 50
+    ),
+    q AS ({quality}),
+    ent AS (
+        SELECT doc_id, nb / 1000000000.0 AS entropy_bits
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(text) > 0 THEN (
+                       SELECT CAST(COALESCE(SUM(CAST(ROUND(
+                           -(len(list_filter(string_split(text, ''), x -> x = u.c))
+                             / CAST(len(string_split(text, '')) AS DOUBLE))
+                           * log2(len(list_filter(string_split(text, ''), x -> x = u.c))
+                                  / CAST(len(string_split(text, '')) AS DOUBLE))
+                           * 1000000000.0, 0) AS BIGINT)), 0) AS BIGINT)
+                       FROM UNNEST(list_sort(list_distinct(string_split(text, ''))))
+                            AS u(c)
+                   ) ELSE 0 END AS nb
+            FROM documents
+        )
+    ),
+    occ AS (
+        SELECT doc_id,
+               md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS gid
+        FROM toks_t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    ),
+    boiler AS (
+        SELECT gid
+        FROM (SELECT gid, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY gid)
+        WHERE nd >= 3
+    ),
+    bflag AS (
+        SELECT t.doc_id,
+               CASE WHEN len(t.toks) >= 3 THEN
+                   ROUND(CAST(COALESCE(h.nb, 0) AS DOUBLE)
+                         / (len(t.toks) - 2), 6) >= 0.5
+               ELSE FALSE END AS is_boilerplate
+        FROM toks_t t LEFT JOIN (
+            SELECT o.doc_id, COUNT(*) AS nb
+            FROM occ o JOIN boiler b ON b.gid = o.gid
+            GROUP BY o.doc_id
+        ) h ON h.doc_id = t.doc_id
+    ),
+    gated AS (
+        SELECT c.doc_id, c.score, q.quality_score, e.entropy_bits
+        FROM cand c
+        JOIN q USING (doc_id)
+        JOIN ent e USING (doc_id)
+        JOIN bflag USING (doc_id)
+        WHERE q.quality_score >= 0.5
+          AND e.entropy_bits >= 3.0
+          AND NOT bflag.is_boilerplate
+    )
+    SELECT doc_id, score, quality_score, entropy_bits,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM gated
+    )
+    WHERE rank <= 10
+    """.format(quality=_QUALITY_CTE),
+)
+def docs_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-retrieval flagship (the lexical-search sibling of
+    `docs_curation_pipeline`): BM25 retrieves 50 candidates for
+    {hash, join, vector}, then three quality gates prune them — shared
+    quality formula >= 0.5, char entropy >= 3.0 bits (base64/junk
+    filter), and the corpus-global boilerplate flag — and the
+    survivors re-rank to a final top-10.  Everything composes
+    operators already oracle-checked alone (bm25_topk, quality_score,
+    char_entropy, boilerplate_ngrams); the candidate set stays 50 rows
+    after retrieval, so every gate join broadcasts it."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = text.bm25_topk(docs, ["hash", "join", "vector"], k=50).drop("rank")
+    q = text.quality_score(docs).select("doc_id", "quality_score")
+    ent = text.char_entropy(docs).select("doc_id", "entropy_bits")
+    bl = text.boilerplate_ngrams(docs, min_docs=3, flag_frac=0.5).select(
+        "doc_id", "is_boilerplate"
+    )
+    gated = (
+        cand.join(q, "doc_id")
+        .join(ent, "doc_id")
+        .join(bl, "doc_id")
+        .where(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("entropy_bits") >= 3.0)
+            & ~F.col("is_boilerplate")
+        )
+        .select("doc_id", "score", "quality_score", "entropy_bits")
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        gated.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
