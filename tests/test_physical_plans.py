@@ -318,3 +318,23 @@ def test_boilerplate_exchange_keys_are_fingerprints(spark, sf_dir):
     offenders = [e for e in exchanges if "__gram" in e]
     assert not offenders, offenders
     assert any("__gid" in e for e in exchanges), exchanges
+
+
+def test_duplicated_spans_plan_properties(spark, sf_dir):
+    """Span-dedup scale contract: (a) the per-position md5 anchor
+    extraction materializes ONCE — the self-join's second branch rides
+    a ReusedExchange at runtime instead of re-hashing the corpus; (b)
+    no exchange hash-partitions on raw document text (anchors shuffle
+    on the 32-hex hash); (c) the islands window feeds the span groupBy
+    without a second exchange (the groupBy keys are a superset of the
+    window partition key)."""
+    df = SPECS["docs_duplicated_spans"].fn(spark, sf_dir)
+    # static plan: exchange keys (details section lists every node once)
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan(df))
+    assert keys
+    assert not [k for k in keys if "text" in k], keys
+    # exactly one exchange carries the diagonal key: the islands
+    # window's — the span groupBy adds none (superset partition key)
+    assert sum(1 for k in keys if "diag" in k) == 1, keys
+    df.collect()  # AQE: reuse only visible in the executed plan
+    assert "ReusedExchange" in plan(df)
