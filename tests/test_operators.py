@@ -1515,3 +1515,16 @@ def test_bpe_merges_vs_python_reference(spark):
     tiny = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="exhausted"):
         bpe_merges(tiny, 1)
+
+
+def test_pagerank_int_overflow_guard(spark):
+    """An edge frame whose |V| * PPM * max_weight exceeds int64 is
+    rejected loudly instead of wrapping silently."""
+    import pytest as _pytest
+
+    from ultimate_data_engineering_project_spark.operators.graph import pagerank_int
+
+    big = 1 << 45  # 2 nodes * 1e6 ppm * 2^45 > 2^63
+    df = spark.createDataFrame([(0, 1, big)], "src long, dst long, weight long")
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank_int(df, iters=1)

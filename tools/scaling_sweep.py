@@ -29,6 +29,12 @@ ENTRIES = [
     "incremental_near_dup_md5",
     "timeseries_similar_users",
     "docs_curation_pipeline",
+    # r8 session additions: the three heaviest new paths — per-position
+    # anchor hashing + hash self-join; cluster-blocked Gram matmuls
+    # with corpus-derived k; one full Lloyd iteration
+    "docs_duplicated_spans",
+    "semantic_dedup_pairs",
+    "kmeans_lloyd_refine_int",
 ]
 N_RUNS = 2
 

@@ -52,6 +52,16 @@ def pagerank_int(
     — it is repartitioned on src once, before the loop), then one
     aggregate keyed on dst.  At 100 TB of edges that is the minimal
     movement a distributed power iteration admits.
+
+    Overflow bound (honest, not hand-waved): the per-edge product
+    ``r · weight`` must stay below 2^63.  Since Σr ≤ |V|·PPM (rank
+    mass never grows), r ≤ |V|·PPM in the worst concentration, so the
+    exact condition is |V| · PPM · max_weight < 2^63 — e.g. 10^6 nodes
+    with weights up to 10^6 peaks at 10^18 (safe); beyond that,
+    pre-normalize weights per src (they only enter via
+    weight/w_out).  A loud guard below rejects edge frames whose
+    |V|·max_weight already breaks the bound rather than wrapping
+    silently (Spark longs are non-ANSI modular here).
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -74,6 +84,15 @@ def pagerank_int(
         # re-running the edge scan for the node set every time
         .localCheckpoint()
     )
+    # overflow guard (see docstring): one 2-row bounded collect
+    bound = e2.agg(F.max("weight").alias("mw")).collect()[0]["mw"]
+    n_nodes = nodes.count()
+    if bound is not None and n_nodes * PPM * bound >= (1 << 63):
+        raise ValueError(
+            f"pagerank_int overflow: |V|={n_nodes} * PPM * "
+            f"max_weight={bound} exceeds int64; pre-normalize edge "
+            "weights per src (only weight/w_out enters the recurrence)"
+        )
     base = PPM - damping_ppm
     r = nodes.select("node", F.lit(PPM).cast("long").alias("r"))
     for i in range(iters):
