@@ -1517,6 +1517,63 @@ def test_bpe_merges_vs_python_reference(spark):
         bpe_merges(tiny, 1)
 
 
+def test_bpe_token_frequencies_vs_python_reference(spark):
+    """bpe_token_frequencies equals encoding the corpus with the
+    in-memory trainer's final vocab, and conserves characters: the
+    token-weighted character total equals the raw corpus character
+    count (merges move boundaries, never characters)."""
+    from ultimate_data_engineering_project_spark.operators.text import (
+        bpe_token_frequencies,
+    )
+
+    corpus = ["aaa aaa ab", "low lower lowest low", "aaa ab ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+    words = {}
+    for t in corpus:
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    vocab = {tuple(w): n for w, n in words.items()}
+    for _ in range(5):
+        counts = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        (s1, s2), _total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+
+    want_freq = {}
+    for syms, n in vocab.items():
+        for tok in syms:
+            want_freq[tok] = want_freq.get(tok, 0) + n
+    want = sorted(want_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    got = [
+        (r["token"], r["n_tok"])
+        for r in bpe_token_frequencies(df, 5, k=10_000).collect()
+    ]
+    assert got == want
+
+    n_chars = sum(len(w) * n for w, n in words.items())
+    assert sum(len(tok) * n for tok, n in got) == n_chars
+
+
 def test_pagerank_int_overflow_guard(spark):
     """An edge frame whose |V| * PPM * max_weight exceeds int64 is
     rejected loudly instead of wrapping silently."""

@@ -133,6 +133,9 @@ NESTED_LOOP_ALLOWED = {
     # the inverted-index probe share it
     "bm25_topk_docs",
     "bm25_index_topk",
+    # the curated-retrieval flagship inherits bm25_topk's 1-row corpus
+    # stats broadcast (verified: the ONLY nested loop in its plan)
+    "docs_search_pipeline",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep

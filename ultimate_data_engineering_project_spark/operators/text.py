@@ -952,6 +952,28 @@ def bpe_merges(
     exhausts mergeable pairs before ``n_merges`` (the oracle unrolls a
     fixed step count)."""
     spark = df.sparkSession
+    merges, _ = _bpe_loop(df, n_merges, text_col=text_col, sep=sep)
+    return spark.createDataFrame(
+        merges, "step long, sym1 string, sym2 string, merged string, pair_n long"
+    )
+
+
+def _bpe_loop(
+    df: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str,
+    sep: str,
+) -> tuple[list[tuple], DataFrame]:
+    """Shared BPE trainer core: runs the greedy merge recurrence and
+    returns BOTH artifacts it produces — the ordered merge table
+    (driver-side list, one bounded-collect row per step) and the final
+    VOCAB frame ``(w, n)`` in which every distinct word already carries
+    its fully-merged wrapped symbol string.  `bpe_merges` keeps the
+    first; `bpe_token_frequencies` keeps the second (encoding the
+    corpus under the learned merges is just exploding this frame —
+    the trainer applies each merge to the vocab as it learns, so the
+    encode pass is free)."""
     if df.where(F.col(text_col).contains(sep)).limit(1).count():
         raise ValueError(
             "bpe_merges separator occurs in the corpus; pass a sep "
@@ -1011,6 +1033,53 @@ def bpe_merges(
             ).alias("w"),
             "n",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step long, sym1 string, sym2 string, merged string, pair_n long"
+    return merges, words
+
+
+def bpe_token_frequencies(
+    df: DataFrame,
+    n_merges: int,
+    *,
+    k: int = 100,
+    text_col: str = "text",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """BPE ENCODING of the corpus under a freshly-learned merge table:
+    the top-``k`` token frequencies ``(token, n_tok)`` the tokenizer
+    would emit — the application-side twin of `bpe_merges` (which only
+    returns the rules).  Reference has no tokenizer; this is the
+    driver-contract training-data op (token counting under a LEARNED
+    vocab rather than `bpe_ish_tokens`' fixed pre-tokenizer).
+
+    Zero extra passes over the corpus: the trainer's merge loop applies
+    each rule to the distinct-word vocab frame as it learns, so after
+    ``n_merges`` steps that frame IS the encoded vocabulary — each word
+    mapped to its final symbol sequence, weighted by corpus frequency.
+    Encoding therefore never touches corpus-cardinality data again:
+    split each wrapped vocab row into its symbols, explode, and sum the
+    word counts per token (one keyed shuffle over vocab cardinality).
+    Sequential replace-all in learned-merge order is exactly Sennrich's
+    priority-queue apply for tables BPE itself learned (rule t's
+    symbols only exist once rules < t have fired, so rule order and
+    pair-rank order coincide).
+
+    Output is ordered ``n_tok DESC, token`` and LIMITed to ``k`` so the
+    result is deterministic and hash-comparable; ties break
+    lexicographically on both engines.  Invariant (pinned in tests):
+    ``SUM(n_tok * len(token))`` over ALL tokens equals the corpus
+    character count — merges rearrange symbol boundaries, never
+    characters."""
+    _, words = _bpe_loop(df, n_merges, text_col=text_col, sep=sep)
+    sep2 = sep + sep
+    return (
+        words.select(
+            F.explode(
+                F.expr(f"split(substring(w, 2, length(w)-2), '{sep2}')")
+            ).alias("token"),
+            "n",
+        )
+        .groupBy("token")
+        .agg(F.sum("n").alias("n_tok"))
+        .orderBy(F.desc("n_tok"), "token")
+        .limit(k)
     )

@@ -2146,11 +2146,14 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(docs)
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled BPE-training CTE chain mirroring text.bpe_merges: the
+def _bpe_ctes(n_merges: int) -> str:
+    """Unrolled BPE-training CTE chain mirroring text._bpe_loop: the
     wrapped-symbol replace trick makes each merge ONE substring
     replace, so a fixed merge count unrolls into (pairs -> argmax ->
-    replace) triples.  chr(31) is the \\x1f separator."""
+    replace) triples.  chr(31) is the \\x1f separator.  Ends at
+    ``w{n_merges}`` (the fully-merged vocab frame); callers append
+    their own final SELECT — the merge table (`_bpe_oracle`) or the
+    encoded token frequencies (`_bpe_encode_oracle`)."""
     s, ss = "chr(31)", "chr(31)||chr(31)"
     parts = [
         f"""
@@ -2186,13 +2189,32 @@ def _bpe_oracle(n_merges: int) -> str:
         FROM w{i - 1} CROSS JOIN b{i}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     steps = "\n        UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS step, s1 AS sym1, s2 AS sym2, "
         f"s1 || s2 AS merged, total AS pair_n FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    parts.append(f"\n    {steps}")
-    return "".join(parts)
+    return f"{_bpe_ctes(n_merges)}\n    {steps}"
+
+
+def _bpe_encode_oracle(n_merges: int, k: int) -> str:
+    """Encode oracle: the trainer chain's final vocab frame w{n}
+    already holds every distinct word fully merged, so token
+    frequencies are one UNNEST + weighted GROUP BY over it."""
+    ss = "chr(31)||chr(31)"
+    return f"""{_bpe_ctes(n_merges)}
+    SELECT t.tok AS token, CAST(SUM(q.n) AS BIGINT) AS n_tok
+    FROM (
+        SELECT string_split(substr(w, 2, len(w) - 2), {ss}) AS toks, n
+        FROM w{n_merges}
+    ) q, UNNEST(q.toks) AS t(tok)
+    GROUP BY token
+    ORDER BY n_tok DESC, token
+    LIMIT {k}"""
 
 
 @register("docs_bpe_merges", oracle=_bpe_oracle(6))
@@ -2205,6 +2227,19 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical greedy recurrence)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_merges(docs, 6)
+
+
+@register("docs_bpe_token_freq", oracle=_bpe_encode_oracle(6, 100))
+def docs_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING under the learned vocabulary (X4 application side):
+    top-100 token frequencies the trained tokenizer emits over the
+    corpus.  Zero extra corpus passes — the trainer's vocab frame is
+    already fully merged after the learn loop, so encoding is one
+    explode + weighted count at VOCABULARY cardinality (see
+    operators/text.bpe_token_frequencies; reference has no tokenizer —
+    driver-contract training-data op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_frequencies(docs, 6, k=100)
 
 
 @register(
