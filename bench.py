@@ -86,6 +86,11 @@ HEADLINE = [
     # r8 (this session): substring-span dedup — the per-position md5
     # anchor fold + hash self-join is the newest heavy map+shuffle path
     "docs_duplicated_spans",
+    # r8 (cont.): the curated-retrieval flagship (BM25 + three quality
+    # gates) and the BPE trainer+encoder (6 iterative vocab-frame jobs
+    # + one encode explode) join the watchdog set
+    "docs_search_pipeline",
+    "docs_bpe_token_freq",
 ]
 
 

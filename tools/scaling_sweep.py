@@ -35,6 +35,13 @@ ENTRIES = [
     "docs_duplicated_spans",
     "semantic_dedup_pairs",
     "kmeans_lloyd_refine_int",
+    # r8 (cont.): the curated-retrieval flagship (BM25 + 3 quality
+    # gates) and the BPE trainer+encoder — the latter's per-decade
+    # growth should track VOCABULARY growth (sublinear in corpus
+    # size), not corpus rows; a linear-or-worse slope here would mean
+    # the merge loop is touching corpus-cardinality data
+    "docs_search_pipeline",
+    "docs_bpe_token_freq",
 ]
 N_RUNS = 2
 
