@@ -1237,6 +1237,40 @@ def test_boilerplate_ngrams_planted(spark):
     assert not out[4]["is_boilerplate"]
 
 
+def test_boilerplate_ngrams_relative_threshold(spark):
+    """min_docs_per_10k makes the frequent-gram threshold scale with
+    the corpus: a footer shared by 3 of 5 docs clears the absolute
+    floor (3) but NOT a 7000-per-10k (70%) relative bar, which needs
+    ceil(5*0.7)=4 docs; at 6000-per-10k (ceil=3) it flags again.
+    Threshold arithmetic is integer ((n*per+9999) div 10000), so
+    there is no float-ceil ambiguity at exact multiples."""
+    from ultimate_data_engineering_project_spark.operators import text as T
+
+    footer = "all rights reserved worldwide"
+    rows = [
+        (0, f"alpha beta gamma {footer}"),
+        (1, f"delta epsilon zeta {footer}"),
+        (2, f"eta theta iota {footer}"),
+        (3, "completely unique text with no shared trigrams at all"),
+        (4, "also unique filler words here nothing shared either"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def flagged(per10k):
+        return {
+            r["doc_id"]
+            for r in T.boilerplate_ngrams(
+                df, min_docs=3, min_docs_per_10k=per10k, flag_frac=0.3
+            ).collect()
+            if r["is_boilerplate"]
+        }
+
+    assert flagged(7000) == set()          # needs 4 sharing docs, only 3 do
+    assert flagged(6000) == {0, 1, 2}      # ceil(5*0.6)=3 -> flags
+    # floor: relative bar below the absolute min_docs keeps min_docs
+    assert flagged(1) == {0, 1, 2}         # max(3, 1) = 3
+
+
 def test_boilerplate_ngrams_vs_python_reference(spark, sf_dir):
     """Exhaustive check vs a pure-Python corpus-global count on the
     sf0.001 documents fixture."""

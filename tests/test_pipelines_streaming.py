@@ -1325,3 +1325,60 @@ def test_incremental_span_stream_matches_batch(spark, sf_dir, tmp_path):
         if batch_of(r.doc_a) != batch_of(r.doc_b)
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The continuous aggregate maintained one micro-batch at a time
+    (mergeable partials under batch=<id>) serves EXACTLY the direct
+    aggregate over everything that arrived — and a replayed batch
+    overwrites its own partition instead of double-counting."""
+    from ultimate_data_engineering_project_spark.operators import aggregates
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        read_rollup,
+        run_incremental_rollup_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    slices = []
+    for i in range(3):
+        s = events.where(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+        )
+        s.coalesce(1).write.parquet(src + f"/b{i}")
+        slices.append(s)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    rollup_dir = str(tmp_path / "rollup")
+    q = run_incremental_rollup_stream(
+        spark, stream, rollup_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+
+    def rows(df):
+        return sorted(
+            (
+                r["bucket_ts"], r["event_type"], r["n_events"], r["n_valued"],
+                r["total_value"], r["min_value"], r["max_value"], r["avg_value"],
+            )
+            for r in df.collect()
+        )
+
+    want = rows(aggregates.merge_rollup(aggregates.rollup_partials(events)))
+    got = rows(read_rollup(spark, rollup_dir))
+    assert got == want and len(want) > 0
+    # exactly one partial partition per micro-batch landed
+    import glob as _glob
+    assert len(_glob.glob(rollup_dir + "/batch=*")) == 3
+
+    # replay: rewriting batch 1's partition with the same slice's
+    # partials (what a crash-between-write-and-commit replay does)
+    # leaves the serving view unchanged
+    aggregates.rollup_partials(slices[1]).write.mode("overwrite").parquet(
+        rollup_dir + "/batch=1"
+    )
+    assert rows(read_rollup(spark, rollup_dir)) == want

@@ -468,6 +468,7 @@ def boilerplate_ngrams(
     text_col: str = "text",
     n: int = 3,
     min_docs: int = 3,
+    min_docs_per_10k: int | None = None,
     flag_frac: float = 0.5,
 ) -> DataFrame:
     """Cross-document boilerplate detection (the corpus-global half of
@@ -477,6 +478,19 @@ def boilerplate_ngrams(
     documents is boilerplate (headers, footers, license blocks,
     templated spam), and each document reports how much of it is made
     of such shared text.
+
+    An ABSOLUTE ``min_docs`` does not survive corpus growth: "appears
+    in >= 3 documents" flags essentially every n-gram once the corpus
+    is large enough (at 50k synthetic docs EVERY trigram clears 3, and
+    the curated-retrieval flagship's gate zeroed out — caught by the
+    r8 scaling sweep).  ``min_docs_per_10k`` makes the threshold
+    corpus-RELATIVE: flag grams appearing in >= max(min_docs,
+    ceil(n_docs * min_docs_per_10k / 10000)) documents (100 = 1% of
+    the corpus), evaluated in integer arithmetic ((n*per+9999) div
+    10000 — engine-portable, no IEEE ceil-of-5.0000000001 surprises)
+    via a 1-row corpus-count broadcast (the BM25-stats scalar-subquery
+    family).  The absolute form stays the default for small-corpus /
+    per-shard use.
 
     Distinct from the existing gates: ``repetition_stats`` is
     WITHIN-document repetition, ``ngram_contamination`` is overlap
@@ -504,12 +518,22 @@ def boilerplate_ngrams(
     occ = base.select(
         id_col, F.explode("__g").alias("__gram")
     ).select(id_col, F.md5(F.col("__gram").cast("binary")).alias("__gid"))
-    boiler = (
-        occ.groupBy("__gid")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__gid")
-    )
+    dfreq = occ.groupBy("__gid").agg(F.countDistinct(id_col).alias("__nd"))
+    if min_docs_per_10k is None:
+        boiler = dfreq.filter(F.col("__nd") >= min_docs).select("__gid")
+    else:
+        stats = df.agg(F.count(F.lit(1)).alias("__ncorpus"))
+        thr = F.greatest(
+            F.lit(int(min_docs)).cast("long"),
+            F.expr(
+                f"(__ncorpus * {int(min_docs_per_10k)} + 9999) div 10000"
+            ),
+        )
+        boiler = (
+            dfreq.crossJoin(F.broadcast(stats))
+            .filter(F.col("__nd") >= thr)
+            .select("__gid")
+        )
     hits = (
         occ.join(boiler, "__gid")
         .groupBy(id_col)

@@ -2307,7 +2307,9 @@ def docs_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler AS (
         SELECT gid
         FROM (SELECT gid, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY gid)
-        WHERE nd >= 3
+        WHERE nd >= (SELECT GREATEST(CAST(3 AS BIGINT),
+                                     (COUNT(*) * 100 + 9999) // 10000)
+                     FROM documents)
     ),
     bflag AS (
         SELECT t.doc_id,
@@ -2349,14 +2351,21 @@ def docs_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors re-rank to a final top-10.  Everything composes
     operators already oracle-checked alone (bm25_topk, quality_score,
     char_entropy, boilerplate_ngrams); the candidate set stays 50 rows
-    after retrieval, so every gate join broadcasts it."""
+    after retrieval, so every gate join broadcasts it.
+
+    The boilerplate gate is corpus-RELATIVE (min_docs_per_10k=100 —
+    a gram is boilerplate when 1%+ of the corpus shares it, floor 3):
+    the r8 scaling sweep caught the absolute form flagging EVERY doc
+    once the corpus reached 50k docs (every trigram appears in >= 3),
+    zeroing the pipeline's output at sf0.1+ — a threshold that doesn't
+    scale with n_docs isn't a gate, it's a cliff."""
     docs = load_table(spark, sf_dir, "documents")
     cand = text.bm25_topk(docs, ["hash", "join", "vector"], k=50).drop("rank")
     q = text.quality_score(docs).select("doc_id", "quality_score")
     ent = text.char_entropy(docs).select("doc_id", "entropy_bits")
-    bl = text.boilerplate_ngrams(docs, min_docs=3, flag_frac=0.5).select(
-        "doc_id", "is_boilerplate"
-    )
+    bl = text.boilerplate_ngrams(
+        docs, min_docs=3, min_docs_per_10k=100, flag_frac=0.5
+    ).select("doc_id", "is_boilerplate")
     gated = (
         cand.join(q, "doc_id")
         .join(ent, "doc_id")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ultimate_data_engineering_project_spark.functions.scalar import dsum, dsum_sql
-from ultimate_data_engineering_project_spark.operators import windows
+from ultimate_data_engineering_project_spark.operators import aggregates, windows
 from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
 
@@ -282,6 +282,53 @@ def events_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "events_rollup_incremental",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS bucket_ts,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(value) AS n_valued,
+           SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0
+               AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CASE WHEN COUNT(value) > 0 THEN
+               (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+               / COUNT(value)
+           END AS avg_value
+    FROM events
+    GROUP BY bucket_ts, event_type
+    """,
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (the driver contract's
+    'hypertable rollup' custom operator; reference's hourly DAG instead
+    re-aggregates whole tables each tick,
+    batch_ingestion_pipeline.py:78-88): events arrive as THREE
+    deterministic slices (pmod of event_id — three simulated ingest
+    ticks, with every day's rows scattered across ticks so buckets are
+    genuinely maintained incrementally, late data included).  Each
+    slice folds to MERGEABLE partials (operators/aggregates.
+    rollup_partials: counts + integer micro-unit sum + min/max — BIGINT
+    addition is order-free, unlike double sums) and merge_rollup folds
+    partials to the serving view.  The oracle is the DIRECT aggregate
+    over all events: the hash match IS the proof that slicing doesn't
+    change the result — the property that makes incremental maintenance
+    exact.  Streaming face: streaming/pipelines.run_incremental_rollup_
+    stream (replay-idempotent batch=<id> partial layout)."""
+    events = load_table(spark, sf_dir, "events")
+    parts = None
+    for i in range(3):
+        s = events.where(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+        )
+        p = aggregates.rollup_partials(s)
+        parts = p if parts is None else parts.unionByName(p)
+    return aggregates.merge_rollup(parts)
 
 
 @register(
