@@ -470,6 +470,7 @@ def boilerplate_ngrams(
     min_docs: int = 3,
     min_docs_per_10k: int | None = None,
     flag_frac: float = 0.5,
+    scope: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate detection (the corpus-global half of
     repeated-substring dedup, Lee et al. 2021 "Deduplicating Training
@@ -491,6 +492,15 @@ def boilerplate_ngrams(
     via a 1-row corpus-count broadcast (the BM25-stats scalar-subquery
     family).  The absolute form stays the default for small-corpus /
     per-shard use.
+
+    ``scope`` (an ``id_col`` frame, expected tiny — e.g. retrieval
+    candidates) restricts the PER-DOCUMENT OUTPUT without changing its
+    values: gram document-frequencies are still counted over the WHOLE
+    corpus (they are corpus facts), but the explode->join->fraction
+    work on the output side runs only for the scoped ids (broadcast
+    semi-join BEFORE the explode).  For a 50-candidate gate over a
+    100 TB corpus this removes the second full-corpus gram pass —
+    corpus-global stats are the floor, per-doc flags are not.
 
     Distinct from the existing gates: ``repetition_stats`` is
     WITHIN-document repetition, ``ngram_contamination`` is overlap
@@ -515,9 +525,19 @@ def boilerplate_ngrams(
             F.transform(F.array(tv), lambda t: _grams(t, n)), 1
         ).alias("__g"),
     )
-    occ = base.select(
-        id_col, F.explode("__g").alias("__gram")
-    ).select(id_col, F.md5(F.col("__gram").cast("binary")).alias("__gid"))
+
+    def _occ(b: DataFrame) -> DataFrame:
+        return b.select(id_col, F.explode("__g").alias("__gram")).select(
+            id_col, F.md5(F.col("__gram").cast("binary")).alias("__gid")
+        )
+
+    occ = _occ(base)
+    base_out = (
+        base
+        if scope is None
+        else base.join(F.broadcast(scope.select(id_col)), id_col, "left_semi")
+    )
+    occ_out = occ if scope is None else _occ(base_out)
     dfreq = occ.groupBy("__gid").agg(F.countDistinct(id_col).alias("__nd"))
     if min_docs_per_10k is None:
         boiler = dfreq.filter(F.col("__nd") >= min_docs).select("__gid")
@@ -535,11 +555,11 @@ def boilerplate_ngrams(
             .select("__gid")
         )
     hits = (
-        occ.join(boiler, "__gid")
+        occ_out.join(boiler, "__gid")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__nb"))
     )
-    per_doc = base.select(
+    per_doc = base_out.select(
         id_col, F.size("__g").cast("long").alias("n_grams")
     )
     frac = F.when(

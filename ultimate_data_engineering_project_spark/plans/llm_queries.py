@@ -2358,13 +2358,22 @@ def docs_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r8 scaling sweep caught the absolute form flagging EVERY doc
     once the corpus reached 50k docs (every trigram appears in >= 3),
     zeroing the pipeline's output at sf0.1+ — a threshold that doesn't
-    scale with n_docs isn't a gate, it's a cliff."""
+    scale with n_docs isn't a gate, it's a cliff.
+
+    Gate evaluation is SCOPED to the 50 candidates (broadcast
+    semi-joins before the per-doc work): quality and entropy are pure
+    per-doc functions, and the boilerplate flag only needs corpus-wide
+    gram document-frequencies (computed once, inherently global) —
+    per-doc fractions for non-candidates are dead work that at sf1 was
+    most of the entry's 21s."""
     docs = load_table(spark, sf_dir, "documents")
     cand = text.bm25_topk(docs, ["hash", "join", "vector"], k=50).drop("rank")
-    q = text.quality_score(docs).select("doc_id", "quality_score")
-    ent = text.char_entropy(docs).select("doc_id", "entropy_bits")
+    ids = cand.select("doc_id")
+    cand_docs = docs.join(F.broadcast(ids), "doc_id", "left_semi")
+    q = text.quality_score(cand_docs).select("doc_id", "quality_score")
+    ent = text.char_entropy(cand_docs).select("doc_id", "entropy_bits")
     bl = text.boilerplate_ngrams(
-        docs, min_docs=3, min_docs_per_10k=100, flag_frac=0.5
+        docs, min_docs=3, min_docs_per_10k=100, flag_frac=0.5, scope=ids
     ).select("doc_id", "is_boilerplate")
     gated = (
         cand.join(q, "doc_id")
