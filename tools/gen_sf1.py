@@ -67,12 +67,20 @@ def main(out_dir: str) -> None:
     spark = get_spark()
     os.makedirs(out_dir, exist_ok=True)
 
-    def write(df, name):
+    def write(df, name, parts: int = 16):
+        # Fact tables land as `parts` files, not whatever AQE coalesces
+        # to: a single 44 MB part file is ONE input split under the
+        # default 128 MB maxPartitionBytes, which serialized every
+        # scan-heavy sweep entry onto one core (pricing_summary read
+        # 6M rows single-threaded — a layout artifact, not an operator
+        # property; real 100 TB tables are thousands of files).
+        if parts > 1:
+            df = df.repartition(parts)
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: {spark.read.parquet(os.path.join(out_dir, f'{name}.parquet')).count()} rows")
 
     for t in ("region", "nation", "supplier", "part"):
-        write(load_table(spark, SRC, t), t)
+        write(load_table(spark, SRC, t), t, parts=1)
 
     cust = load_table(spark, SRC, "customer")
     c_stride = _stride(cust, "c_custkey")
