@@ -79,14 +79,19 @@ def main(sf1_dir: str) -> None:
             rows_at.setdefault(name, {})[label] = n
             print(f"{label} {name}: {best:.3f}s {n} rows", file=sys.stderr)
 
-    print("| entry | sf0.001 | sf0.01 | sf0.1 | sf1 | t(1000x)/t(1x) | rows @sf1 |")
-    print("|---|---|---|---|---|---|---|")
+    print(
+        "| entry | sf0.001 | sf0.01 | sf0.1 | sf1 | t(1000x)/t(1x) "
+        "| final decade | rows @sf1 |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     for name in ENTRIES:
         r = results[name]
         ratio = r["sf1"] / r["sf0.001"]
+        decade = r["sf1"] / r["sf0.1"]
         print(
             f"| {name} | {r['sf0.001']} | {r['sf0.01']} | {r['sf0.1']} | "
-            f"{r['sf1']} | {ratio:.1f}x | {rows_at[name]['sf1']:,} |"
+            f"{r['sf1']} | {ratio:.1f}x | {decade:.1f}x | "
+            f"{rows_at[name]['sf1']:,} |"
         )
     print(json.dumps({"results": results, "rows": rows_at}))
 
