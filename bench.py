@@ -187,7 +187,11 @@ def main() -> None:
                     "metadata scan through r07), so per-query times rise "
                     "honestly vs r07; totals not comparable to earlier "
                     "rounds, compare per-query normalized by "
-                    "host_canary_sec"
+                    "host_canary_sec; r08 also adds 6 queries (Avro "
+                    "embedding round-trip, Lloyd refine, SemDeDup pairs, "
+                    "boilerplate gate, duplicated spans, then the "
+                    "retrieval flagship + BPE trainer/encoder), "
+                    "+~9s of genuinely new covered work in the total"
                 ),
             }
         )
