@@ -503,3 +503,60 @@ def test_avro_codec_roundtrip_property(image, echo, op):
     row = (image, echo, op)
     out = avro_py.decode_record(avro_py.encode_record(row, fields), fields)
     assert out == row
+
+
+rollup_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # day offset
+        st.sampled_from(["click", "view", None]),          # event_type
+        st.one_of(st.none(), st.floats(-1e5, 1e5).map(lambda x: round(x, 4))),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(
+    ev=rollup_events_strategy,
+    n_slices=st.integers(min_value=1, max_value=3),
+    assign=st.randoms(use_true_random=False),
+)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_rollup_merge_slice_invariant(spark, ev, n_slices, assign):
+    """Continuous-aggregate algebra: merging rollup_partials over ANY
+    random slicing of the events (including empty slices and rows with
+    null types/values) equals merging one partial over everything —
+    the property that makes incremental maintenance exact."""
+    from ultimate_data_engineering_project_spark.operators import aggregates
+
+    rows = [
+        Row(eid=i, ts=BASE + datetime.timedelta(days=d, hours=i % 24),
+            event_type=t, value=v)
+        for i, (d, t, v) in enumerate(ev)
+    ]
+    # explicit schema: hypothesis happily samples an all-None column,
+    # which createDataFrame cannot infer a type for
+    df = spark.createDataFrame(
+        rows, "eid long, ts timestamp, event_type string, value double"
+    )
+    kw = dict(ts_col="ts", key_cols=("event_type",), value_col="value")
+
+    def rows_of(out):
+        return sorted(
+            ((r["bucket_ts"], r["event_type"], r["n_events"], r["n_valued"],
+              r["total_value"], r["min_value"], r["max_value"], r["avg_value"])
+             for r in out.collect()),
+            key=str,
+        )
+
+    want = rows_of(aggregates.merge_rollup(aggregates.rollup_partials(df, **kw)))
+
+    labels = [assign.randrange(n_slices) for _ in rows]
+    parts = None
+    for s in range(n_slices):
+        ids = [r.eid for r, l in zip(rows, labels) if l == s]
+        sl = df.where(F.col("eid").isin(ids) if ids else F.lit(False))
+        p = aggregates.rollup_partials(sl, **kw)
+        parts = p if parts is None else parts.unionByName(p)
+    got = rows_of(aggregates.merge_rollup(parts))
+    assert got == want
