@@ -20,17 +20,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def canon(pdf):
-    import pandas as pd
-
-    pdf = pdf[sorted(pdf.columns)]
-    if len(pdf):
-        pdf = pdf.sort_values(list(pdf.columns), key=lambda s: s.map(str)).reset_index(
-            drop=True
-        )
-    return pdf
-
-
 def cell(v) -> str:
     import datetime
     import math
@@ -58,28 +47,100 @@ def cell(v) -> str:
     return str(v)
 
 
+def _numpy_float_repr_matches_python() -> bool:
+    """The fast float path renders via ndarray.astype(str), which on
+    modern numpy is the same shortest-repr as Python's str(float).
+    Probe it once; if a numpy ever disagrees, fall back to cell()."""
+    import numpy as np
+
+    probe = [0.1, 1e16, 1.0 / 3, -0.0, 1e-308]
+    return np.array(probe).astype(str).tolist() == [str(v) for v in probe]
+
+
+_FAST_FLOAT = _numpy_float_repr_matches_python()
+
+
+def render_col(s):
+    """Vectorized cell(): render one pandas column to an object ndarray
+    of canonical strings, value-for-value identical to mapping cell()
+    (the per-cell path remains the fallback for object/decimal/date
+    columns).  This is what makes million-row compares minutes-not-
+    hours: the old per-cell iloc loop paid ~2us per access over
+    |rows| x |cols| x 2 frames."""
+    import numpy as np
+    import pandas as pd
+
+    k = s.dtype.kind
+    if k == "f" and _FAST_FLOAT:
+        a = s.to_numpy()
+        out = a.astype(str).astype(object)
+        out[np.isnan(a)] = "NaN"
+        return out
+    if k in "iu" or k == "b":
+        return s.to_numpy().astype(str).astype(object)
+    if k == "M":
+        if getattr(s.dtype, "tz", None) is not None:
+            s = s.dt.tz_localize(None)
+        iso = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f").str.replace(
+            r"\.000000$", "", regex=True
+        )
+        # cell() collapses midnight timestamps to dates (driver rule)
+        mid = (
+            s.dt.hour.eq(0)
+            & s.dt.minute.eq(0)
+            & s.dt.second.eq(0)
+            & s.dt.microsecond.eq(0)
+            & s.dt.nanosecond.eq(0)
+        )
+        iso = iso.where(~mid, s.dt.strftime("%Y-%m-%d"))
+        iso = iso.where(~s.isna(), "NULL")
+        return iso.to_numpy(dtype=object)
+    return np.array([cell(v) for v in s.to_numpy(dtype=object)], dtype=object)
+
+
+def canon_render(pdf):
+    """Columns sorted by name; rows sorted by the RENDERED row key (the
+    compare key and the sort key are the same strings, so positional
+    equality after sorting == multiset equality of rendered rows)."""
+    import numpy as np
+
+    cols = sorted(pdf.columns)
+    rendered = {c: render_col(pdf[c]) for c in cols}
+    if len(pdf) and cols:
+        order = np.lexsort([rendered[c] for c in reversed(cols)])
+        rendered = {c: rendered[c][order] for c in cols}
+    return cols, rendered, len(pdf)
+
+
 def compare_strict(spark_df, duck_pdf) -> list[str]:
+    import numpy as np
+
     probs: list[str] = []
-    s = canon(spark_df.toPandas())
-    d = canon(duck_pdf)
-    if list(s.columns) != list(d.columns):
-        return [f"columns: spark={list(s.columns)} duck={list(d.columns)}"]
-    if len(s) != len(d):
-        probs.append(f"rows: spark={len(s)} duck={len(d)}")
-    for col in s.columns:
-        sk, dk = s[col].dtype.kind, d[col].dtype.kind
+    s_pdf = spark_df.toPandas()
+    s_cols, s_r, ns = canon_render(s_pdf)
+    d_cols, d_r, nd = canon_render(duck_pdf)
+    if s_cols != d_cols:
+        return [f"columns: spark={s_cols} duck={d_cols}"]
+    if ns != nd:
+        probs.append(f"rows: spark={ns} duck={nd}")
+    for col in s_cols:
+        sk, dk = s_pdf[col].dtype.kind, duck_pdf[col].dtype.kind
         if sk != dk and "O" not in (sk, dk):  # object-vs-typed resolves per cell
-            probs.append(f"dtype[{col}]: spark={s[col].dtype} duck={d[col].dtype}")
+            probs.append(
+                f"dtype[{col}]: spark={s_pdf[col].dtype} duck={duck_pdf[col].dtype}"
+            )
+    n = min(ns, nd)
     n_bad = 0
-    for i in range(min(len(s), len(d))):
-        for col in s.columns:
-            a, b = cell(s[col].iloc[i]), cell(d[col].iloc[i])
-            if a != b:
-                probs.append(f"row{i} {col}: spark={a!r} duck={b!r}")
-                n_bad += 1
-                if n_bad > 4:
-                    probs.append("...")
-                    return probs
+    for col in s_cols:
+        neq = s_r[col][:n] != d_r[col][:n]
+        for i in np.nonzero(neq)[0]:
+            probs.append(
+                f"row{i} {col}: spark={s_r[col][i]!r} duck={d_r[col][i]!r}"
+            )
+            n_bad += 1
+            if n_bad > 4:
+                probs.append("...")
+                return probs
     return probs
 
 
