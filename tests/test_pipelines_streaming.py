@@ -1382,3 +1382,19 @@ def test_incremental_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
         rollup_dir + "/batch=1"
     )
     assert rows(read_rollup(spark, rollup_dir)) == want
+
+    # compaction: folding batches 0-1 into one base partition preserves
+    # the serving view exactly (state algebra == serving algebra) and
+    # keeps the replayable tail partition intact
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        compact_rollup,
+    )
+
+    n_parts = compact_rollup(spark, rollup_dir, keep_last=1)
+    assert n_parts == 2
+    assert sorted(
+        os.path.basename(p) for p in _glob.glob(rollup_dir + "/batch=*")
+    ) == ["batch=1", "batch=2"]
+    assert rows(read_rollup(spark, rollup_dir)) == want
+    # idempotent when nothing left to fold
+    assert compact_rollup(spark, rollup_dir, keep_last=1) == 2

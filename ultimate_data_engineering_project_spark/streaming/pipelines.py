@@ -1365,9 +1365,9 @@ def run_incremental_rollup_stream(
     algebra is order-free, so the view converges to the direct
     aggregate over everything that arrived (pinned vs the batch twin in
     tests).  At 100 TB the partials table stays bucket x key x batch
-    cardinality; compact old batches with sinks.compact_parquet when
-    batch count grows, which preserves the merge result by the same
-    algebra."""
+    cardinality; `compact_rollup` folds old batch partitions into one
+    base partition when batch count grows, preserving the merge result
+    by the same algebra."""
     from ultimate_data_engineering_project_spark.operators import aggregates
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1403,3 +1403,71 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
         .drop("batch")
     )
     return aggregates.merge_rollup(partials)
+
+
+def compact_rollup(
+    spark: SparkSession, rollup_dir: str, *, keep_last: int = 1
+) -> int:
+    """Bound the continuous aggregate's partials table over an
+    unbounded stream: fold every ``batch=<id>`` partition except the
+    ``keep_last`` most recent into ONE base partition (at the highest
+    folded batch id), preserving `read_rollup`'s output EXACTLY —
+    the fold is the same state algebra the serving view applies
+    (counts and integer micro-sums add, min/min and max/max), so
+    merging early changes nothing (the property pinned by the
+    slice-invariance tests).
+
+    Run with the stream STOPPED: after a restart the stream may REPLAY
+    its most recent uncommitted batch id, which must still map to its
+    own partition for the overwrite to stay idempotent — keep_last >= 1
+    keeps the replayable tail out of the fold.  The rewrite lands in
+    ``rollup_dir + '.compact.tmp'`` and swaps in via two local renames
+    (sinks.compact_parquet's pattern, including crash restore from the
+    ``.compact.old`` relic); local filesystem only.  Returns the number
+    of batch partitions after compaction."""
+    import glob as _glob
+    import shutil
+
+    from ultimate_data_engineering_project_spark.operators.aggregates import (
+        _ROLLUP_STATE,
+    )
+
+    old = rollup_dir.rstrip("/") + ".compact.old"
+    if not os.path.exists(rollup_dir) and os.path.exists(old):
+        # crash between a previous run's two swap renames: the
+        # pre-compaction table is complete in .compact.old — restore
+        shutil.move(old, rollup_dir)
+    ids = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(rollup_dir, "batch=*"))
+    )
+    folded_ids = ids[: len(ids) - keep_last] if keep_last > 0 else ids
+    if len(folded_ids) < 2:
+        return len(ids)
+    base_id = folded_ids[-1]
+    part = spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
+    keys = [c for c in part.columns if c not in _ROLLUP_STATE and c != "batch"]
+    folded = (
+        part.filter(F.col("batch") <= base_id)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_val").alias("n_val"),
+            F.sum("sum_micro").alias("sum_micro"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(*keys, *_ROLLUP_STATE)
+    )
+    tmp = rollup_dir.rstrip("/") + ".compact.tmp"
+    folded.write.mode("overwrite").parquet(os.path.join(tmp, f"batch={base_id}"))
+    for i in ids[len(folded_ids):]:
+        spark.read.parquet(
+            os.path.join(rollup_dir, f"batch={i}")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, f"batch={i}"))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    shutil.move(rollup_dir, old)
+    shutil.move(tmp, rollup_dir)
+    shutil.rmtree(old)
+    return len(ids) - len(folded_ids) + 1
