@@ -1398,3 +1398,16 @@ def test_incremental_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert rows(read_rollup(spark, rollup_dir)) == want
     # idempotent when nothing left to fold
     assert compact_rollup(spark, rollup_dir, keep_last=1) == 2
+
+    # crash restore: a crash between the two swap renames leaves the
+    # complete pre-compaction table in .compact.old and no live dir —
+    # the next run must restore it before doing anything
+    import shutil as _shutil
+
+    _shutil.move(rollup_dir, rollup_dir + ".compact.old")
+    assert compact_rollup(spark, rollup_dir, keep_last=1) == 2
+    assert rows(read_rollup(spark, rollup_dir)) == want
+
+    # object-store paths refuse loudly (rename is copy+delete there)
+    with pytest.raises(ValueError, match="local paths only"):
+        compact_rollup(spark, "s3a://bucket/rollup")

@@ -1427,10 +1427,25 @@ def compact_rollup(
     of batch partitions after compaction."""
     import glob as _glob
     import shutil
+    from urllib.parse import urlsplit
 
     from ultimate_data_engineering_project_spark.operators.aggregates import (
         _ROLLUP_STATE,
     )
+
+    # same local-only guard as sinks.compact_parquet: the swap uses
+    # local renames, which on hdfs://s3a:// would fail AFTER the
+    # rewrite (rename is copy+delete there), stranding .compact.tmp
+    parts_url = urlsplit(rollup_dir)
+    scheme = parts_url.scheme.lower()
+    if scheme not in ("", "file") or (scheme == "file" and parts_url.netloc):
+        raise ValueError(
+            f"compact_rollup operates on local paths only (got {rollup_dir!r}); "
+            "on object stores, write a new prefix and flip the reader "
+            "location instead"
+        )
+    if scheme == "file":
+        rollup_dir = parts_url.path
 
     old = rollup_dir.rstrip("/") + ".compact.old"
     if not os.path.exists(rollup_dir) and os.path.exists(old):
