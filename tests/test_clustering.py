@@ -57,6 +57,17 @@ def test_init_centroids_are_quantized_lowest_ids(spark, sf_dir):
         assert cents[c] == list(Q[order[c]]), c
 
 
+def test_init_centroids_rejects_id_gaps(spark, sf_dir):
+    """Gapped ids would silently return < k centroids and mislabel
+    every assignment (positional cluster ids != id values) — the
+    contiguous-id precondition must fail loudly (r8 advice)."""
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id != 1")
+    with _pytest.raises(ValueError, match="contiguous ids"):
+        clustering.init_centroids(emb, K)
+
+
 def test_lloyd_refine_matches_numpy(spark, sf_dir):
     """Full iteration parity: integer round-half-up means, empty
     clusters keep the previous centroid, then exact reassignment."""

@@ -192,7 +192,10 @@ def test_avro_codec_rejects_bad_schema_and_bytes():
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     for bad in (
-        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"map","values":"long"}}]}',
+        # r9: maps are supported now — union-typed values still refuse
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"map","values":["null","long"]}}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"array","items":["null","long"]}}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"enum","name":"e","symbols":["A"]}}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":["null","long","string"]}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":"null"}]}',
         '{"type":"record","name":"t","fields":[]}',
@@ -406,12 +409,13 @@ def test_avro_codec_edge_hardening():
             {"name": "d2", "type": ["null", "date"]}]}))
     assert isinstance(shadows[1].value_type, avro_py.AvroRecord)
 
-    # 3. nested arrays rejected at plan time
-    with pytest.raises(ValueError, match="nested arrays"):
-        avro_py.parse_flat_schema(json.dumps({
-            "type": "record", "name": "r", "fields": [
-                {"name": "m", "type": {"type": "array",
-                 "items": {"type": "array", "items": "float"}}}]}))
+    # 3. nested containers round-trip (r9: arrays/maps generalized)
+    nested = avro_py.parse_flat_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "m", "type": {"type": "array",
+             "items": {"type": "array", "items": "float"}}}]}))
+    vv = ([[1.0, 2.5], [], [0.25]],)
+    assert avro_py.decode_record(avro_py.encode_record(vv, nested), nested) == vv
 
     # 4. default type gate (build_writer_aligners = plan time)
     v1 = json.dumps({"type": "record", "name": "r", "fields": [
@@ -597,18 +601,28 @@ def test_avro_nested_envelope_known_bytes():
     sch = avro_py.spark_schema_for(fields)
     assert sch["after"].dataType.simpleString() == "struct<id:bigint,note:string>"
 
-    # scope guardrails hold inside nested records too (r8: arrays of
-    # SCALARS are supported now — the boundary moved to array-of-record
-    # and maps)
+    # scope guardrails hold inside nested records too (r9: arrays of
+    # records and maps are supported now — the boundary moved to
+    # enums/fixeds/multi-type unions)
     import pytest
 
+    nested_arr = avro_py.parse_flat_schema(
+        '{"type":"record","name":"t","fields":[{"name":"r",'
+        '"type":{"type":"record","name":"R","fields":['
+        '{"name":"a","type":{"type":"array","items":'
+        '{"type":"record","name":"I","fields":'
+        '[{"name":"x","type":"long"}]}}}]}}]}'
+    )
+    vv = ({"a": [{"x": 3}, {"x": -4}]},)
+    assert avro_py.decode_record(
+        avro_py.encode_record(vv, nested_arr), nested_arr
+    ) == vv
     with pytest.raises(ValueError, match="spark-avro"):
         avro_py.parse_flat_schema(
             '{"type":"record","name":"t","fields":[{"name":"r",'
             '"type":{"type":"record","name":"R","fields":['
-            '{"name":"a","type":{"type":"array","items":'
-            '{"type":"record","name":"I","fields":'
-            '[{"name":"x","type":"long"}]}}}]}}]}'
+            '{"name":"e","type":{"type":"enum","name":"E",'
+            '"symbols":["A"]}}]}}]}'
         )
     with pytest.raises(ValueError, match="unsupported type"):
         avro_py.parse_flat_schema(
@@ -716,6 +730,140 @@ def test_avro_array_known_bytes_and_block_forms():
         avro_py.encode_record(([1.0, None],), fields)
     with pytest.raises(ValueError, match="sequence"):
         avro_py.encode_record(("nope",), fields)
+
+
+def test_avro_array_of_record_and_map_roundtrip(spark):
+    """r9 codec widening: Debezium TRANSACTION-metadata topics carry
+    ``data_collections`` as array<record>, and outbox-pattern messages
+    carry string-keyed attribute maps — both must round-trip through
+    the pure-Python codec and decode to typed Spark columns
+    (array<struct>, map<string,...>) end to end (reference
+    docker-compose.yaml:74-97 emits these via the AvroConverter)."""
+    import json as _json
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    sch = _json.dumps({
+        "type": "record", "name": "TxnMeta", "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "total_order", "type": "long"},
+            {"name": "data_collections", "type": ["null", {
+                "type": "array", "items": {
+                    "type": "record", "name": "DC", "fields": [
+                        {"name": "data_collection", "type": "string"},
+                        {"name": "event_count", "type": "long"},
+                    ]}}]},
+            {"name": "attrs", "type": {"type": "map", "values": "string"}},
+        ]})
+    fields = avro_py.parse_flat_schema(sch)
+
+    # spark schema: typed containers, non-null elements
+    st = avro_py.spark_schema_for(fields)
+    assert st["data_collections"].dataType.simpleString() == (
+        "array<struct<data_collection:string,event_count:bigint>>"
+    )
+    assert not st["data_collections"].dataType.containsNull
+    assert st["attrs"].dataType.simpleString() == "map<string,string>"
+    assert not st["attrs"].dataType.valueContainsNull
+
+    dcs = [
+        {"data_collection": "public.orders", "event_count": 2},
+        {"data_collection": "public.lineitem", "event_count": 7},
+    ]
+    row = ("txn-9:42", 9, dcs, {"source": "pg", "op": "c"})
+    body = avro_py.encode_record(row, fields)
+    got = avro_py.decode_record(body, fields)
+    assert got == row
+
+    # byte-level pin of one array<record> block: branch 1, count 2,
+    # then each record flat (string len+bytes, zigzag long)
+    one = avro_py.parse_flat_schema(_json.dumps({
+        "type": "record", "name": "t", "fields": [
+            {"name": "dc", "type": {"type": "array", "items": {
+                "type": "record", "name": "D", "fields": [
+                    {"name": "n", "type": "string"},
+                    {"name": "c", "type": "long"}]}}}]}))
+    b = avro_py.encode_record(([{"n": "a", "c": 1}],), one)
+    assert b == b"\x02" + b"\x02a" + b"\x02" + b"\x00"
+    # map payloads re-ordered by a foreign producer decode identically
+    # (the spec's block form is order-free); pair-sequence values
+    # (Spark MapType -> pandas list-of-tuples) encode too
+    b2 = avro_py.encode_record(
+        ("txn-9:42", 9, dcs, [("op", "c"), ("source", "pg")]), fields
+    )
+    assert avro_py.decode_record(b2, fields)[3] == {"source": "pg", "op": "c"}
+
+    # null union branch for the array; empty map
+    b3 = avro_py.encode_record(("t", 1, None, {}), fields)
+    assert avro_py.decode_record(b3, fields) == ("t", 1, None, {})
+
+    # non-null contracts stay loud
+    with pytest.raises(ValueError, match="non-null"):
+        avro_py.encode_record(("t", 1, [None], {}), fields)
+    with pytest.raises(ValueError, match="keys must be strings"):
+        avro_py.encode_record(("t", 1, None, {1: "x"}), fields)
+
+    # Spark e2e: binary payload column -> typed container columns
+    df = spark.createDataFrame(
+        [(1, body), (2, b3), (3, None)], "k long, payload binary"
+    )
+    out = avro_py.decode_avro_records(df, sch).orderBy("k")
+    rows = out.collect()
+    assert out.schema["data_collections"].dataType.simpleString() == (
+        "array<struct<data_collection:string,event_count:bigint>>"
+    )
+    r1, r2, r3 = rows
+    assert [d.asDict() for d in r1["data_collections"]] == dcs
+    assert dict(r1["attrs"]) == {"source": "pg", "op": "c"}
+    assert r2["data_collections"] is None and dict(r2["attrs"]) == {}
+    assert r3["id"] is None and r3["attrs"] is None  # tombstone
+
+
+def test_avro_evolution_with_array_of_record_field(spark):
+    """Cross-version alignment when the schema CARRIES an array<record>
+    field: identical container layouts copy through; a writer version
+    without the new top-level field backfills its default; an EVOLVED
+    element record refuses at plan time (documented scope)."""
+    import json as _json
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    def schema(extra_field=None, extra_item_field=None):
+        item_fields = [{"name": "n", "type": "string"}]
+        if extra_item_field:
+            item_fields.append(extra_item_field)
+        fields = [
+            {"name": "id", "type": "long"},
+            {"name": "dc", "type": {"type": "array", "items": {
+                "type": "record", "name": "D", "fields": item_fields}}},
+        ]
+        if extra_field:
+            fields.append(extra_field)
+        return _json.dumps(
+            {"type": "record", "name": "r", "fields": fields}
+        )
+
+    v1 = schema()
+    v2 = schema(extra_field={"name": "region", "type": "string",
+                             "default": "emea"})
+    reader_fields, writers = avro_py.build_writer_aligners(
+        {1: v1, 2: v2}, avro_py.latest_writer_json({1: v1, 2: v2})
+    )
+    wf1, align1 = writers[1]
+    wf2, align2 = writers[2]
+    old = avro_py.encode_record((5, [{"n": "a"}]), wf1)
+    new = avro_py.encode_record((6, [{"n": "b"}], "apac"), wf2)
+    assert tuple(align1(avro_py.decode_record(old, wf1))) == (
+        5, [{"n": "a"}], "emea"
+    )
+    assert tuple(align2(avro_py.decode_record(new, wf2))) == (
+        6, [{"n": "b"}], "apac"
+    )
+
+    # evolved ELEMENT record: loud plan-time refusal, not garbage rows
+    v3 = schema(extra_item_field={"name": "c", "type": "long"})
+    with pytest.raises(ValueError, match="mismatch"):
+        avro_py.build_writer_aligners({1: v1, 3: v3}, v3)
 
 
 def test_schema_registry_client_contract():

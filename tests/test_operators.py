@@ -1619,3 +1619,23 @@ def test_pagerank_int_overflow_guard(spark):
     df = spark.createDataFrame([(0, 1, big)], "src long, dst long, weight long")
     with _pytest.raises(ValueError, match="overflow"):
         pagerank_int(df, iters=1)
+
+
+def test_pagerank_int_rejects_nonpositive_weights(spark):
+    """weight <= 0 edges are rejected loudly: w_out = 0 makes Spark's
+    `div` NULL (row silently dropped) while an integer-division oracle
+    raises — a silent cross-engine divergence without the guard."""
+    import pytest as _pytest
+
+    from ultimate_data_engineering_project_spark.operators.graph import pagerank_int
+
+    zero = spark.createDataFrame(
+        [(0, 1, 0), (1, 0, 3)], "src long, dst long, weight long"
+    )
+    with _pytest.raises(ValueError, match="positive edge weights"):
+        pagerank_int(zero, iters=1)
+    neg = spark.createDataFrame(
+        [(0, 1, -2), (1, 0, 3)], "src long, dst long, weight long"
+    )
+    with _pytest.raises(ValueError, match="positive edge weights"):
+        pagerank_int(neg, iters=1)

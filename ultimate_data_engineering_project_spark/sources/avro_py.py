@@ -11,21 +11,27 @@ the full Debezium change-event envelope — nested row-image records,
 ``["null", T]`` unions, and Debezium's logical types — applied over
 Arrow batches via ``mapInPandas``.
 
-Scope is deliberately narrow and loud: maps, enums, fixeds,
-array-of-record, and >2-branch unions raise ``ValueError`` at plan
-time.  What IS supported is exactly what a Debezium change event
-needs (reference docker-compose.yaml:74-97): record-typed fields and named-type
-references (``before``/``after`` as ``["null", "Value"]`` with the
-row-image record defined at first use, plus the ``source`` metadata
-record), arrays of non-null scalars (embedding vectors in CDC feeds
-— both count forms of the spec's block encoding decode), the ``uuid``
-string annotation, and the logical types Debezium emits for the
-reference's own column types (reference schemas.py:37,53 Numeric(15,2) ->
-``bytes``+``decimal``; :59-60 DateTime -> ``long``+
-``timestamp-micros``/``millis``; Date -> ``int``+``date``).  For
-anything else, use the spark-avro package (the ``decode_confluent_avro``
-path); this codec exists so the CDC pipeline is testable and
-oracle-checkable end to end in environments without it.
+Scope is deliberately narrow and loud: enums, fixeds, >2-branch
+unions, and union-typed array items / map values raise ``ValueError``
+at plan time.  What IS supported is exactly what a Debezium change
+event needs (reference docker-compose.yaml:74-97): record-typed fields and
+named-type references (``before``/``after`` as ``["null", "Value"]``
+with the row-image record defined at first use, plus the ``source``
+metadata record), arrays of non-null items — scalars (embedding
+vectors in CDC feeds; both count forms of the spec's block encoding
+decode), records (Debezium ``transaction``-metadata
+``data_collections`` blocks), or nested containers — string-keyed
+maps with non-null values (outbox-pattern header/attribute bags),
+the ``uuid`` string annotation, and the logical types Debezium emits
+for the reference's own column types (reference schemas.py:37,53
+Numeric(15,2) -> ``bytes``+``decimal``; :59-60 DateTime -> ``long``+
+``timestamp-micros``/``millis``; Date -> ``int``+``date``).  Schema
+EVOLUTION inside array items / map values is out of scope (identical
+container layouts align; an evolved element record raises at plan
+time).  For anything else, use the spark-avro package (the
+``decode_confluent_avro`` path); this codec exists so the CDC
+pipeline is testable and oracle-checkable end to end in environments
+without it.
 
 Design notes for 100 TB:
   * decode is per-row Python — the documented "inexpressible kernel"
@@ -137,26 +143,6 @@ def _logical_name(ftype: dict, field_name: str) -> str:
             f"field {field_name!r}: unsupported logical type {logical!r} "
             "(use spark-avro)"
         )
-    if prim == "array":
-        items = ftype.get("items")
-        if isinstance(items, dict):
-            item_name = _logical_name(items, field_name)
-        elif isinstance(items, str) and items in _PRIMITIVES:
-            item_name = items
-        else:
-            raise ValueError(
-                f"field {field_name!r}: array items must be a non-null "
-                f"scalar type, got {items!r} (use spark-avro)"
-            )
-        if _ARRAY_RE.match(item_name):
-            # without this, array-of-array parses here but only fails
-            # per row inside _encode_scalar on an executor — reject at
-            # plan time like every other unsupported shape
-            raise ValueError(
-                f"field {field_name!r}: nested arrays are not supported "
-                "by the pure-Python codec (use spark-avro)"
-            )
-        return f"array<{item_name}>"
     # a dict with no logicalType is just an inline type declaration
     if isinstance(prim, str) and prim in _PRIMITIVES:
         return prim
@@ -168,6 +154,10 @@ def _logical_name(ftype: dict, field_name: str) -> str:
 
 def _wire_type(branch) -> str:
     """The Avro primitive a (possibly logical) branch reads/writes."""
+    if isinstance(branch, AvroArray):
+        return "array"
+    if isinstance(branch, AvroMap):
+        return "map"
     if not isinstance(branch, str):  # AvroRecord: no single wire type
         return "record"
     if _DECIMAL_RE.match(branch):
@@ -176,6 +166,12 @@ def _wire_type(branch) -> str:
 
 
 def _spark_type_for_branch(branch) -> T.DataType:
+    if isinstance(branch, AvroArray):
+        return T.ArrayType(_spark_type_for_branch(branch.item), False)
+    if isinstance(branch, AvroMap):
+        # Avro map keys are always strings (spec); values non-null in
+        # this codec's scope (union values route to spark-avro)
+        return T.MapType(T.StringType(), _spark_type_for_branch(branch.value), False)
     if not isinstance(branch, str):  # AvroRecord -> nested struct
         return spark_schema_for(branch.fields)
     am = _ARRAY_RE.match(branch)
@@ -198,6 +194,25 @@ class AvroRecord:
 
     name: str
     fields: tuple["AvroField", ...]
+
+
+@dataclass(frozen=True)
+class AvroArray:
+    """An array branch whose item may be a scalar/logical name, an
+    :class:`AvroRecord` (Debezium transaction-metadata
+    ``data_collections`` blocks are ``array<record>``), or a nested
+    container.  Items are non-null (union items route to spark-avro)."""
+
+    item: object  # str | AvroRecord | AvroArray | AvroMap
+
+
+@dataclass(frozen=True)
+class AvroMap:
+    """A map branch (string keys per the Avro spec; outbox-pattern
+    header/attribute bags are ``map<string>``).  Values are non-null
+    (union values route to spark-avro)."""
+
+    value: object  # str | AvroRecord | AvroArray | AvroMap
 
 
 @dataclass(frozen=True)
@@ -234,13 +249,47 @@ def _parse_branch(b, field_name: str, defined: dict):
             # (encode_record over pre-parsed fields); not legal Avro
             # JSON, but harmless to accept when no named type claims it
             return b
+        am = _ARRAY_RE.match(b)
+        if am:
+            # legacy synthetic form ("array<long>") from codec-internal
+            # callers — normalize to the structured branch
+            return AvroArray(_parse_branch(am.group(1), field_name, defined))
         raise ValueError(
             f"field {field_name!r}: unsupported type {b!r} "
             "(use spark-avro for non-primitive fields)"
         )
     if isinstance(b, dict):
-        if b.get("type") == "record":
+        t = b.get("type")
+        if t == "record":
             return _parse_record(b, defined)
+        if t == "array":
+            if "items" not in b or isinstance(b["items"], list):
+                raise ValueError(
+                    f"field {field_name!r}: array items must be a "
+                    f"non-union schema, got {b.get('items')!r} "
+                    "(use spark-avro)"
+                )
+            item = _parse_branch(b["items"], field_name, defined)
+            if item == "null":
+                raise ValueError(
+                    f"field {field_name!r}: null array items are not "
+                    "supported (use spark-avro)"
+                )
+            return AvroArray(item)
+        if t == "map":
+            if "values" not in b or isinstance(b["values"], list):
+                raise ValueError(
+                    f"field {field_name!r}: map values must be a "
+                    f"non-union schema, got {b.get('values')!r} "
+                    "(use spark-avro)"
+                )
+            value = _parse_branch(b["values"], field_name, defined)
+            if value == "null":
+                raise ValueError(
+                    f"field {field_name!r}: null map values are not "
+                    "supported (use spark-avro)"
+                )
+            return AvroMap(value)
         return _logical_name(b, field_name)
     raise ValueError(
         f"field {field_name!r}: nested/complex type {b!r} is not "
@@ -284,10 +333,12 @@ def parse_flat_schema(avro_schema_json: str) -> list[AvroField]:
     of structure (``before``/``after`` as ``["null", "Value"]`` where
     ``Value`` is the row-image record defined at its first use, plus a
     ``source`` metadata record; Debezium's AvroConverter emits this
-    shape for every table).  Arrays, maps, enums, fixeds, and
-    multi-type unions still fail HERE (plan time), not mid-decode on an
-    executor — a schema this codec can't express must route to the
-    spark-avro path instead of producing garbage rows.
+    shape for every table), arrays (scalar, record — Debezium
+    transaction-metadata ``data_collections`` — or nested container
+    items), and string-keyed maps.  Enums, fixeds, multi-type unions,
+    and union-typed items/values still fail HERE (plan time), not
+    mid-decode on an executor — a schema this codec can't express must
+    route to the spark-avro path instead of producing garbage rows.
     """
     sch = json.loads(avro_schema_json)
     if not isinstance(sch, dict) or sch.get("type") != "record":
@@ -337,12 +388,20 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
-def _decode_value(buf: bytes, pos: int, ftype: str):
+def _decode_item(buf: bytes, pos: int, item):
+    """One array item / map value: records decode to dicts (they
+    survive the Arrow object->struct conversion), everything else
+    through the scalar/container decoder."""
+    if isinstance(item, AvroRecord):
+        vals, pos = _decode_fields(buf, pos, item.fields)
+        return {sf.name: v for sf, v in zip(item.fields, vals)}, pos
+    return _decode_value(buf, pos, item)
+
+
+def _decode_value(buf: bytes, pos: int, ftype):
     if ftype in ("long", "int"):
         return _read_long(buf, pos)
-    am = _ARRAY_RE.match(ftype)
-    if am:
-        item = am.group(1)
+    if isinstance(ftype, AvroArray):
         vals = []
         while True:
             cnt, pos = _read_long(buf, pos)
@@ -355,9 +414,23 @@ def _decode_value(buf: bytes, pos: int, ftype: str):
                 cnt = -cnt
                 _, pos = _read_long(buf, pos)
             for _ in range(cnt):
-                v, pos = _decode_value(buf, pos, item)
+                v, pos = _decode_item(buf, pos, ftype.item)
                 vals.append(v)
         return vals, pos
+    if isinstance(ftype, AvroMap):
+        out = {}
+        while True:
+            cnt, pos = _read_long(buf, pos)
+            if cnt == 0:
+                break
+            if cnt < 0:  # skippable-block form, same as arrays
+                cnt = -cnt
+                _, pos = _read_long(buf, pos)
+            for _ in range(cnt):
+                k, pos = _decode_value(buf, pos, "string")
+                v, pos = _decode_item(buf, pos, ftype.value)
+                out[k] = v
+        return out, pos
     m = _DECIMAL_RE.match(ftype)
     if m:
         raw, pos = _decode_value(buf, pos, "bytes")
@@ -480,25 +553,86 @@ def _encode_fields(out: bytearray, values, fields) -> None:
                 )
             _encode_fields(out, sub, ftype.fields)
             continue
-        am = _ARRAY_RE.match(ftype)
-        if am:
-            item = am.group(1)
-            if isinstance(v, (str, bytes)) or not hasattr(v, "__len__"):
-                raise ValueError(
-                    f"field {f.name!r}: expected a sequence for array "
-                    f"value, got {type(v)}"
-                )
-            if len(v):
-                _write_long(out, len(v))
-                for iv in v:
-                    if iv is None:
-                        raise ValueError(
-                            f"field {f.name!r}: array items are non-null"
-                        )
-                    _encode_scalar(out, iv, item, f.name)
-            _write_long(out, 0)
+        if isinstance(ftype, str) and _ARRAY_RE.match(ftype):
+            # legacy synthetic branch name from pre-parsed callers
+            ftype = AvroArray(_ARRAY_RE.match(ftype).group(1))
+        if isinstance(ftype, (AvroArray, AvroMap)):
+            _encode_container(out, v, ftype, f.name)
             continue
         _encode_scalar(out, v, ftype, f.name)
+
+
+def _encode_item(out: bytearray, v, item, fname: str) -> None:
+    """One array item / map value (the dual of :func:`_decode_item`):
+    record items accept a dict (by field name) or tuple/list/Row
+    (positional); containers recurse; scalars hit the scalar encoder."""
+    if isinstance(item, AvroRecord):
+        if isinstance(v, dict):
+            sub = [v.get(sf.name) for sf in item.fields]
+        elif isinstance(v, (list, tuple)):
+            sub = list(v)
+        else:
+            raise ValueError(
+                f"field {fname!r}: expected dict or tuple for record "
+                f"item, got {type(v)}"
+            )
+        _encode_fields(out, sub, item.fields)
+    elif isinstance(item, (AvroArray, AvroMap)):
+        _encode_container(out, v, item, fname)
+    else:
+        _encode_scalar(out, v, item, fname)
+
+
+def _encode_container(out: bytearray, v, ftype, fname: str) -> None:
+    """Array/map value -> Avro block encoding (single block + 0
+    terminator, the form every decoder accepts).  Map values accept a
+    dict OR a sequence of (key, value) pairs — Spark MapType columns
+    round-trip through pandas as lists of 2-tuples."""
+    if isinstance(ftype, AvroArray):
+        if isinstance(v, (str, bytes, dict)) or not hasattr(v, "__len__"):
+            raise ValueError(
+                f"field {fname!r}: expected a sequence for array "
+                f"value, got {type(v)}"
+            )
+        if len(v):
+            _write_long(out, len(v))
+            for iv in v:
+                if iv is None:
+                    raise ValueError(
+                        f"field {fname!r}: array items are non-null"
+                    )
+                _encode_item(out, iv, ftype.item, fname)
+        _write_long(out, 0)
+        return
+    # AvroMap
+    if isinstance(v, dict):
+        pairs = list(v.items())
+    elif hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
+        pairs = [tuple(p) for p in v]
+        if any(len(p) != 2 for p in pairs):
+            raise ValueError(
+                f"field {fname!r}: map value pairs must be (key, value)"
+            )
+    else:
+        raise ValueError(
+            f"field {fname!r}: expected a dict or (key, value) sequence "
+            f"for map value, got {type(v)}"
+        )
+    if pairs:
+        _write_long(out, len(pairs))
+        for k, iv in pairs:
+            if not isinstance(k, str):
+                raise ValueError(
+                    f"field {fname!r}: map keys must be strings, got "
+                    f"{type(k)}"
+                )
+            _encode_scalar(out, k, "string", fname)
+            if iv is None:
+                raise ValueError(
+                    f"field {fname!r}: map values are non-null"
+                )
+            _encode_item(out, iv, ftype.value, fname)
+    _write_long(out, 0)
 
 
 def _encode_scalar(out: bytearray, v, ftype: str, fname: str) -> None:

@@ -274,10 +274,18 @@ def stream_sessions_stateful(
             state.remove()
             return
         cur = state.get if state.exists else None
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("ts")
+        # Arrow hands the group over as MULTIPLE chunks when it exceeds
+        # spark.sql.execution.arrow.maxRecordsPerBatch (~10k rows); the
+        # chunks are only sorted relative to themselves.  Materialize
+        # the whole group and sort ONCE so the event-time-order
+        # contract in the docstring holds for large per-user batches
+        # too (a per-chunk sort would split sessions spuriously at
+        # chunk boundaries).  Memory is bounded by one user's rows in
+        # one micro-batch — the same bound the per-chunk loop already
+        # implied for state correctness.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             ms_col = pdf["ts"].astype("int64") // 1_000_000
             vals = pdf["value"].fillna(0.0)
             for ms, v in zip(ms_col, vals):
@@ -1433,6 +1441,17 @@ def compact_rollup(
         _ROLLUP_STATE,
     )
 
+    if keep_last < 1:
+        # keep_last=0 would fold the replayable tail batch into the
+        # base partition; a crash-replayed stream rewriting that batch
+        # id would then overwrite the ENTIRE folded history with one
+        # batch's partials — silent data loss, so fail loudly.
+        raise ValueError(
+            f"keep_last must be >= 1 for replay safety (got {keep_last}); "
+            "the most recent batch id may be replayed after a restart and "
+            "must keep its own partition"
+        )
+
     # same local-only guard as sinks.compact_parquet: the swap uses
     # local renames, which on hdfs://s3a:// would fail AFTER the
     # rewrite (rename is copy+delete there), stranding .compact.tmp
@@ -1456,7 +1475,7 @@ def compact_rollup(
         int(os.path.basename(p).split("=")[1])
         for p in _glob.glob(os.path.join(rollup_dir, "batch=*"))
     )
-    folded_ids = ids[: len(ids) - keep_last] if keep_last > 0 else ids
+    folded_ids = ids[: len(ids) - keep_last]
     if len(folded_ids) < 2:
         return len(ids)
     base_id = folded_ids[-1]
