@@ -67,6 +67,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> dict[
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read a parquet table that MAY be under manifest-pointer
+    management (``compact_parquet(via_manifest=True)``): follow the
+    ``_current`` pointer to the live ``gen-`` prefix when present,
+    else read the directory flat.  This is the reader half of the
+    object-store compaction protocol — a plain ``spark.read.parquet``
+    on the root would double-read old+new generations during the
+    post-flip cleanup window."""
+    from ultimate_data_engineering_project_spark.sources import manifest
+
+    ptr = manifest.read_pointer(spark, table_dir)
+    if ptr is None:
+        return spark.read.parquet(table_dir)
+    return spark.read.parquet(manifest.join(table_dir, ptr["data"]))
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> None:
     """Register fixtures as temp views so ``spark.sql`` works directly
     (the engine's equivalent of the reference's always-on Postgres

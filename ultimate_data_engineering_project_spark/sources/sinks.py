@@ -68,6 +68,7 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list[str] | None = None,
     sort_within_by: list[str] | None = None,
+    via_manifest: bool = False,
 ) -> int:
     """Compact a parquet directory's small files to ~``target_file_bytes``
     outputs; returns the number of files written.
@@ -82,19 +83,42 @@ def compact_parquet(
     row-group stats become selective for those columns: the cheap
     cousin of Z-ordering for the single-column case.
 
-    The rewrite lands in ``path + '.compact.tmp'`` and is swapped in via
-    two LOCAL renames — NOT atomic: a crash between them leaves the
-    live path missing with the data intact in ``.compact.old``.  That
-    window is self-healing: the next call (or a reader using this
-    function) restores ``.compact.old`` before doing anything else; remote scheme paths (hdfs://, s3a://) are
-    rejected up front — there, write a NEW prefix and flip the table
-    location (rename is copy+delete on object stores).  Input bytes are
-    read from the filesystem listing, not estimated from row counts, so
-    decompression ratio never skews the output sizing."""
+    With ``via_manifest=False`` (default) the rewrite lands in
+    ``path + '.compact.tmp'`` and is swapped in via two LOCAL renames —
+    NOT atomic: a crash between them leaves the live path missing with
+    the data intact in ``.compact.old``.  That window is self-healing:
+    the next call (or a reader using this function) restores
+    ``.compact.old`` before doing anything else; remote scheme paths
+    (hdfs://, s3a://) are rejected up front (rename is copy+delete on
+    object stores).
+
+    ``via_manifest=True`` is the OBJECT-STORE protocol
+    (sources/manifest.py): rewrite into a new immutable ``gen-NNNNNN``
+    prefix under the table root, atomically flip the ``_current``
+    pointer (one small PUT/rename), then DELETE superseded prefixes —
+    no data-file rename, so remote schemes are accepted.  Read the
+    table through ``readers.read_current`` (it follows the pointer;
+    a plain ``spark.read.parquet`` on the root would double-read
+    during the cleanup window).  First call on a legacy flat table
+    ADOPTS it: data moves under ``gen-000001`` and the superseded flat
+    files are deleted.
+
+    Input bytes are read from the filesystem listing, not estimated
+    from row counts, so decompression ratio never skews the output
+    sizing."""
     import math
     import os
     import shutil
     from urllib.parse import urlsplit
+
+    if via_manifest:
+        return _compact_parquet_via_manifest(
+            spark,
+            path,
+            target_file_bytes=target_file_bytes,
+            partition_by=partition_by,
+            sort_within_by=sort_within_by,
+        )
 
     # sizing walks the local filesystem and the swap uses local renames
     # — on hdfs://s3a:// the walk would see zero bytes (forcing a
@@ -107,9 +131,9 @@ def compact_parquet(
     scheme = parts.scheme.lower()
     if scheme not in ("", "file") or (scheme == "file" and parts.netloc):
         raise ValueError(
-            f"compact_parquet operates on local paths only (got {path!r}); "
-            "on object stores, write a new prefix and flip the table "
-            "location instead (rename is copy+delete there)"
+            f"compact_parquet's rename swap operates on local paths only "
+            f"(got {path!r}); on object stores pass via_manifest=True "
+            "(new-prefix write + atomic pointer flip)"
         )
     if scheme == "file":
         path = parts.path
@@ -157,6 +181,74 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def _compact_parquet_via_manifest(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int,
+    partition_by: list[str] | None,
+    sort_within_by: list[str] | None,
+) -> int:
+    """Object-store-safe compaction (see compact_parquet's docstring):
+    read the current generation (or the legacy flat root on adoption),
+    rewrite into the next ``gen-`` prefix, flip the pointer, delete
+    superseded prefixes.  Crash windows self-heal exactly as in
+    ``_compact_rollup_via_manifest`` (the retry reclaims the orphan
+    generation by overwrite; relics are pointer-invisible and deleted
+    by the next run)."""
+    import math
+
+    from ultimate_data_engineering_project_spark.sources import manifest
+
+    ptr = manifest.read_pointer(spark, path)
+    src = manifest.join(path, ptr["data"]) if ptr else path
+    gen = (ptr["generation"] if ptr else 0) + 1
+    new_data = f"gen-{gen:06d}"
+    base = spark.read.parquet(src)
+    total = manifest.total_bytes(spark, src)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if partition_by:
+        df = base.repartition(n_out, *partition_by)
+    else:
+        df = base.repartition(n_out)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(manifest.join(path, new_data))
+    manifest.write_pointer(spark, path, {"data": new_data, "generation": gen})
+    # post-flip cleanup: DELETEs only
+    for name in manifest.list_children(spark, path, "gen-"):
+        if name != new_data:
+            manifest.delete_prefix(spark, path, name)
+    if ptr is None:
+        manifest.delete_flat_children(spark, path)  # adoption
+    return _count_parquet_files(spark, manifest.join(path, new_data))
+
+
+def _count_parquet_files(spark, path: str) -> int:
+    from ultimate_data_engineering_project_spark.sources import manifest as _m
+
+    if _m._is_local(path):
+        import os
+
+        root = _m._local_path(path)
+        return sum(
+            1
+            for dirpath, _, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    fs, jpath, _ = _m._hadoop_fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
 
 
 def shuffled_export(

@@ -1402,19 +1402,66 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     partials into final per-bucket rows (see run_incremental_rollup_
     stream).  Reads the whole partials table — intentionally, unlike
     the index streams' ``batch < id`` probes, because serving wants
-    ALL history including the just-committed batch."""
-    from ultimate_data_engineering_project_spark.operators import aggregates
+    ALL history including the just-committed batch.
 
-    partials = (
-        spark.read.option("basePath", rollup_dir)
-        .parquet(rollup_dir)
-        .drop("batch")
-    )
+    If the table carries a manifest pointer (``_current`` — written by
+    ``compact_rollup(via_manifest=True)``), the view is the pointed-to
+    folded base prefix plus only the batch partitions NEWER than the
+    fold; superseded batch dirs awaiting cleanup are ignored."""
+    from ultimate_data_engineering_project_spark.operators import aggregates
+    from ultimate_data_engineering_project_spark.sources import manifest
+
+    ptr = manifest.read_pointer(spark, rollup_dir)
+    if ptr is None:
+        partials = (
+            spark.read.option("basePath", rollup_dir)
+            .parquet(rollup_dir)
+            .drop("batch")
+        )
+        return aggregates.merge_rollup(partials)
+    partials = spark.read.parquet(manifest.join(rollup_dir, ptr["base"]))
+    tail = [
+        n
+        for n in manifest.list_children(spark, rollup_dir, "batch=")
+        if int(n.split("=")[1]) > ptr["folded_through"]
+    ]
+    if tail:
+        partials = partials.unionByName(
+            spark.read.option("basePath", rollup_dir)
+            .parquet(*[manifest.join(rollup_dir, n) for n in tail])
+            .drop("batch")
+        )
     return aggregates.merge_rollup(partials)
 
 
+def _fold_rollup_partials(part: DataFrame) -> DataFrame:
+    """Fold a partials frame (no batch column) by the rollup's state
+    algebra — the SAME algebra the serving view applies, so folding
+    early cannot change `read_rollup`'s output."""
+    from ultimate_data_engineering_project_spark.operators.aggregates import (
+        _ROLLUP_STATE,
+    )
+
+    keys = [c for c in part.columns if c not in _ROLLUP_STATE]
+    return (
+        part.groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("n_val").alias("n_val"),
+            F.sum("sum_micro").alias("sum_micro"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(*keys, *_ROLLUP_STATE)
+    )
+
+
 def compact_rollup(
-    spark: SparkSession, rollup_dir: str, *, keep_last: int = 1
+    spark: SparkSession,
+    rollup_dir: str,
+    *,
+    keep_last: int = 1,
+    via_manifest: bool = False,
 ) -> int:
     """Bound the continuous aggregate's partials table over an
     unbounded stream: fold every ``batch=<id>`` partition except the
@@ -1428,18 +1475,29 @@ def compact_rollup(
     Run with the stream STOPPED: after a restart the stream may REPLAY
     its most recent uncommitted batch id, which must still map to its
     own partition for the overwrite to stay idempotent — keep_last >= 1
-    keeps the replayable tail out of the fold.  The rewrite lands in
-    ``rollup_dir + '.compact.tmp'`` and swaps in via two local renames
-    (sinks.compact_parquet's pattern, including crash restore from the
-    ``.compact.old`` relic); local filesystem only.  Returns the number
-    of batch partitions after compaction."""
+    keeps the replayable tail out of the fold.
+
+    Two swap protocols:
+
+    * ``via_manifest=False`` (default): the rewrite lands in
+      ``rollup_dir + '.compact.tmp'`` and swaps in via two local
+      renames (sinks.compact_parquet's pattern, including crash
+      restore from the ``.compact.old`` relic); LOCAL filesystem only.
+    * ``via_manifest=True``: the object-store-safe protocol
+      (sources/manifest.py) — fold into a NEW immutable ``gen-NNNNNN``
+      prefix, atomically flip the ``_current`` pointer (one small
+      PUT/rename), then DELETE superseded prefixes; no data-file
+      rename anywhere, so s3a:// paths are accepted.  `read_rollup`
+      follows the pointer.  A crash before the flip orphans the new
+      prefix (the retry rewrites it — generation numbers derive from
+      the pointer); a crash after the flip leaves superseded prefixes
+      that readers ignore and the next compaction deletes.
+
+    Returns the number of live partials partitions after compaction
+    (folded base + un-folded tail)."""
     import glob as _glob
     import shutil
     from urllib.parse import urlsplit
-
-    from ultimate_data_engineering_project_spark.operators.aggregates import (
-        _ROLLUP_STATE,
-    )
 
     if keep_last < 1:
         # keep_last=0 would fold the replayable tail batch into the
@@ -1452,6 +1510,9 @@ def compact_rollup(
             "must keep its own partition"
         )
 
+    if via_manifest:
+        return _compact_rollup_via_manifest(spark, rollup_dir, keep_last)
+
     # same local-only guard as sinks.compact_parquet: the swap uses
     # local renames, which on hdfs://s3a:// would fail AFTER the
     # rewrite (rename is copy+delete there), stranding .compact.tmp
@@ -1459,9 +1520,9 @@ def compact_rollup(
     scheme = parts_url.scheme.lower()
     if scheme not in ("", "file") or (scheme == "file" and parts_url.netloc):
         raise ValueError(
-            f"compact_rollup operates on local paths only (got {rollup_dir!r}); "
-            "on object stores, write a new prefix and flip the reader "
-            "location instead"
+            f"compact_rollup's rename swap operates on local paths only "
+            f"(got {rollup_dir!r}); on object stores pass "
+            "via_manifest=True (new-prefix write + atomic pointer flip)"
         )
     if scheme == "file":
         rollup_dir = parts_url.path
@@ -1480,18 +1541,8 @@ def compact_rollup(
         return len(ids)
     base_id = folded_ids[-1]
     part = spark.read.option("basePath", rollup_dir).parquet(rollup_dir)
-    keys = [c for c in part.columns if c not in _ROLLUP_STATE and c != "batch"]
-    folded = (
-        part.filter(F.col("batch") <= base_id)
-        .groupBy(*keys)
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("n_val").alias("n_val"),
-            F.sum("sum_micro").alias("sum_micro"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
-        .select(*keys, *_ROLLUP_STATE)
+    folded = _fold_rollup_partials(
+        part.filter(F.col("batch") <= base_id).drop("batch")
     )
     tmp = rollup_dir.rstrip("/") + ".compact.tmp"
     folded.write.mode("overwrite").parquet(os.path.join(tmp, f"batch={base_id}"))
@@ -1505,3 +1556,59 @@ def compact_rollup(
     shutil.move(tmp, rollup_dir)
     shutil.rmtree(old)
     return len(ids) - len(folded_ids) + 1
+
+
+def _compact_rollup_via_manifest(
+    spark: SparkSession, rollup_dir: str, keep_last: int
+) -> int:
+    """Object-store-safe fold (see compact_rollup's docstring): new
+    immutable ``gen-NNNNNN`` prefix -> atomic ``_current`` pointer
+    flip -> DELETE superseded prefixes.  Composes with the running
+    layout: the stream keeps appending ``batch=<id>`` partitions at the
+    table root; only batches newer than ``folded_through`` are live."""
+    from ultimate_data_engineering_project_spark.sources import manifest
+
+    ptr = manifest.read_pointer(spark, rollup_dir) or {
+        "base": None,
+        "folded_through": -1,
+        "generation": 0,
+    }
+    ids = sorted(
+        int(n.split("=")[1])
+        for n in manifest.list_children(spark, rollup_dir, "batch=")
+    )
+    live = [i for i in ids if i > ptr["folded_through"]]
+    folded_ids = live[: len(live) - keep_last]
+    # folding a single batch with no base to merge it into buys nothing
+    if not folded_ids or (ptr["base"] is None and len(folded_ids) < 2):
+        return (1 if ptr["base"] else 0) + len(live)
+    gen = ptr["generation"] + 1
+    new_base = f"gen-{gen:06d}"
+    part = (
+        spark.read.option("basePath", rollup_dir)
+        .parquet(*[manifest.join(rollup_dir, f"batch={i}") for i in folded_ids])
+        .drop("batch")
+    )
+    if ptr["base"]:
+        part = spark.read.parquet(
+            manifest.join(rollup_dir, ptr["base"])
+        ).unionByName(part)
+    # a crash-before-flip retry lands on the same gen number (it
+    # derives from the pointer), so overwrite reclaims the orphan
+    _fold_rollup_partials(part).write.mode("overwrite").parquet(
+        manifest.join(rollup_dir, new_base)
+    )
+    manifest.write_pointer(
+        spark,
+        rollup_dir,
+        {"base": new_base, "folded_through": folded_ids[-1], "generation": gen},
+    )
+    # post-flip cleanup: DELETEs only (object-store-safe); a crash here
+    # leaves relics that readers ignore and the next run deletes
+    for name in manifest.list_children(spark, rollup_dir, "gen-"):
+        if name != new_base:
+            manifest.delete_prefix(spark, rollup_dir, name)
+    for i in ids:
+        if i <= folded_ids[-1]:
+            manifest.delete_prefix(spark, rollup_dir, f"batch={i}")
+    return 1 + (len(live) - len(folded_ids))
