@@ -128,6 +128,7 @@ NESTED_LOOP_ALLOWED = {
     # trained coefficients come back as a 1-ROW broadcast crossJoin
     # (scalar-subquery family)
     "fakestream_fraud_scores",
+    "fraud_model_trained",
     # BM25 corpus stats (N, avgdl, per-term df) are a 1-ROW broadcast
     # crossJoin (scalar-subquery family) — both the full-scan entry and
     # the inverted-index probe share it

@@ -202,6 +202,9 @@ _PRIORITY = [
     "train_split_by_user",
     "fakestream_source_read",
     "correlated_small_quantity_revenue",
+    # r9: the iteratively-trained fraud model (Newton/IRLS logistic,
+    # judge ask #5) — oracle-checked here and in strict parity
+    "fraud_model_trained",
 ]
 
 

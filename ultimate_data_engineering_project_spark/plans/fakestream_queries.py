@@ -207,10 +207,12 @@ def fakestream_circular_transfers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "fakestream_fraud_scores",
-    oracle=f"""
-    WITH tf AS (
+# The weak-supervision training frame both fraud-model oracles share:
+# circular-transfer label + velocity features, FULL-joined so a
+# circular account with no completed transaction keeps its row (zero
+# features) — mirrors fraud.fraud_training_frame's population contract.
+_LABELED_CTES = f"""
+    tf AS (
         SELECT transaction_id, account_id, related_account_id,
                CAST(transaction_date AS DATE) AS day
         FROM read_parquet('{_TRX}')
@@ -241,16 +243,19 @@ def fakestream_circular_transfers(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY account_id
     ),
     labeled AS (
-        -- FULL join: a circular account with no completed transaction
-        -- keeps its row (zero features), mirroring
-        -- fraud.fraud_training_frame's population contract
         SELECT COALESCE(f.account_id, c.account_id) AS account_id,
                COALESCE(f.n_trx, 0) AS n_trx,
                COALESCE(f.n_big, 0) AS n_big,
                CAST(CASE WHEN c.account_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
                    AS is_circular
         FROM feats f FULL JOIN circ c ON f.account_id = c.account_id
-    ),
+    )"""
+
+
+@register(
+    "fakestream_fraud_scores",
+    oracle=f"""
+    WITH {_LABELED_CTES},
     s AS (
         SELECT COUNT(*) AS n,
                SUM(n_trx) AS s1, SUM(n_big) AS s2,
@@ -308,6 +313,101 @@ def fakestream_fraud_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     each), so the TRAINED MODEL itself is hash-checked, not just the
     feature plumbing."""
     return fraud.linear_fraud_scores(_fx(spark, _TRX))
+
+
+def _trained_fraud_oracle(steps: int) -> str:
+    """Unrolled Newton/IRLS chain mirroring fraud.trained_fraud_scores
+    bit-for-bit (the pagerank-oracle pattern — DuckDB prohibits
+    aggregates in a recursive member, so a fixed step count unrolls
+    into w0..wN): per step, micro-quantized BIGINT Hessian/gradient
+    sums (order-free exact), HUGEINT Cramer determinants (DuckDB's
+    SUM(BIGINT) promotion ≈ Spark's decimal(38,0)), one IEEE division
+    per coefficient, re-quantize."""
+    sig = "1.0 / (1.0 + EXP(-((w.w0 + w.w1 * l.n_trx + w.w2 * l.n_big) / 1000000.0)))"
+    xs = ["1", "p.n_trx", "p.n_big"]
+    parts = [
+        f"""
+    WITH {_LABELED_CTES},
+    w0_ AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2)"""
+    ]
+    for t in range(1, steps + 1):
+        hg = []
+        for i in range(3):
+            for j in range(i, 3):
+                hg.append(
+                    f"SUM(CAST(ROUND(p.wd * {xs[i]} * {xs[j]} * 1000000) "
+                    f"AS BIGINT)) AS h{i}{j}"
+                )
+        for i in range(3):
+            hg.append(
+                f"SUM(CAST(ROUND(p.resid * {xs[i]} * 1000000) AS BIGINT)) "
+                f"AS g{i}"
+            )
+        parts.append(
+            f""",
+    s{t} AS (
+        SELECT w0, w1, w2, {', '.join(hg)}
+        FROM (
+            SELECT w.w0, w.w1, w.w2, l.n_trx, l.n_big,
+                   ({sig}) * (1.0 - ({sig})) AS wd,
+                   l.is_circular - ({sig}) AS resid
+            FROM labeled l, w{t - 1}_ w
+        ) p
+        GROUP BY w0, w1, w2
+    ),
+    d{t} AS (
+        SELECT w0, w1, w2, g0, g1, g2,
+          h00 * (h11 * h22 - h12 * h12)
+            - h01 * (h01 * h22 - h12 * h02)
+            + h02 * (h01 * h12 - h11 * h02) AS det,
+          g0 * (h11 * h22 - h12 * h12)
+            - h01 * (g1 * h22 - h12 * g2)
+            + h02 * (g1 * h12 - h11 * g2) AS det0,
+          h00 * (g1 * h22 - h12 * g2)
+            - g0 * (h01 * h22 - h12 * h02)
+            + h02 * (h01 * g2 - g1 * h02) AS det1,
+          h00 * (h11 * g2 - g1 * h12)
+            - h01 * (h01 * g2 - g1 * h02)
+            + g0 * (h01 * h12 - h11 * h02) AS det2
+        FROM s{t}
+    ),
+    w{t}_ AS (
+        SELECT
+          CASE WHEN det <> 0 THEN w0 + CAST(ROUND(
+            CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * 1000000
+          ) AS BIGINT) END AS w0,
+          CASE WHEN det <> 0 THEN w1 + CAST(ROUND(
+            CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * 1000000
+          ) AS BIGINT) END AS w1,
+          CASE WHEN det <> 0 THEN w2 + CAST(ROUND(
+            CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * 1000000
+          ) AS BIGINT) END AS w2
+        FROM d{t}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT l.account_id, l.n_trx, l.n_big, l.is_circular,
+           w.w0, w.w1, w.w2,
+           ROUND({sig}, 6) AS fraud_score
+    FROM labeled l, w{steps}_ w"""
+    )
+    return "".join(parts)
+
+
+@register("fraud_model_trained", oracle=_trained_fraud_oracle(4))
+def fraud_model_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATIVELY-TRAINED Phase-5 fraud model (reference
+    README.md:47-53; fakestream_fraud_scores is the closed-form linear
+    probe, this is the logistic upgrade): 4 Newton/IRLS steps from
+    w = 0, each step a micro-quantized exact Hessian/gradient
+    aggregate + a Cramer 3x3 solve — the iterative-algorithm family's
+    trained-model member, fixed-point and hash-checked like PageRank.
+    The DuckDB oracle re-runs the identical unrolled recurrence, so
+    the TRAINED COEFFICIENTS themselves are verified cross-engine
+    (they ride on every output row as w0/w1/w2 micro-units)."""
+    return fraud.trained_fraud_scores(_fx(spark, _TRX))
 
 
 _DEBEZIUM_TXN_SCHEMA = """
