@@ -1386,6 +1386,19 @@ _REPETITION_FLAG_CTE = """
     """,
 )
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog face of :func:`curation_pipeline` — self-contained (the
+    near-dup clusters derive inline) so the DuckDB oracle sees one
+    closed expression.  Production callers should pass their PERSISTED
+    ``dedup_clusters`` output via ``clusters=`` instead: the cluster
+    labeling is the pipeline's most expensive stage (iterative
+    connected components) and is typically already materialized by the
+    dedup job that precedes curation."""
+    return curation_pipeline(spark, sf_dir)
+
+
+def curation_pipeline(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """The full corpus-curation flagship (X1+X2+X4 composed end to end —
     what a 100 TB pretraining-data run actually executes): blocked
     sources dropped (broadcast anti-join), repetitive and low-quality
@@ -1403,7 +1416,10 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_physical_plans.py: no exchange partitions on text),
     the banded near-dup pipeline, and two small-partition windows — no
     operation touches more than one shuffle of the full corpus at a
-    time."""
+    time.  Persist-once discipline: pass ``clusters=`` (a persisted
+    ``dedup_clusters`` output with doc_id/cluster_id) to skip
+    re-deriving the connected-components labeling inline — same
+    result, one fewer CC computation in the composed plan."""
     docs = load_table(spark, sf_dir, "documents")
     # one-pass gates: quality and repetition are map-side expressions
     # computed in a SINGLE projection over one documents scan (joining
@@ -1440,7 +1456,9 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__fp_rn") == 1)
         .select("doc_id", "source", "quality_score")
     )
-    labeled = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir)
+    labeled = clusters.select("doc_id", "cluster_id")
     final = kept.join(labeled, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), "doc_id"
@@ -2226,7 +2244,10 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a one-row argmax collect, with the DuckDB oracle unrolling
     the identical greedy recurrence)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.bpe_merges(docs, 6)
+    # batch_pairs is bit-identical to the serial recurrence (provably —
+    # _bpe_loop's acceptance rule; pinned by an equality test), so the
+    # oracle's serial unroll still matches while driver round-trips drop
+    return text.bpe_merges(docs, 6, batch_pairs=4)
 
 
 @register("docs_bpe_token_freq", oracle=_bpe_encode_oracle(6, 100))
@@ -2239,7 +2260,7 @@ def docs_bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.bpe_token_frequencies; reference has no tokenizer —
     driver-contract training-data op)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.bpe_token_frequencies(docs, 6, k=100)
+    return text.bpe_token_frequencies(docs, 6, k=100, batch_pairs=4)
 
 
 @register(
