@@ -191,7 +191,11 @@ def main() -> None:
                     "embedding round-trip, Lloyd refine, SemDeDup pairs, "
                     "boilerplate gate, duplicated spans, then the "
                     "retrieval flagship + BPE trainer/encoder), "
-                    "+~9s of genuinely new covered work in the total"
+                    "+~9s of genuinely new covered work in the total; "
+                    "r09: methodology unchanged from r8 (same query "
+                    "set, same noop-sink forcing, same n_runs) — the "
+                    "first per-query-comparable round pair; compare "
+                    "canary-normalized"
                 ),
             }
         )
