@@ -449,7 +449,12 @@ _AVRO_PROP_SCHEMA = """
       {"name": "vec", "type": {"type": "array", "items": "float"}}
   ]}]},
   {"name": "echo", "type": ["null", "Value"]},
-  {"name": "op", "type": "string"}
+  {"name": "op", "type": "string"},
+  {"name": "tags", "type": ["null", {"type": "array", "items":
+     {"type": "record", "name": "Tag", "fields": [
+        {"name": "k", "type": "string"},
+        {"name": "n", "type": "long"}]}}]},
+  {"name": "attrs", "type": {"type": "map", "values": "string"}}
 ]}
 """
 
@@ -487,20 +492,32 @@ _value_rows = st.fixed_dictionaries(
     image=st.none() | _value_rows,
     echo=st.none() | _value_rows,
     op=st.text(min_size=1, max_size=4),
+    tags=st.none()
+    | st.lists(
+        st.fixed_dictionaries(
+            {
+                "k": st.text(max_size=8),
+                "n": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            }
+        ),
+        max_size=5,
+    ),
+    attrs=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
 )
 @settings(max_examples=200, deadline=None)
-def test_avro_codec_roundtrip_property(image, echo, op):
+def test_avro_codec_roundtrip_property(image, echo, op, tags, attrs):
     """decode(encode(x)) == x for the full supported type surface —
     nested null-union records (Debezium's before/after shape), zigzag
     longs across the entire int64 range, exact decimals, micro
-    timestamps, dates, unicode strings, raw bytes, IEEE doubles.
-    Hypothesis hunts the boundary values a hand-written table misses
-    (two's-complement byte-length edges, 10-byte varints, empty
-    strings/bytes, astral-plane unicode)."""
+    timestamps, dates, unicode strings, raw bytes, IEEE doubles, and
+    (r9) arrays of records + string-keyed maps.  Hypothesis hunts the
+    boundary values a hand-written table misses (two's-complement
+    byte-length edges, 10-byte varints, empty strings/bytes,
+    astral-plane unicode, empty containers)."""
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     fields = avro_py.parse_flat_schema(_AVRO_PROP_SCHEMA)
-    row = (image, echo, op)
+    row = (image, echo, op, tags, attrs)
     out = avro_py.decode_record(avro_py.encode_record(row, fields), fields)
     assert out == row
 
