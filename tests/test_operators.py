@@ -80,6 +80,76 @@ def test_sessionize_gap(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
 
 
+def test_sessionize_chunked_equals_plain(spark, sf_dir):
+    """The skew-safe two-phase sessionizer must be BIT-IDENTICAL to
+    the single-window sessionize — same session_id numbering — on
+    (a) the real events fixture across several chunk widths including
+    boundary-hugging ones, (b) a hot-key frame where one user holds
+    half the rows, and (c) adversarial boundary cases: sessions
+    spanning a chunk edge (merge), ending exactly gap seconds apart
+    (strict boundary stays in-session), and single-event chunks
+    chaining across 3 chunks."""
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    def norm(df):
+        return sorted(
+            (r["user_id"], r["event_id"], r["session_id"])
+            for r in df.select("user_id", "event_id", "session_id").collect()
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = norm(windows.sessionize(ev, "user_id", "ts", 1800, tiebreak="event_id"))
+    for chunk in (1800, 3600, 6 * 3600, 86_400):
+        got = norm(
+            windows.sessionize_chunked(
+                ev, "user_id", "ts", 1800, chunk_seconds=chunk,
+                tiebreak="event_id",
+            )
+        )
+        assert got == want, f"chunk={chunk}"
+
+    # hot key + adversarial boundaries (gap 600s, chunk 3600s):
+    # user 1: events every 400s for 3 hours (one giant session crossing
+    # every chunk edge) then a 601s gap (new session); user 2: events
+    # EXACTLY 600s apart across a chunk edge (strict boundary: same
+    # session); user 3: one event per chunk, 3000s < chunk apart?
+    # (3000s > gap => three singleton sessions chained across chunks)
+    rows = []
+    eid = 0
+    for k in range(27):  # user 1 hot: 0..10400s step 400
+        rows.append((1, k * 400, eid)); eid += 1
+    rows.append((1, 26 * 400 + 601, eid)); eid += 1  # breaks the session
+    for k in range(7):  # user 2: exactly gap apart, crosses 3600 edge
+        rows.append((2, 3000 + k * 600, eid)); eid += 1
+    for k in range(3):  # user 3: 3000s apart > gap, separate sessions
+        rows.append((3, 1000 + k * 3000, eid)); eid += 1
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + _dt.timedelta(seconds=s), e) for u, s, e in rows],
+        "user_id long, ts timestamp, event_id long",
+    )
+    want = norm(windows.sessionize(df, "user_id", "ts", 600, tiebreak="event_id"))
+    got = norm(
+        windows.sessionize_chunked(
+            df, "user_id", "ts", 600, chunk_seconds=3600, tiebreak="event_id"
+        )
+    )
+    assert got == want
+    # sanity on the adversarial shapes themselves
+    by_user = {}
+    for u, e, s in want:
+        by_user.setdefault(u, set()).add(s)
+    assert len(by_user[1]) == 2 and len(by_user[2]) == 1 and len(by_user[3]) == 3
+
+    # chunk < gap refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_seconds"):
+        windows.sessionize_chunked(df, "user_id", "ts", 600, chunk_seconds=300)
+
+
 def test_dedup_keep_latest(spark):
     df = spark.createDataFrame(
         [

@@ -186,6 +186,99 @@ def sessionize(
     return df.withColumn("session_id", F.sum(new_session).over(wrun))
 
 
+def sessionize_chunked(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    *,
+    chunk_seconds: int = 86_400,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-safe two-phase sessionizer — bit-identical output to
+    :func:`sessionize` (same ``session_id`` numbering), but no window
+    partition ever holds more than one key's events for one time
+    chunk.
+
+    `sessionize`'s single window partitions by ``key``: a hot key
+    holding 10% of a 100 TB table puts 10% of all rows into ONE task
+    (Spark cannot split a window partition — the skew no salting or
+    AQE can fix).  This escalation partitions phase 1 by
+    ``(key, time-chunk)`` instead:
+
+    1. within each (key, chunk): the same lag → boundary flag →
+       running sum, yielding chunk-local session ids 1..n.  The hot
+       key's rows spread over its chunks.
+    2. per (key, chunk) SUMMARY (one row per present chunk — bounded
+       by time-range/chunk, independent of row skew): a boundary
+       session merges across adjacent chunks iff
+       ``first_ts(next) - last_ts(prev) <= gap`` (the same STRICT gap
+       boundary as sessionize), and a running sum of per-chunk session
+       starts renumbers globally:
+       ``session_id = offset(chunk) + local_id - merged(chunk)``.
+
+    Correctness hinges on ``chunk_seconds >= gap_seconds``: two events
+    within the gap then land in the same or ADJACENT chunks, so only
+    adjacent-chunk merges exist (enforced loudly).  Chunk width trades
+    the summary's cardinality against residual within-chunk skew —
+    pick it so one key's rows per chunk fit a task.
+
+    Cost: one extra shuffle of the chunk-level summary (tiny) and a
+    (key, chunk) join back — the equality with `sessionize` is pinned
+    by tests on uniform AND hot-key data, and the catalog entry
+    `sessionize_events_salted` hash-checks it against the SAME DuckDB
+    oracle as the plain entry."""
+    if chunk_seconds < gap_seconds:
+        raise ValueError(
+            f"chunk_seconds ({chunk_seconds}) must be >= gap_seconds "
+            f"({gap_seconds}): a session could otherwise span "
+            "non-adjacent chunks and the boundary merge would miss it"
+        )
+    chunk_us = chunk_seconds * 1_000_000
+    gap_ivl = F.expr(f"INTERVAL {gap_seconds} SECONDS")
+    d = df.withColumn(
+        "__chunk", F.expr(f"unix_micros(cast({ts} as timestamp)) div {chunk_us}")
+    )
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key, "__chunk").orderBy(*order)
+    new_session = (
+        F.lag(ts).over(w).isNull() | ((F.col(ts) - F.lag(ts).over(w)) > gap_ivl)
+    ).cast("int")
+    local = d.withColumn(
+        "__ls",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    summ = local.groupBy(key, "__chunk").agg(
+        F.min(ts).alias("__first"),
+        F.max(ts).alias("__last"),
+        F.max("__ls").alias("__n"),
+    )
+    wc = Window.partitionBy(key).orderBy("__chunk")
+    merged = (
+        F.lag("__last").over(wc).isNotNull()
+        & ((F.col("__first") - F.lag("__last").over(wc)) <= gap_ivl)
+    ).cast("long")
+    summ = summ.withColumn("__merged", merged).withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum(F.col("__n") - F.col("__merged")).over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return (
+        local.join(
+            summ.select(key, "__chunk", "__offset", "__merged"),
+            [key, "__chunk"],
+        )
+        .withColumn(
+            "session_id", F.col("__offset") + F.col("__ls") - F.col("__merged")
+        )
+        .drop("__chunk", "__ls", "__offset", "__merged")
+    )
+
+
 def ledger_running_balance(
     transactions: DataFrame,
     *,

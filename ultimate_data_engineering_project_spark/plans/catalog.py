@@ -205,6 +205,9 @@ _PRIORITY = [
     # r9: the iteratively-trained fraud model (Newton/IRLS logistic,
     # judge ask #5) — oracle-checked here and in strict parity
     "fraud_model_trained",
+    # r9: the skew-safe two-phase sessionizer, hash-checked against the
+    # SAME oracle as sessionize_events (bit-equal recomposition)
+    "sessionize_events_salted",
 ]
 
 
