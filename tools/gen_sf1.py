@@ -51,7 +51,11 @@ production table actually has and uniform upscaling cannot show:
     purchases pair with the errors of a single window);
   * orders: 10% of rows (o_orderkey % 10 == 7) remap to ONE hot
     o_custkey — the star join's orders-customer shuffle gets a hot
-    build key (AQE skew-join territory).
+    build key (AQE skew-join territory);
+  * documents: 10% of rows ((doc_id div N_COPIES) % 10 == 7 — spread
+    across copies, not one salted copy) remap to ONE hot source — the
+    sequence-packing window (PARTITION BY source) and the
+    source-reputation aggregate get a hot group.
 The skew sweep (tools/scaling_sweep.py with a skew dir) compares
 sf1skew against sf1 at identical volume, so the column isolates the
 skew penalty from data growth.
@@ -181,14 +185,22 @@ def main(out_dir: str, skew: bool = False) -> None:
         " ",
     )
     new_text = F.when(F.col("__copy") == 0, F.col("text")).otherwise(salted)
-    write(
+    docs_up = (
         _copies(spark, docs)
         .withColumn("doc_id", F.col("doc_id") * N_COPIES + F.col("__copy"))
         .withColumn("text", new_text)
         .withColumn("n_chars", F.length(F.col("text")))
-        .drop("__copy"),
-        "documents",
+        .drop("__copy")
     )
+    if skew:
+        hot_src = docs.agg(F.min("source")).first()[0]
+        docs_up = docs_up.withColumn(
+            "source",
+            F.when(
+                F.expr(f"(doc_id div {N_COPIES}) % 10 == 7"), F.lit(hot_src)
+            ).otherwise(F.col("source")),
+        )
+    write(docs_up, "documents")
 
     emb = load_table(spark, SRC, "embeddings")
     v_stride = _stride(emb, "vec_id")

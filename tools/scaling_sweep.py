@@ -47,6 +47,9 @@ ENTRIES = [
     # the merge loop is touching corpus-cardinality data
     "docs_search_pipeline",
     "docs_bpe_token_freq",
+    # r9: joins the sweep for the hot-SOURCE skew axis (its window
+    # partitions by source — the un-splittable shape)
+    "training_sequence_packing",
 ]
 N_RUNS = 2
 
@@ -57,6 +60,12 @@ SKEW_ENTRIES = [
     "range_join_error_windows",
     "star_join_revenue_by_nation",
     "timeseries_similar_users",
+    # hot-SOURCE axis (one source holding 10% of documents): the
+    # sequence-packing window partitions by source (un-splittable
+    # shape), the curation flagship gates on a source-reputation
+    # aggregate (broadcast — expected skew-immune)
+    "training_sequence_packing",
+    "docs_curation_pipeline",
 ]
 
 
