@@ -80,6 +80,59 @@ def test_sessionize_gap(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
 
 
+def test_hist_quantiles_bound_and_nulls(spark, sf_dir):
+    """The histogram quantile's documented contract: each served
+    percentile is the UPPER edge of the first bin reaching the exact
+    ceil-rank — so it is >= the true order statistic and within one
+    bin width above it — and NULL values take no bin (n_valued counts
+    only valued rows)."""
+    from ultimate_data_engineering_project_spark.operators import aggregates
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    BINS, LO, HI = 64, 0.0, 1024.0
+    width = (HI - LO) / BINS
+    served = {
+        (r["bucket_ts"], r["event_type"]): r
+        for r in aggregates.hist_quantiles(
+            aggregates.hist_partials(ev, bins=BINS, lo=LO, hi=HI),
+            (50, 95), bins=BINS, lo=LO, hi=HI,
+        ).collect()
+    }
+    # exact order statistics per group, ceil-rank convention
+    import math
+
+    rows = ev.select("ts", "event_type", "value").collect()
+    groups: dict = {}
+    import datetime as _dt
+
+    for r in rows:
+        if r["value"] is None:
+            continue
+        day = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        groups.setdefault((day, r["event_type"]), []).append(r["value"])
+    assert set(groups) == set(served)
+    for key, vals in groups.items():
+        vals.sort()
+        got = served[key]
+        assert got["n_valued"] == len(vals)
+        for q in (50, 95):
+            true = vals[math.ceil(len(vals) * q / 100) - 1]
+            p = got[f"p{q}"]
+            assert true <= p <= true + width, (key, q, true, p)
+
+    # NULLs take no bin
+    df = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 1), "a", None), (_dt.datetime(2024, 1, 1), "a", 5.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    out = aggregates.hist_quantiles(
+        aggregates.hist_partials(df, bins=4, lo=0.0, hi=8.0), (50,),
+        bins=4, lo=0.0, hi=8.0,
+    ).collect()
+    assert len(out) == 1 and out[0]["n_valued"] == 1 and out[0]["p50"] == 6.0
+
+
 def test_sessionize_chunked_equals_plain(spark, sf_dir):
     """The skew-safe two-phase sessionizer must be BIT-IDENTICAL to
     the single-window sessionize — same session_id numbering — on

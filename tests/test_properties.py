@@ -570,10 +570,27 @@ def test_rollup_merge_slice_invariant(spark, ev, n_slices, assign):
 
     labels = [assign.randrange(n_slices) for _ in rows]
     parts = None
+    hparts = None
+    hkw = dict(ts_col="ts", key_cols=("event_type",), value_col="value",
+               bins=8, lo=-1e5, hi=1e5)
     for s in range(n_slices):
         ids = [r.eid for r, l in zip(rows, labels) if l == s]
         sl = df.where(F.col("eid").isin(ids) if ids else F.lit(False))
         p = aggregates.rollup_partials(sl, **kw)
         parts = p if parts is None else parts.unionByName(p)
+        hp = aggregates.hist_partials(sl, **hkw)
+        hparts = hp if hparts is None else hparts.unionByName(hp)
     got = rows_of(aggregates.merge_rollup(parts))
     assert got == want
+
+    # r9: the HISTOGRAM partials carry the same slice-invariance (the
+    # property that makes the percentile continuous aggregate exact):
+    # served quantiles over any slicing == over one direct partial
+    def hrows(out):
+        return sorted(map(tuple, out.collect()), key=str)
+
+    hq = dict(bins=8, lo=-1e5, hi=1e5)
+    hwant = hrows(
+        aggregates.hist_quantiles(aggregates.hist_partials(df, **hkw), (50, 95), **hq)
+    )
+    assert hrows(aggregates.hist_quantiles(hparts, (50, 95), **hq)) == hwant

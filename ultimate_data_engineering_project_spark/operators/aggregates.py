@@ -151,3 +151,88 @@ def merge_rollup(partials: DataFrame) -> DataFrame:
         F.max("max_value").alias("max_value"),
         F.when(n_valued > 0, total / n_valued).alias("avg_value"),
     )
+
+
+def hist_partials(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    bucket: str = "day",
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1024.0,
+) -> DataFrame:
+    """Mergeable HISTOGRAM partials for the continuous aggregate —
+    the state that serves PERCENTILES incrementally (TimescaleDB's
+    percentile continuous aggregates; Spark's own percentile_approx
+    sketch is neither mergeable across engines nor reproducible, so
+    this recasts it on the repo's exact-integer discipline).
+
+    One row per ``(date_trunc(bucket, ts), *key_cols, bin)`` where
+    ``bin = clamp(floor((value - lo) / width), 0, bins-1)`` and the
+    state is a plain BIGINT count: merging slices is integer addition
+    (order-free, replay-idempotent — the same algebra as
+    rollup_partials), and the quantile error is bounded by ONE BIN
+    WIDTH by construction, a bound that holds under any merge order.
+    Bin assignment is a single IEEE divide + floor on both engines, so
+    a DuckDB oracle reproduces the histogram bit-for-bit — unlike any
+    sample- or sketch-based quantile.  NULL values take no bin
+    (count-only rows track them upstream in rollup_partials).
+
+    At 100 TB the partials table is bucket x key x bins cardinality —
+    ``bins`` multiplies the ROLLUP's footprint, not the corpus scan —
+    and the partials land in the same ``batch=<id>`` layout the
+    incremental rollup stream and ``compact_rollup`` already manage."""
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_col = F.least(
+        F.greatest(b, F.lit(0)), F.lit(bins - 1)
+    ).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            *key_cols,
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_quantiles(
+    partials: DataFrame,
+    qs: tuple[int, ...] = (50, 95),
+    *,
+    bins: int = 64,
+    lo: float = 0.0,
+    hi: float = 1024.0,
+) -> DataFrame:
+    """Serving view over histogram partials: per (bucket, keys), the
+    valued count and one UPPER-BIN-EDGE quantile per requested
+    percentile — ``p_q = lo + (bin+1) * width`` for the first bin
+    whose cumulative count reaches ``ceil(q% * total)``.
+
+    All integer arithmetic: the cumulative counts are BIGINT sums over
+    merged partials, the rank threshold is ``(total*q + 99) div 100``
+    (exact ceiling — Spark's ``div`` == DuckDB's ``//`` on
+    non-negative longs), and the reported edge is a deterministic
+    double expression — so the quantile is engine-exact, with the
+    approximation bound (one bin width above the true quantile)
+    carried by the HISTOGRAM, not the arithmetic."""
+    width = (hi - lo) / bins
+    keys = [c for c in partials.columns if c not in ("bin", "n")]
+    merged = partials.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+    w = Window.partitionBy(*keys).orderBy("bin")
+    c = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*keys))
+    )
+    edge = F.lit(lo) + (F.col("bin") + 1) * F.lit(width)
+    aggs = [F.max("total").alias("n_valued")]
+    for q in qs:
+        thresh = F.expr(f"(total * {int(q)} + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thresh, edge)).alias(f"p{int(q)}")
+        )
+    return c.groupBy(*keys).agg(*aggs)

@@ -208,6 +208,9 @@ _PRIORITY = [
     # r9: the skew-safe two-phase sessionizer, hash-checked against the
     # SAME oracle as sessionize_events (bit-equal recomposition)
     "sessionize_events_salted",
+    # r9: the percentile face of the continuous aggregate (mergeable
+    # histogram partials -> engine-exact bin-edge quantiles)
+    "events_rollup_quantiles",
 ]
 
 

@@ -387,6 +387,64 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS bucket_ts,
+               event_type,
+               CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 16.0), 0), 63)
+                    AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY bucket_ts, event_type, bin
+    ),
+    c AS (
+        SELECT bucket_ts, event_type, bin, n,
+               SUM(n) OVER (PARTITION BY bucket_ts, event_type
+                            ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY bucket_ts, event_type) AS total
+        FROM b
+    )
+    SELECT bucket_ts, event_type,
+           CAST(MAX(total) AS BIGINT) AS n_valued,
+           MIN(CASE WHEN cum >= (total * 50 + 99) // 100
+                    THEN 0.0 + (bin + 1) * 16.0 END) AS p50,
+           MIN(CASE WHEN cum >= (total * 95 + 99) // 100
+                    THEN 0.0 + (bin + 1) * 16.0 END) AS p95
+    FROM c
+    GROUP BY bucket_ts, event_type
+    """,
+)
+def events_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE continuous aggregate (the quantile face of the
+    hypertable rollup — TimescaleDB's percentile continuous aggregates;
+    Spark's percentile_approx sketch is neither mergeable cross-engine
+    nor reproducible): events arrive as the same three deterministic
+    slices as events_rollup_incremental, each folds to mergeable
+    HISTOGRAM partials (operators/aggregates.hist_partials — one BIGINT
+    count per (day, event_type, bin), order-free addition), and
+    hist_quantiles serves p50/p95 as upper bin edges at exact integer
+    rank thresholds.  The hash match against the direct DuckDB
+    histogram proves BOTH that slicing cannot change the served
+    quantiles AND that the whole quantile path is engine-exact —
+    approximation lives only in the documented one-bin-width bound.
+    Streaming face: the partials land in the same batch=<id> layout
+    run_incremental_rollup_stream and compact_rollup manage."""
+    events = load_table(spark, sf_dir, "events")
+    parts = None
+    for i in range(3):
+        s = events.where(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+        )
+        p = aggregates.hist_partials(s)
+        parts = p if parts is None else parts.unionByName(p)
+    return aggregates.hist_quantiles(parts, (50, 95))
+
+
+@register(
     "events_hourly_sliding",
     oracle="""
     WITH hourly AS (
