@@ -1491,6 +1491,78 @@ def test_incremental_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
         compact_rollup(spark, rollup_dir, keep_last=0)
 
 
+def test_incremental_hist_rollup_stream_and_compaction(spark, sf_dir, tmp_path):
+    """The PERCENTILE continuous aggregate rides the same machinery as
+    the rollup (r9): run_incremental_rollup_stream(partials_fn=hist)
+    lands histogram partials per micro-batch, read_rollup(merge_fn=
+    quantiles) serves p50/p95 equal to the direct aggregate, and BOTH
+    compaction protocols (rename swap and manifest pointer) fold the
+    count-per-bin state without changing the served view."""
+    import functools
+    import glob as _glob
+
+    from ultimate_data_engineering_project_spark.operators import aggregates
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        compact_rollup,
+        read_rollup,
+        run_incremental_rollup_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "hist_src")
+    for i in range(3):
+        events.where(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == i
+        ).coalesce(1).write.parquet(src + f"/b{i}")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    rollup_dir = str(tmp_path / "hist_rollup")
+    hist_fn = functools.partial(aggregates.hist_partials)
+    q = run_incremental_rollup_stream(
+        spark, stream, rollup_dir, str(tmp_path / "hist_ckpt"),
+        partials_fn=hist_fn,
+    )
+    q.awaitTermination(300)
+
+    serve = functools.partial(aggregates.hist_quantiles, qs=(50, 95))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()), key=str)
+
+    want = rows(serve(aggregates.hist_partials(events)))
+    assert rows(read_rollup(spark, rollup_dir, merge_fn=serve)) == want
+    assert len(want) > 0
+    assert len(_glob.glob(rollup_dir + "/batch=*")) == 3
+
+    # rename-swap compaction folds bins exactly (count addition)
+    assert compact_rollup(spark, rollup_dir, keep_last=1) == 2
+    assert rows(read_rollup(spark, rollup_dir, merge_fn=serve)) == want
+
+    # manifest-pointer compaction: land one more batch so the fold has
+    # >= 2 live partitions, then fold into gen-000001 and serve —
+    # expected view = all events + the re-landed slice's extra counts
+    s0 = events.where(
+        F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3)) == 0
+    )
+    aggregates.hist_partials(s0).write.parquet(rollup_dir + "/batch=3")
+    want2 = rows(
+        serve(
+            aggregates.hist_partials(events).unionByName(
+                aggregates.hist_partials(s0)
+            )
+        )
+    )
+    assert compact_rollup(spark, rollup_dir, via_manifest=True) == 2
+    import json as _json
+
+    assert _json.load(open(rollup_dir + "/_current"))["base"] == "gen-000001"
+    assert rows(read_rollup(spark, rollup_dir, merge_fn=serve)) == want2
+
+
 def test_compact_rollup_via_manifest(spark, sf_dir, tmp_path):
     """The OBJECT-STORE compaction protocol (r8 judge ask #4), driven
     on the local fs: fold into a new immutable gen- prefix, atomically

@@ -1350,6 +1350,7 @@ def run_incremental_rollup_stream(
     value_col: str = "value",
     bucket: str = "day",
     available_now: bool = True,
+    partials_fn=None,
 ):
     """Hypertable-style CONTINUOUS AGGREGATE on a stream (the driver
     contract's custom-operator example; reference's hourly DAG instead
@@ -1375,17 +1376,27 @@ def run_incremental_rollup_stream(
     tests).  At 100 TB the partials table stays bucket x key x batch
     cardinality; `compact_rollup` folds old batch partitions into one
     base partition when batch count grows, preserving the merge result
-    by the same algebra."""
+    by the same algebra.
+
+    ``partials_fn`` swaps the mergeable state: pass e.g.
+    ``lambda df: aggregates.hist_partials(df, ...)`` to maintain the
+    PERCENTILE continuous aggregate in the identical layout (serve it
+    with ``read_rollup(..., merge_fn=hist_quantiles)``); the default
+    is the count/sum/min/max rollup state."""
     from ultimate_data_engineering_project_spark.operators import aggregates
 
+    if partials_fn is None:
+        def partials_fn(df: DataFrame) -> DataFrame:
+            return aggregates.rollup_partials(
+                df,
+                ts_col=ts_col,
+                key_cols=key_cols,
+                value_col=value_col,
+                bucket=bucket,
+            )
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        aggregates.rollup_partials(
-            batch_df,
-            ts_col=ts_col,
-            key_cols=key_cols,
-            value_col=value_col,
-            bucket=bucket,
-        ).write.mode("overwrite").parquet(
+        partials_fn(batch_df).write.mode("overwrite").parquet(
             os.path.join(rollup_dir, f"batch={batch_id}")
         )
 
@@ -1397,7 +1408,9 @@ def run_incremental_rollup_stream(
     return writer.start()
 
 
-def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+def read_rollup(
+    spark: SparkSession, rollup_dir: str, *, merge_fn=None
+) -> DataFrame:
     """The continuous aggregate's serving view: merge every batch's
     partials into final per-bucket rows (see run_incremental_rollup_
     stream).  Reads the whole partials table — intentionally, unlike
@@ -1407,10 +1420,17 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     If the table carries a manifest pointer (``_current`` — written by
     ``compact_rollup(via_manifest=True)``), the view is the pointed-to
     folded base prefix plus only the batch partitions NEWER than the
-    fold; superseded batch dirs awaiting cleanup are ignored."""
+    fold; superseded batch dirs awaiting cleanup are ignored.
+
+    ``merge_fn`` swaps the serving algebra to match the stream's
+    ``partials_fn`` — e.g. ``lambda p: aggregates.hist_quantiles(p,
+    (50, 95))`` over histogram partials; the default serves the
+    count/sum/min/max rollup state."""
     from ultimate_data_engineering_project_spark.operators import aggregates
     from ultimate_data_engineering_project_spark.sources import manifest
 
+    if merge_fn is None:
+        merge_fn = aggregates.merge_rollup
     ptr = manifest.read_pointer(spark, rollup_dir)
     if ptr is None:
         partials = (
@@ -1418,7 +1438,7 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
             .parquet(rollup_dir)
             .drop("batch")
         )
-        return aggregates.merge_rollup(partials)
+        return merge_fn(partials)
     partials = spark.read.parquet(manifest.join(rollup_dir, ptr["base"]))
     tail = [
         n
@@ -1431,28 +1451,40 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
             .parquet(*[manifest.join(rollup_dir, n) for n in tail])
             .drop("batch")
         )
-    return aggregates.merge_rollup(partials)
+    return merge_fn(partials)
 
 
 def _fold_rollup_partials(part: DataFrame) -> DataFrame:
-    """Fold a partials frame (no batch column) by the rollup's state
-    algebra — the SAME algebra the serving view applies, so folding
-    early cannot change `read_rollup`'s output."""
+    """Fold a partials frame (no batch column) by its state algebra —
+    the SAME algebra the serving view applies, so folding early cannot
+    change `read_rollup`'s output.  Two mergeable layouts exist: the
+    full rollup state (counts + micro-sum + min/max,
+    aggregates.rollup_partials) and the histogram state (one BIGINT
+    count per bin row, aggregates.hist_partials) — detected by column
+    presence, both pure integer addition / min-max folds."""
     from ultimate_data_engineering_project_spark.operators.aggregates import (
         _ROLLUP_STATE,
     )
 
-    keys = [c for c in part.columns if c not in _ROLLUP_STATE]
-    return (
-        part.groupBy(*keys)
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("n_val").alias("n_val"),
-            F.sum("sum_micro").alias("sum_micro"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
+    if all(c in part.columns for c in _ROLLUP_STATE):
+        keys = [c for c in part.columns if c not in _ROLLUP_STATE]
+        return (
+            part.groupBy(*keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("n_val").alias("n_val"),
+                F.sum("sum_micro").alias("sum_micro"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(*keys, *_ROLLUP_STATE)
         )
-        .select(*keys, *_ROLLUP_STATE)
+    if "n" in part.columns:  # histogram partials: count-per-bin state
+        keys = [c for c in part.columns if c != "n"]
+        return part.groupBy(*keys).agg(F.sum("n").alias("n"))
+    raise ValueError(
+        f"unrecognized rollup partials layout: {part.columns} (expected "
+        f"the {_ROLLUP_STATE} state or a histogram 'n' count column)"
     )
 
 
