@@ -46,6 +46,8 @@ QUERIES = [
     ("docs_exact_dedup_canonical", "exact dedup keyed on a map-side md5 fingerprint; no exchange partitions on raw text"),
     ("fakestream_fraud_scores", "closed-form trainer: ONE hash aggregate -> 1-row coefficient frame broadcast back (scalar-subquery shape)"),
     ("fraud_model_trained", "Newton/IRLS trainer: per step one 9-column exact aggregate over the checkpointed per-account frame + a 1-row Cramer solve; the iterative plan stays O(steps) deep, never corpus-deep"),
+    ("sessionize_events_salted", "skew-safe two-phase sessionizer: phase-1 window partitions on (user_id, time-chunk) so no partition holds a hot key's full history; phase-2 renumbering runs on the chunk-level summary (bounded by time-range/chunk, independent of row skew)"),
+    ("events_rollup_quantiles", "percentile continuous aggregate: partial count aggregation before every exchange (histogram bins are BIGINT counts), quantile serving is one window + group over bucket x key x bins cardinality — never a re-scan of events"),
     ("avro_debezium_envelope_decode", "nested Avro envelope: pure-expression Confluent strip + one Arrow mapInPandas decode, embarrassingly parallel"),
     ("events_rollup_incremental", "continuous aggregate: per-slice mergeable partial aggs unioned, one merge agg — counts/int-sums/min/max only, no raw rows past the first agg"),
     ("docs_search_pipeline", "BM25 candidates; gates SCOPED to 50 ids (broadcast semi-joins before per-doc work); only the gram doc-frequency pass stays corpus-wide"),
