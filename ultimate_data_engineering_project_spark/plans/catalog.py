@@ -93,7 +93,6 @@ _PRIORITY = [
     "math_functions",
     "json_extract_events",
     "window_ranking_battery",
-    "docs_text_stats",
     # §2.5 windows
     "running_total_by_customer",
     # r8: the executable Avro-decode path (S13, WITH the reference's
@@ -105,7 +104,12 @@ _PRIORITY = [
     "avro_debezium_txn_roundtrip",
     "dedup_keep_latest_events",
     "scd2_user_event_versions",
-    "sessionize_events",
+    # r10: the skew-safe two-phase sessionizer takes the slot the plain
+    # form held — both hash-check against the SAME DuckDB oracle (the
+    # chunked recomposition is bit-identical by construction), so the
+    # driver's gate attests both semantics through the harder plan;
+    # sessionize_events stays oracle-checked in overflow + strict parity
+    "sessionize_events_salted",
     "asof_purchase_prev_click",
     # round-1 red rows, now fixed
     "agg_modern_battery",
@@ -127,7 +131,11 @@ _PRIORITY = [
     # ceded (same date-trunc-groupBy family as the flagship entry; its
     # T4 batch-twin evidence stays oracle-checked in overflow +
     # strict parity, with events_hourly_sliding already there)
-    "fakestream_fraud_scores",
+    # r10: the iteratively-TRAINED fraud model (Newton/IRLS in DataFrame
+    # algebra) takes the fraud-family slot the fixed-coefficient scorer
+    # held — strictly harder evidence, same frozen fixture;
+    # fakestream_fraud_scores stays oracle-checked in overflow
+    "fraud_model_trained",
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
     "near_dup_pairs_verified",
@@ -155,7 +163,16 @@ _PRIORITY = [
     "nation_trade_pagerank",
     "docs_boilerplate_ngrams",
     "docs_duplicated_spans",
+    # r10: the percentile face of the continuous aggregate (mergeable
+    # BIGINT histogram partials -> engine-exact bin-edge quantiles)
+    # takes the slot docs_text_stats held (X4 keeps five prefix entries:
+    # repetition, boilerplate, pii, prep pipeline, BPE); docs_text_stats
+    # stays oracle-checked in overflow + strict parity
+    "events_rollup_quantiles",
     # overflow (reached only if the driver budget extends past 50)
+    "docs_text_stats",
+    "sessionize_events",
+    "fakestream_fraud_scores",
     "filter_compound",
     "topk_orders_by_price",
     "agg_sum_coalesce",
@@ -202,15 +219,6 @@ _PRIORITY = [
     "train_split_by_user",
     "fakestream_source_read",
     "correlated_small_quantity_revenue",
-    # r9: the iteratively-trained fraud model (Newton/IRLS logistic,
-    # judge ask #5) — oracle-checked here and in strict parity
-    "fraud_model_trained",
-    # r9: the skew-safe two-phase sessionizer, hash-checked against the
-    # SAME oracle as sessionize_events (bit-equal recomposition)
-    "sessionize_events_salted",
-    # r9: the percentile face of the continuous aggregate (mergeable
-    # histogram partials -> engine-exact bin-edge quantiles)
-    "events_rollup_quantiles",
 ]
 
 
