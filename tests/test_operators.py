@@ -133,6 +133,53 @@ def test_hist_quantiles_bound_and_nulls(spark, sf_dir):
     assert len(out) == 1 and out[0]["n_valued"] == 1 and out[0]["p50"] == 6.0
 
 
+def test_hist_guard_bins_out_of_range(spark):
+    """[lo, hi) is a loud contract, not a silent clamp: values outside
+    the range land in guard bins (-1 below, `bins` at/above hi) so a
+    caller can DETECT saturation, and the served quantile never
+    fabricates a bound — a percentile falling above hi is NULL
+    (unbounded), one falling below lo reports the true upper edge lo.
+    guard_bins=False restores the old clamped domain for externally
+    validated callers."""
+    import datetime as _dt
+
+    from ultimate_data_engineering_project_spark.operators import aggregates
+
+    day = _dt.datetime(2024, 1, 1)
+    # 10 values: 6 above hi=8.0 -> p50 and p95 both fall in overflow
+    rows = [(day, "a", float(v)) for v in [1, 2, 3, 3, 100, 200, 300, 400, 500, 600]]
+    # plus one group with an underflow tail: 3 below lo, 1 in range
+    rows += [(day, "b", float(v)) for v in [-9, -5, -1, 5]]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+
+    parts = aggregates.hist_partials(df, bins=4, lo=0.0, hi=8.0)
+    bins_a = {r["bin"]: r["n"] for r in parts.filter("event_type = 'a'").collect()}
+    assert bins_a[4] == 6  # overflow guard bin visible
+    bins_b = {r["bin"]: r["n"] for r in parts.filter("event_type = 'b'").collect()}
+    assert bins_b[-1] == 3  # underflow guard bin visible
+
+    served = {
+        r["event_type"]: r
+        for r in aggregates.hist_quantiles(parts, (50, 95), bins=4, lo=0.0, hi=8.0).collect()
+    }
+    # group a: true p50 = 200 (>= hi) -> NULL, never "8.0"
+    assert served["a"]["n_valued"] == 10
+    assert served["a"]["p50"] is None and served["a"]["p95"] is None
+    # group b: true p50 = -5 (< lo) -> served edge is lo (a true upper
+    # bound), p95 = 5 -> in-range bin edge 6.0
+    assert served["b"]["p50"] == 0.0 and served["b"]["p95"] == 6.0
+
+    # legacy clamped domain on request: everything saturates into the
+    # edge bins, p50 of group a reports hi
+    clamped = aggregates.hist_partials(df, bins=4, lo=0.0, hi=8.0, guard_bins=False)
+    assert {r["bin"] for r in clamped.collect()} <= set(range(4))
+    s = {
+        r["event_type"]: r
+        for r in aggregates.hist_quantiles(clamped, (50,), bins=4, lo=0.0, hi=8.0).collect()
+    }
+    assert s["a"]["p50"] == 8.0
+
+
 def test_sessionize_chunked_equals_plain(spark, sf_dir):
     """The skew-safe two-phase sessionizer must be BIT-IDENTICAL to
     the single-window sessionize — same session_id numbering — on
@@ -201,6 +248,83 @@ def test_sessionize_chunked_equals_plain(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="chunk_seconds"):
         windows.sessionize_chunked(df, "user_id", "ts", 600, chunk_seconds=300)
+
+
+def test_ledger_chunked_equals_plain(spark):
+    """The chunked-prefix-sum ledger must be BIT-IDENTICAL (schema and
+    values — DECIMAL arithmetic is exact under regrouping) to the
+    single-window ledger on (a) the frozen fakestream transactions
+    across several chunk widths including one-row-per-chunk extremes,
+    in both clamp modes, and (b) a hot-account frame where one account
+    holds 60% of all rows (the 100 TB skew shape the chunked form
+    exists for)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    trx = spark.read.parquet(
+        os.path.join(repo, "fixtures", "fakestream", "transactions.parquet")
+    )
+
+    def assert_equal(a, b, label):
+        assert a.schema == b.schema, (
+            label, a.schema.simpleString(), b.schema.simpleString()
+        )
+        diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert diff == 0, f"{label}: {diff} differing rows"
+
+    for clamped in (False, True):
+        plain = windows.ledger_running_balance(trx, clamped=clamped)
+        for chunk in (3600, 86_400, 30 * 86_400):
+            got = windows.ledger_running_balance_chunked(
+                trx, clamped=clamped, chunk_seconds=chunk
+            )
+            assert_equal(plain, got, f"clamped={clamped} chunk={chunk}")
+
+    # hot account: 60% of rows remapped onto account 1
+    hot = trx.withColumn(
+        "account_id",
+        F.when(F.col("transaction_id") % 10 < 6, F.lit(1)).otherwise(
+            F.col("account_id")
+        ),
+    )
+    assert_equal(
+        windows.ledger_running_balance(hot),
+        windows.ledger_running_balance_chunked(hot, chunk_seconds=2 * 86_400),
+        "hot-account",
+    )
+
+
+def test_running_sum_chunked_equals_plain(spark, sf_dir):
+    """Generic chunked prefix sum vs the plain window on the real
+    orders table (DECIMAL accumulation), plus the loud precondition:
+    ts must be the LEADING order column."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    val = F.col("o_totalprice").cast("decimal(25,10)")
+    plain = windows.running_sum(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"], val,
+        alias="running_spend",
+    ).select("o_orderkey", "running_spend")
+    for chunk in (30 * 86_400, 365 * 86_400):
+        got = windows.running_sum_chunked(
+            orders, ["o_custkey"], ["o_orderdate", "o_orderkey"], val,
+            "o_orderdate", alias="running_spend", chunk_seconds=chunk,
+        ).select("o_orderkey", "running_spend")
+        assert plain.schema == got.schema
+        diff = plain.exceptAll(got).count() + got.exceptAll(plain).count()
+        assert diff == 0, f"chunk={chunk}: {diff} differing rows"
+
+    with _pytest.raises(ValueError, match="leading order column"):
+        windows.running_sum_chunked(
+            orders, ["o_custkey"], ["o_orderkey", "o_orderdate"], val,
+            "o_orderdate",
+        )
 
 
 def test_dedup_keep_latest(spark):

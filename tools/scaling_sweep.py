@@ -50,6 +50,19 @@ ENTRIES = [
     # r9: joins the sweep for the hot-SOURCE skew axis (its window
     # partitions by source — the un-splittable shape)
     "training_sequence_packing",
+    # r10: the ledger-shape window and its chunked-prefix-sum twin —
+    # the skew column is the point: the sf1skew generator puts 10% of
+    # orders on ONE o_custkey, so the plain entry's hot key lands in a
+    # single window task while the chunked form spreads it over 90-day
+    # chunks (both hash-check against the SAME oracle)
+    "running_total_by_customer",
+    "running_total_by_customer_chunked",
+    # r10: both faces of the continuous aggregate — the skew column is
+    # the serving path's realistic failure mode (a hot bucket x key:
+    # the sf1skew generator puts 10% of purchase timestamps on ONE
+    # instant, so one (day, event_type) bucket holds 10% of the table)
+    "events_rollup_incremental",
+    "events_rollup_quantiles",
 ]
 N_RUNS = 2
 
@@ -66,6 +79,18 @@ SKEW_ENTRIES = [
     # aggregate (broadcast — expected skew-immune)
     "training_sequence_packing",
     "docs_curation_pipeline",
+    # hot-ACCOUNT/customer ledger axis (r10 judge ask #2): one customer
+    # holds 10% of orders — plain window vs chunked prefix sum
+    "running_total_by_customer",
+    "running_total_by_customer_chunked",
+    # hot-BUCKET rollup axis (r10 judge ask #6): 10% of purchase
+    # timestamps on one instant — the rollup's groupBy absorbs it via
+    # map-side partial aggregation (bounded distinct (bucket, type,
+    # bin) keys per task); the quantile serving window partitions by
+    # (bucket, event_type) over BIN-cardinality rows, not raw rows, so
+    # a hot bucket stays a 64-row window partition
+    "events_rollup_incremental",
+    "events_rollup_quantiles",
 ]
 
 

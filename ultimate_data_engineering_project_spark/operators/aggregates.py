@@ -163,6 +163,7 @@ def hist_partials(
     bins: int = 64,
     lo: float = 0.0,
     hi: float = 1024.0,
+    guard_bins: bool = True,
 ) -> DataFrame:
     """Mergeable HISTOGRAM partials for the continuous aggregate —
     the state that serves PERCENTILES incrementally (TimescaleDB's
@@ -171,15 +172,28 @@ def hist_partials(
     this recasts it on the repo's exact-integer discipline).
 
     One row per ``(date_trunc(bucket, ts), *key_cols, bin)`` where
-    ``bin = clamp(floor((value - lo) / width), 0, bins-1)`` and the
-    state is a plain BIGINT count: merging slices is integer addition
-    (order-free, replay-idempotent — the same algebra as
-    rollup_partials), and the quantile error is bounded by ONE BIN
-    WIDTH by construction, a bound that holds under any merge order.
-    Bin assignment is a single IEEE divide + floor on both engines, so
-    a DuckDB oracle reproduces the histogram bit-for-bit — unlike any
-    sample- or sketch-based quantile.  NULL values take no bin
-    (count-only rows track them upstream in rollup_partials).
+    ``bin = floor((value - lo) / width)`` and the state is a plain
+    BIGINT count: merging slices is integer addition (order-free,
+    replay-idempotent — the same algebra as rollup_partials), and for
+    values INSIDE ``[lo, hi)`` the quantile error is bounded by ONE
+    BIN WIDTH by construction, a bound that holds under any merge
+    order.  Bin assignment is a single IEEE divide + floor on both
+    engines, so a DuckDB oracle reproduces the histogram bit-for-bit —
+    unlike any sample- or sketch-based quantile.  NULL values take no
+    bin (count-only rows track them upstream in rollup_partials).
+
+    **[lo, hi) is a contract, and out-of-range values are visible,
+    not silently clamped** (``guard_bins=True``, the default): a value
+    below ``lo`` lands in GUARD bin ``-1`` and one at/above ``hi`` in
+    GUARD bin ``bins`` — plain count rows that merge like any other
+    partial, so a generic caller can detect saturation by their
+    presence, and :func:`hist_quantiles` stays honest: a quantile
+    falling below ``lo`` reports the true upper edge ``lo`` (the
+    ``(bin+1)*width`` formula already yields it for bin -1), and one
+    falling at/above ``hi`` reports NULL — *unbounded above*, never a
+    fabricated ``hi``.  ``guard_bins=False`` restores edge-clamping
+    for callers that have externally validated the range and want a
+    fixed bin domain.
 
     At 100 TB the partials table is bucket x key x bins cardinality —
     ``bins`` multiplies the ROLLUP's footprint, not the corpus scan —
@@ -187,9 +201,16 @@ def hist_partials(
     incremental rollup stream and ``compact_rollup`` already manage."""
     width = (hi - lo) / bins
     b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
-    bin_col = F.least(
-        F.greatest(b, F.lit(0)), F.lit(bins - 1)
-    ).cast("long")
+    if guard_bins:
+        # one underflow bin (-1) and one overflow bin (bins): floor()
+        # already yields <= -1 below lo and >= bins at/above hi; the
+        # clamp only COLLAPSES the out-of-range tails onto the two
+        # guard ids so cardinality stays bins+2, not value-dependent
+        bin_col = F.least(F.greatest(b, F.lit(-1)), F.lit(bins)).cast("long")
+    else:
+        bin_col = F.least(
+            F.greatest(b, F.lit(0)), F.lit(bins - 1)
+        ).cast("long")
     return (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(
@@ -220,7 +241,14 @@ def hist_quantiles(
     non-negative longs), and the reported edge is a deterministic
     double expression — so the quantile is engine-exact, with the
     approximation bound (one bin width above the true quantile)
-    carried by the HISTOGRAM, not the arithmetic."""
+    carried by the HISTOGRAM, not the arithmetic.
+
+    Guard bins from :func:`hist_partials` stay honest here: bin -1
+    (values below ``lo``) reports edge ``lo`` via the same formula —
+    a TRUE upper bound on the quantile — and bin ``bins`` (values
+    at/above ``hi``) reports NULL: the quantile is above the
+    histogram's domain and has no finite edge, so serving ``hi``
+    would fabricate a bound the data violates."""
     width = (hi - lo) / bins
     keys = [c for c in partials.columns if c not in ("bin", "n")]
     merged = partials.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
@@ -228,7 +256,9 @@ def hist_quantiles(
     c = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
         "total", F.sum("n").over(Window.partitionBy(*keys))
     )
-    edge = F.lit(lo) + (F.col("bin") + 1) * F.lit(width)
+    edge = F.when(
+        F.col("bin") < bins, F.lit(lo) + (F.col("bin") + 1) * F.lit(width)
+    )
     aggs = [F.max("total").alias("n_valued")]
     for q in qs:
         thresh = F.expr(f"(total * {int(q)} + 99) div 100")

@@ -142,6 +142,107 @@ def running_sum(
     return df.withColumn(alias, F.sum(value).over(w))
 
 
+def running_sum_chunked(
+    df: DataFrame,
+    partition_keys: list[str],
+    order_by: list[str],
+    value: Column,
+    ts: str,
+    *,
+    alias: str = "running_sum",
+    chunk_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Skew-safe chunked-prefix-sum running total — bit-identical to
+    :func:`running_sum` for exact types (DECIMAL / integer), but no
+    window partition ever holds more than one key's rows for one time
+    chunk.
+
+    `running_sum` partitions by the entity key: one account holding
+    10% of a 100 TB transaction table puts 10% of all rows into ONE
+    task (Spark cannot split a window partition — the skew neither
+    salting nor AQE can fix).  Same escalation as
+    :func:`sessionize_chunked`, and strictly simpler — addition is
+    associative, so there is no boundary-merge rule at all:
+
+    1. within each (key, time-chunk): the ordered running sum,
+       yielding chunk-local prefix sums.  The hot key's rows spread
+       over its chunks.
+    2. per (key, chunk) SUMMARY (one row per PRESENT chunk — bounded
+       by min(rows, keys x chunks), independent of row skew): a
+       running sum of per-chunk totals over PRIOR chunks is the
+       chunk's offset; ``running = offset(chunk) + local_prefix``.
+
+    Preconditions, enforced loudly:
+      * ``ts`` must be the LEADING order column — the chunk id is a
+        monotone function of it, so within-chunk order restricted to
+        the chunk equals the global order (integer ``div`` truncates
+        toward zero, which is still monotone for pre-epoch
+        timestamps; equal timestamps always share a chunk, so
+        tiebreak columns never straddle a boundary).
+      * exactness holds for DECIMAL and integer values (decimal
+        arithmetic is exact up to the widened precision, which the
+        offset-side cast keeps loss-free); DOUBLE values regroup the
+        fp additions and are only equal up to ulps — pass an exact
+        type when bit-equality matters (the ledger and the catalog
+        entries accumulate in DECIMAL per the hash-match
+        conventions).
+
+    Cost vs the plain window: one extra map-side-combined groupBy on
+    the (key, chunk) partitioning the phase-1 window already
+    established (no extra wide shuffle), one tiny summary window, and
+    a (key, chunk) join back.  ``chunk_seconds`` trades summary
+    cardinality against residual within-chunk skew — pick it so one
+    key's rows per chunk fit a task."""
+    from pyspark.sql import types as T
+
+    if not order_by or order_by[0] != ts:
+        raise ValueError(
+            f"ts ({ts!r}) must be the leading order column (got "
+            f"{order_by!r}): the chunk id is derived from ts, so any "
+            "earlier-ordering column could straddle a chunk boundary "
+            "and break the prefix recomposition"
+        )
+    vt = df.select(value.alias("__v")).schema[0].dataType
+    if isinstance(vt, T.DecimalType):
+        target: T.DataType = T.DecimalType(min(38, vt.precision + 10), vt.scale)
+    elif isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        target = T.LongType()
+    else:
+        target = vt
+    chunk_us = chunk_seconds * 1_000_000
+    d = df.withColumn(
+        "__chunk", F.expr(f"unix_micros(cast({ts} as timestamp)) div {chunk_us}")
+    )
+    wloc = (
+        Window.partitionBy(*partition_keys, "__chunk")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("__ls", F.sum(value).over(wloc))
+    summ = local.groupBy(*partition_keys, "__chunk").agg(F.sum(value).alias("__tot"))
+    wc = Window.partitionBy(*partition_keys).orderBy("__chunk")
+    # cast the offset to the plain window's sum dtype BEFORE the add:
+    # summing the chunk totals widens precision again (p+20), and a
+    # decimal add at that width would trigger Spark's precision-loss
+    # scale reduction; the true offset always fits the plain dtype, so
+    # this cast is exact and the add stays loss-free.
+    summ = summ.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__tot").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast(target),
+    )
+    return (
+        local.join(
+            summ.select(*partition_keys, "__chunk", "__offset"),
+            [*partition_keys, "__chunk"],
+        )
+        .withColumn(alias, (F.col("__offset") + F.col("__ls").cast(target)).cast(target))
+        .select(*df.columns, alias)
+    )
+
+
 def rolling(
     df: DataFrame,
     order_by: list[str],
@@ -310,6 +411,46 @@ def ledger_running_balance(
     out = legs.withColumn("balance", F.sum("delta").over(w))
     if clamped:
         out = out.withColumn("balance", F.greatest(F.lit(0).cast("decimal(15,2)"), F.col("balance")))
+    return out
+
+
+def ledger_running_balance_chunked(
+    transactions: DataFrame,
+    *,
+    clamped: bool = False,
+    chunk_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Skew-safe ledger: :func:`ledger_running_balance` recomposed
+    through :func:`running_sum_chunked` — bit-identical balances
+    (DECIMAL prefix sums are exact under regrouping), but one hot
+    account holding 10% of a 100 TB transaction table spreads over its
+    time chunks instead of landing in one unsplittable window task.
+
+    Strictly simpler than the sessionizer's escalation: addition is
+    associative, so the per-(account, chunk) summary needs no
+    gap-merge rule — the chunk offset is a plain running sum of chunk
+    totals.  ``clamped=True`` applies the same POST-HOC floor as the
+    plain form (NOT the reference's step-wise clamp,
+    oltp_seeder.py:462,465 — that recurrence depends on the clamped
+    previous value and lives in
+    :func:`ledger_running_balance_clamped`, whose per-account fold has
+    the same hot-key exposure by nature; a hot account there needs
+    this unclamped form or a coarser key)."""
+    legs = _ledger_legs(transactions)
+    out = running_sum_chunked(
+        legs,
+        ["account_id"],
+        ["transaction_date", "transaction_id", "leg"],
+        F.col("delta"),
+        "transaction_date",
+        alias="balance",
+        chunk_seconds=chunk_seconds,
+    )
+    if clamped:
+        out = out.withColumn(
+            "balance",
+            F.greatest(F.lit(0).cast("decimal(15,2)"), F.col("balance")),
+        )
     return out
 
 

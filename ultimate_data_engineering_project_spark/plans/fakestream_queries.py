@@ -117,10 +117,10 @@ def fakestream_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fakestream_ledger",
-    oracle=_LEGS_SQL
-    + """
+# shared by the plain ledger and its skew-safe chunked twin — ONE
+# oracle, so the driver's hash check proves the chunked-prefix-sum
+# recomposition bit-equal to the single-window ledger.
+_LEDGER_SQL = _LEGS_SQL + """
     SELECT account_id, transaction_id, transaction_date,
            CAST(leg AS INT) AS leg,
            CAST(delta AS DOUBLE) AS delta,
@@ -130,14 +130,42 @@ def fakestream_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS balance
     FROM legs
-    """,
-)
+    """
+
+
+@register("fakestream_ledger", oracle=_LEDGER_SQL)
 def fakestream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-balance ledger over the frozen transactions (X7 — signed
     deltas, transfer double-legs, completed-only; the declarative form
     of oltp_seeder.py:450-487).  DECIMAL accumulation inside, DOUBLE at
     the output edge per the catalog's hash-match conventions."""
     ledger = ledger_running_balance(_fx(spark, _TRX))
+    return ledger.select(
+        "account_id",
+        "transaction_id",
+        "transaction_date",
+        F.col("leg").cast("int").alias("leg"),
+        F.col("delta").cast("double").alias("delta"),
+        F.col("balance").cast("double").alias("balance"),
+    )
+
+
+@register("fakestream_ledger_chunked", oracle=_LEDGER_SQL)
+def fakestream_ledger_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE ledger (windows.ledger_running_balance_chunked):
+    signed legs identical to fakestream_ledger, but the running balance
+    is a chunked prefix sum — phase 1 within (account, 7-day chunk),
+    phase 2 a per-chunk offset from the tiny chunk-total summary — so
+    one account holding 10% of a 100 TB transaction table spreads over
+    its chunks instead of one unsplittable window task.  The oracle is
+    IDENTICAL to fakestream_ledger's: one hash check proves the
+    recomposition bit-equal to the single-window X7 semantics
+    (oltp_seeder.py:450-487)."""
+    from ultimate_data_engineering_project_spark.operators.windows import (
+        ledger_running_balance_chunked,
+    )
+
+    ledger = ledger_running_balance_chunked(_fx(spark, _TRX))
     return ledger.select(
         "account_id",
         "transaction_id",

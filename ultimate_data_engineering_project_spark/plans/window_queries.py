@@ -18,9 +18,10 @@ from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
 
 
-@register(
-    "running_total_by_customer",
-    oracle="""
+# shared by the plain entry and its skew-safe chunked twin: the hash
+# check against ONE oracle is what proves the chunked-prefix-sum
+# recomposition bit-equal to the single-window semantics.
+_RUNNING_SPEND_SQL = """
     SELECT o_orderkey, o_custkey,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) OVER (
                PARTITION BY o_custkey
@@ -28,8 +29,10 @@ from ultimate_data_engineering_project_spark.sources.readers import load_table
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS VARCHAR) AS DOUBLE) AS running_spend
     FROM orders
-    """,
-)
+    """
+
+
+@register("running_total_by_customer", oracle=_RUNNING_SPEND_SQL)
 def running_total_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-balance ledger shape (X7 — the reference's per-row
     balance UPDATE loop, oltp_seeder.py:483-487, recast as one window
@@ -41,6 +44,32 @@ def running_total_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderdate", "o_orderkey"],
         F.col("o_totalprice").cast("decimal(25,10)"),
         alias="running_spend",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.col("running_spend").cast("double").alias("running_spend")
+    )
+
+
+@register("running_total_by_customer_chunked", oracle=_RUNNING_SPEND_SQL)
+def running_total_by_customer_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE running total (windows.running_sum_chunked):
+    phase 1 prefix-sums within (customer, 90-day chunk) so a hot
+    customer holding 10% of a 100 TB order table never lands in one
+    unsplittable window task, phase 2 adds a per-chunk offset from a
+    tiny chunk-total summary (addition is associative — no merge rule,
+    strictly simpler than the chunked sessionizer).  The oracle is
+    IDENTICAL to running_total_by_customer's: the DuckDB hash check
+    proves the two-phase recomposition bit-equal to the single-window
+    ledger semantics (X7, oltp_seeder.py:483-487)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = windows.running_sum_chunked(
+        orders,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.col("o_totalprice").cast("decimal(25,10)"),
+        "o_orderdate",
+        alias="running_spend",
+        chunk_seconds=90 * 86_400,
     )
     return out.select(
         "o_orderkey", "o_custkey", F.col("running_spend").cast("double").alias("running_spend")
