@@ -192,11 +192,16 @@ def test_avro_codec_rejects_bad_schema_and_bytes():
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     for bad in (
-        # r9: maps are supported now — union-typed values still refuse
-        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"map","values":["null","long"]}}]}',
-        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"array","items":["null","long"]}}]}',
-        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"enum","name":"e","symbols":["A"]}}]}',
-        '{"type":"record","name":"t","fields":[{"name":"x","type":["null","long","string"]}]}',
+        # r10: enums/fixeds/multi-type unions/union containers are
+        # supported now — the plan-time wall is malformed or
+        # spec-violating schemas
+        '{"type":"record","name":"t","fields":[{"name":"x","type":["long"]}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":["null","long","long"]}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":["null",["long","string"]]}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"enum","name":"e","symbols":[]}}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"enum","name":"e","symbols":["A","A"]}}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"fixed","name":"f","size":0}}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"fixed","name":"f","size":4,"logicalType":"decimal","precision":40,"scale":2}}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":"null"}]}',
         '{"type":"record","name":"t","fields":[]}',
         '"long"',
@@ -601,9 +606,9 @@ def test_avro_nested_envelope_known_bytes():
     sch = avro_py.spark_schema_for(fields)
     assert sch["after"].dataType.simpleString() == "struct<id:bigint,note:string>"
 
-    # scope guardrails hold inside nested records too (r9: arrays of
-    # records and maps are supported now — the boundary moved to
-    # enums/fixeds/multi-type unions)
+    # scope guardrails hold inside nested records too (r10: enums,
+    # fixeds, and multi-type unions are supported now — the boundary
+    # moved to single-branch union wrappers and undefined references)
     import pytest
 
     nested_arr = avro_py.parse_flat_schema(
@@ -617,12 +622,11 @@ def test_avro_nested_envelope_known_bytes():
     assert avro_py.decode_record(
         avro_py.encode_record(vv, nested_arr), nested_arr
     ) == vv
-    with pytest.raises(ValueError, match="spark-avro"):
+    with pytest.raises(ValueError, match="single-branch"):
         avro_py.parse_flat_schema(
             '{"type":"record","name":"t","fields":[{"name":"r",'
             '"type":{"type":"record","name":"R","fields":['
-            '{"name":"e","type":{"type":"enum","name":"E",'
-            '"symbols":["A"]}}]}}]}'
+            '{"name":"e","type":["long"]}]}}]}'
         )
     with pytest.raises(ValueError, match="unsupported type"):
         avro_py.parse_flat_schema(
@@ -866,7 +870,209 @@ def test_avro_evolution_with_array_of_record_field(spark):
         avro_py.build_writer_aligners({1: v1, 3: v3}, v3)
 
 
-def test_schema_registry_client_contract():
+_ENUM_UNION_SCHEMA = """
+{"type": "record", "name": "Evt", "fields": [
+  {"name": "op", "type": {"type": "enum", "name": "Op",
+     "symbols": ["c", "u", "d"]}},
+  {"name": "h", "type": {"type": "fixed", "name": "H", "size": 4}},
+  {"name": "price", "type": {"type": "fixed", "name": "P", "size": 6,
+     "logicalType": "decimal", "precision": 12, "scale": 2}},
+  {"name": "payload", "type": ["null", "long", "string",
+     {"type": "record", "name": "Inner",
+      "fields": [{"name": "x", "type": "int"}]}]},
+  {"name": "tags", "type": {"type": "array", "items": ["null", "string"]}},
+  {"name": "attrs", "type": {"type": "map", "values": ["null", "long",
+     "double"]}},
+  {"name": "st", "type": ["null", "Op"]}
+]}
+"""
+
+
+def test_avro_enum_fixed_union_known_bytes():
+    """Byte-level pins for the r10 codec additions — enum (symbol
+    index as varint), fixed (raw size bytes, no length prefix), fixed
+    decimal (two's-complement unscaled in exactly `size` bytes),
+    multi-type unions (positional index + memberN surfacing), nullable
+    array items, and union-typed map values — plus exact re-encode of
+    every decoded shape and the loud value-level contracts."""
+    import decimal as _decimal
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    fields = avro_py.parse_flat_schema(_ENUM_UNION_SCHEMA)
+    st = avro_py.spark_schema_for(fields)
+    assert st["op"].dataType.simpleString() == "string"
+    assert st["h"].dataType.simpleString() == "binary"
+    assert st["price"].dataType.simpleString() == "decimal(12,2)"
+    assert st["payload"].dataType.simpleString() == (
+        "struct<member0:bigint,member1:string,member2:struct<x:int>>"
+    )
+    assert st["tags"].dataType.containsNull  # ['null','string'] items
+    assert st["attrs"].dataType.valueContainsNull
+    assert st["st"].dataType.simpleString() == "string"  # named enum ref
+
+    # hand-assembled wire image:
+    #  op    = "u"            -> enum index 1, zigzag -> 0x02
+    #  h     = deadbeef       -> 4 raw bytes, no length prefix
+    #  price = 123.45         -> unscaled 12345 in 6 bytes big-endian
+    #  payload = "hi"         -> union index 2 (null,long,STRING) 0x04,
+    #                            len 2 (0x04), utf-8
+    #  tags  = ["a", None]    -> count 2, [idx 1 + len1 'a'], [idx 0]
+    #  attrs = {"k": long 3}  -> count 1, key "k", idx 1, zigzag(3)
+    #  st    = None           -> union index 0
+    wire = (
+        bytes([0x02]) + b"\xde\xad\xbe\xef"
+        + (12345).to_bytes(6, "big", signed=True)
+        + bytes([0x04, 0x04]) + b"hi"
+        + bytes([0x04, 0x02, 0x02]) + b"a" + bytes([0x00, 0x00])
+        + bytes([0x02, 0x02]) + b"k" + bytes([0x02, 0x06, 0x00])
+        + bytes([0x00])
+    )
+    vals = avro_py.decode_record(wire, fields)
+    assert vals == (
+        "u",
+        b"\xde\xad\xbe\xef",
+        _decimal.Decimal("123.45"),
+        {"member1": "hi"},
+        ["a", None],
+        {"k": {"member0": 3}},
+        None,
+    )
+    assert avro_py.encode_record(vals, fields) == wire
+
+    # record branch of the union + negative fixed decimal
+    wire2 = (
+        bytes([0x00]) + b"\x00\x00\x00\x00"
+        + (-50).to_bytes(6, "big", signed=True)
+        + bytes([0x06, 0x0A])  # union idx 3 (Inner), x = zigzag(5)
+        + bytes([0x00, 0x00])  # empty tags, empty attrs
+        + bytes([0x02, 0x02])  # st = Op index 1 -> "u"
+    )
+    v2 = avro_py.decode_record(wire2, fields)
+    assert v2[2] == _decimal.Decimal("-0.50")
+    assert v2[3] == {"member2": {"x": 5}} and v2[6] == "u"
+    assert avro_py.encode_record(v2, fields) == wire2
+
+    # loud value contracts
+    with pytest.raises(ValueError, match="not a symbol"):
+        avro_py.encode_record(
+            ("z", b"\x00" * 4, 0, None, [], {}, None), fields
+        )
+    with pytest.raises(ValueError, match="exactly 4 bytes"):
+        avro_py.encode_record(
+            ("c", b"\x00" * 3, 0, None, [], {}, None), fields
+        )
+    with pytest.raises(ValueError, match="exceeds precision"):
+        avro_py.encode_record(
+            ("c", b"\x00" * 4, "99999999999.99", None, [], {}, None), fields
+        )
+    # a fixed too small for its precision overflows loudly at the
+    # byte-packing step (unscaled 99999 needs 3 bytes, fixed is 2)
+    tight = avro_py.parse_flat_schema(
+        '{"type":"record","name":"t","fields":[{"name":"v","type":'
+        '{"type":"fixed","name":"F","size":2,"logicalType":"decimal",'
+        '"precision":6,"scale":0}}]}'
+    )
+    with pytest.raises(ValueError, match="does not fit fixed"):
+        avro_py.encode_record((99999,), tight)
+    with pytest.raises(ValueError, match="exactly one member"):
+        avro_py.encode_record(
+            ("c", b"\x00" * 4, 0, {"member0": 1, "member1": "x"},
+             [], {}, None), fields
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        avro_py.encode_record(
+            ("c", b"\x00" * 4, 0, {"member7": 1}, [], {}, None), fields
+        )
+    # corrupt enum index on the wire
+    with pytest.raises(ValueError, match="symbol index"):
+        avro_py.decode_record(bytes([0x08]) + wire[1:], fields)
+
+
+def test_avro_enum_fixed_union_spark_roundtrip(spark):
+    """r10 types through the REAL Spark boundary: binary payloads
+    decode via mapInPandas to typed columns (enum -> string, fixed ->
+    binary, fixed decimal -> decimal, multi-union -> memberN struct,
+    nullable array elements, union-valued maps) — the Arrow
+    object->struct conversion is where a dict-shaped value dies if the
+    schema mapping is wrong, so this is the test that proves the
+    plumbing, not just the codec."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    fields = avro_py.parse_flat_schema(_ENUM_UNION_SCHEMA)
+    rows = [
+        ("u", b"\xde\xad\xbe\xef", "123.45", {"member1": "hi"},
+         ["a", None], {"k": {"member0": 3}}, None),
+        ("d", b"\x00\x01\x02\x03", "-0.50", {"member2": {"x": 5}},
+         [], {"p": {"member1": 2.5}}, "c"),
+        ("c", b"\xff" * 4, "0.00", None, [None, "z"], {}, None),
+    ]
+    payloads = [avro_py.encode_record(r, fields) for r in rows]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)] + [(99, None)],
+        "k long, payload binary",
+    )
+    out = avro_py.decode_avro_records(df, _ENUM_UNION_SCHEMA).orderBy("k")
+    got = out.collect()
+    assert out.schema["payload"].dataType.simpleString() == (
+        "struct<member0:bigint,member1:string,member2:struct<x:int>>"
+    )
+    r0, r1, r2, tomb = got
+    assert r0["op"] == "u" and r0["h"] == b"\xde\xad\xbe\xef"
+    assert str(r0["price"]) == "123.45"
+    assert r0["payload"]["member1"] == "hi" and r0["payload"]["member0"] is None
+    assert list(r0["tags"]) == ["a", None]
+    assert dict(r0["attrs"])["k"]["member0"] == 3
+    assert r1["payload"]["member2"]["x"] == 5 and r1["st"] == "c"
+    assert dict(r1["attrs"])["p"]["member1"] == 2.5
+    assert r2["payload"] is None and list(r2["tags"]) == [None, "z"]
+    assert tomb["op"] is None and tomb["payload"] is None  # tombstone
+
+
+def test_avro_evolution_enum_fixed_union(spark):
+    """Cross-version alignment with the r10 types in the schema:
+    identical enum/fixed/union layouts copy through (a writer version
+    missing the new top-level field backfills its default), while a
+    CHANGED layout — added enum symbol, resized fixed, reordered
+    union — refuses per writer at plan time (documented scope), never
+    decoding garbage."""
+    import json as _json
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    def schema(symbols=("c", "u", "d"), size=4, union=("null", "long"),
+               extra=None):
+        fields = [
+            {"name": "op", "type": {"type": "enum", "name": "Op",
+                                    "symbols": list(symbols)}},
+            {"name": "h", "type": {"type": "fixed", "name": "H",
+                                   "size": size}},
+            {"name": "u", "type": list(union)},
+        ]
+        if extra:
+            fields.append(extra)
+        return _json.dumps({"type": "record", "name": "r", "fields": fields})
+
+    v1 = schema()
+    v2 = schema(extra={"name": "region", "type": "string",
+                       "default": "emea"})
+    reader_fields, writers = avro_py.build_writer_aligners(
+        {1: v1, 2: v2}, v2
+    )
+    wf1, align1 = writers[1]
+    old = avro_py.encode_record(("u", b"\x01\x02\x03\x04", 7), wf1)
+    assert tuple(align1(avro_py.decode_record(old, wf1))) == (
+        "u", b"\x01\x02\x03\x04", 7, "emea"
+    )
+
+    for changed in (
+        schema(symbols=("c", "u", "d", "r")),       # widened enum
+        schema(size=8),                             # resized fixed
+        schema(union=("null", "string")),           # retyped union
+        schema(union=("null", "long", "string")),   # widened union
+    ):
+        with pytest.raises(ValueError, match="mismatch"):
+            avro_py.build_writer_aligners({1: v1, 3: changed}, changed)
     """The registry lookup half of the CDC decode (S13): URL shape,
     Confluent basic-auth header, response parsing, and loud error
     mapping — all driven through an injected transport (no live

@@ -454,7 +454,17 @@ _AVRO_PROP_SCHEMA = """
      {"type": "record", "name": "Tag", "fields": [
         {"name": "k", "type": "string"},
         {"name": "n", "type": "long"}]}}]},
-  {"name": "attrs", "type": {"type": "map", "values": "string"}}
+  {"name": "attrs", "type": {"type": "map", "values": "string"}},
+  {"name": "status", "type": {"type": "enum", "name": "Status",
+     "symbols": ["ACTIVE", "HELD", "CLOSED"]}},
+  {"name": "checksum", "type": ["null", {"type": "fixed", "name": "Sum16",
+     "size": 16}]},
+  {"name": "fee", "type": {"type": "fixed", "name": "Fee", "size": 6,
+     "logicalType": "decimal", "precision": 12, "scale": 3}},
+  {"name": "payload", "type": ["null", "long", "string", "Status"]},
+  {"name": "samples", "type": {"type": "array", "items": ["null", "double"]}},
+  {"name": "props", "type": {"type": "map", "values": ["null", "long",
+     "string"]}}
 ]}
 """
 
@@ -503,21 +513,53 @@ _value_rows = st.fixed_dictionaries(
         max_size=5,
     ),
     attrs=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
+    status=st.sampled_from(["ACTIVE", "HELD", "CLOSED"]),
+    checksum=st.none() | st.binary(min_size=16, max_size=16),
+    fee=st.integers(min_value=-(10**12) + 1, max_value=10**12 - 1).map(
+        lambda u: __import__("decimal").Decimal(u).scaleb(-3)
+    ),
+    payload=st.none()
+    | st.integers(min_value=-(2**63), max_value=2**63 - 1).map(
+        lambda v: {"member0": v}
+    )
+    | st.text(max_size=12).map(lambda s: {"member1": s})
+    | st.sampled_from(["ACTIVE", "CLOSED"]).map(lambda s: {"member2": s}),
+    samples=st.lists(
+        st.none() | st.floats(allow_nan=False, allow_infinity=False, width=64),
+        max_size=6,
+    ),
+    props=st.dictionaries(
+        st.text(max_size=6),
+        st.none()
+        | st.integers(min_value=-(2**63), max_value=2**63 - 1).map(
+            lambda v: {"member0": v}
+        )
+        | st.text(max_size=6).map(lambda s: {"member1": s}),
+        max_size=4,
+    ),
 )
 @settings(max_examples=200, deadline=None)
-def test_avro_codec_roundtrip_property(image, echo, op, tags, attrs):
+def test_avro_codec_roundtrip_property(
+    image, echo, op, tags, attrs, status, checksum, fee, payload, samples, props
+):
     """decode(encode(x)) == x for the full supported type surface —
     nested null-union records (Debezium's before/after shape), zigzag
     longs across the entire int64 range, exact decimals, micro
-    timestamps, dates, unicode strings, raw bytes, IEEE doubles, and
-    (r9) arrays of records + string-keyed maps.  Hypothesis hunts the
-    boundary values a hand-written table misses (two's-complement
-    byte-length edges, 10-byte varints, empty strings/bytes,
-    astral-plane unicode, empty containers)."""
+    timestamps, dates, unicode strings, raw bytes, IEEE doubles,
+    arrays of records + string-keyed maps (r9), and (r10) enums,
+    fixeds (raw and decimal-annotated), multi-type unions (memberN
+    values over long/string/enum branches), nullable array items, and
+    union-typed map values.  Hypothesis hunts the boundary values a
+    hand-written table misses (two's-complement byte-length edges,
+    10-byte varints, empty strings/bytes, astral-plane unicode, empty
+    containers, all-null element runs)."""
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     fields = avro_py.parse_flat_schema(_AVRO_PROP_SCHEMA)
-    row = (image, echo, op, tags, attrs)
+    row = (
+        image, echo, op, tags, attrs,
+        status, checksum, fee, payload, samples, props,
+    )
     out = avro_py.decode_record(avro_py.encode_record(row, fields), fields)
     assert out == row
 

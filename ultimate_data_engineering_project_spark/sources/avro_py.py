@@ -11,24 +11,33 @@ the full Debezium change-event envelope — nested row-image records,
 ``["null", T]`` unions, and Debezium's logical types — applied over
 Arrow batches via ``mapInPandas``.
 
-Scope is deliberately narrow and loud: enums, fixeds, >2-branch
-unions, and union-typed array items / map values raise ``ValueError``
-at plan time.  What IS supported is exactly what a Debezium change
-event needs (reference docker-compose.yaml:74-97): record-typed fields and
+Supported surface (everything a Debezium topic actually emits,
+reference docker-compose.yaml:74-97): record-typed fields and
 named-type references (``before``/``after`` as ``["null", "Value"]``
 with the row-image record defined at first use, plus the ``source``
-metadata record), arrays of non-null items — scalars (embedding
-vectors in CDC feeds; both count forms of the spec's block encoding
-decode), records (Debezium ``transaction``-metadata
-``data_collections`` blocks), or nested containers — string-keyed
-maps with non-null values (outbox-pattern header/attribute bags),
-the ``uuid`` string annotation, and the logical types Debezium emits
-for the reference's own column types (reference schemas.py:37,53
-Numeric(15,2) -> ``bytes``+``decimal``; :59-60 DateTime -> ``long``+
-``timestamp-micros``/``millis``; Date -> ``int``+``date``).  Schema
-EVOLUTION inside array items / map values is out of scope (identical
-container layouts align; an evolved element record raises at plan
-time).  For anything else, use the spark-avro package (the
+metadata record), ENUMS (Debezium's enum-typed ``op``/status columns;
+wire = symbol index, Spark = the symbol string), FIXED (raw
+``size``-byte values, plus the ``decimal`` logical annotation some
+connectors use for NUMERIC columns), unions of ANY arity — one
+non-null branch surfaces as a plain nullable column, several as
+spark-avro's public ``memberN`` struct with exactly the active member
+set (outbox payload unions) — union-typed array items and map values
+(nullable elements included), arrays (both count forms of the spec's
+block encoding decode; record items cover Debezium
+``transaction``-metadata ``data_collections`` blocks; nested
+containers compose), string-keyed maps (outbox-pattern
+header/attribute bags), the ``uuid`` string annotation, and the
+logical types Debezium emits for the reference's own column types
+(reference schemas.py:37,53 Numeric(15,2) -> ``bytes``+``decimal``;
+:59-60 DateTime -> ``long``+``timestamp-micros``/``millis``; Date ->
+``int``+``date``).
+
+Remaining out-of-scope, loud at plan time: single-branch union
+wrappers, schema EVOLUTION of enum/fixed/union-typed or container
+fields (identical layouts align by equality; a changed layout — added
+enum symbols, resized fixed, reordered union — raises per writer at
+plan time, not per row), and non-null field defaults beyond
+primitives.  For those, use the spark-avro package (the
 ``decode_confluent_avro`` path); this codec exists so the CDC
 pipeline is testable and oracle-checkable end to end in environments
 without it.
@@ -158,6 +167,12 @@ def _wire_type(branch) -> str:
         return "array"
     if isinstance(branch, AvroMap):
         return "map"
+    if isinstance(branch, AvroEnum):
+        return "enum"
+    if isinstance(branch, AvroFixed):
+        return "fixed"
+    if isinstance(branch, AvroUnion):
+        return "union"
     if not isinstance(branch, str):  # AvroRecord: no single wire type
         return "record"
     if _DECIMAL_RE.match(branch):
@@ -166,12 +181,38 @@ def _wire_type(branch) -> str:
 
 
 def _spark_type_for_branch(branch) -> T.DataType:
+    if isinstance(branch, AvroUnion):
+        nn = branch.non_null
+        if len(nn) == 1:
+            return _spark_type_for_branch(nn[0])
+        # spark-avro's public mapping for multi-type unions: one
+        # struct with a memberN field per non-null branch in union
+        # order; exactly the active branch's member is set per value
+        return T.StructType(
+            [
+                T.StructField(f"member{i}", _spark_type_for_branch(b), True)
+                for i, b in enumerate(nn)
+            ]
+        )
     if isinstance(branch, AvroArray):
-        return T.ArrayType(_spark_type_for_branch(branch.item), False)
+        item_nullable = (
+            isinstance(branch.item, AvroUnion) and "null" in branch.item.branches
+        )
+        return T.ArrayType(_spark_type_for_branch(branch.item), item_nullable)
     if isinstance(branch, AvroMap):
-        # Avro map keys are always strings (spec); values non-null in
-        # this codec's scope (union values route to spark-avro)
-        return T.MapType(T.StringType(), _spark_type_for_branch(branch.value), False)
+        # Avro map keys are always strings (spec)
+        value_nullable = (
+            isinstance(branch.value, AvroUnion) and "null" in branch.value.branches
+        )
+        return T.MapType(
+            T.StringType(), _spark_type_for_branch(branch.value), value_nullable
+        )
+    if isinstance(branch, AvroEnum):
+        return T.StringType()  # symbols surface as their names
+    if isinstance(branch, AvroFixed):
+        if branch.decimal is not None:
+            return T.DecimalType(*branch.decimal)
+        return T.BinaryType()
     if not isinstance(branch, str):  # AvroRecord -> nested struct
         return spark_schema_for(branch.fields)
     am = _ARRAY_RE.match(branch)
@@ -209,10 +250,48 @@ class AvroArray:
 @dataclass(frozen=True)
 class AvroMap:
     """A map branch (string keys per the Avro spec; outbox-pattern
-    header/attribute bags are ``map<string>``).  Values are non-null
-    (union values route to spark-avro)."""
+    header/attribute bags are ``map<string>``).  A union-typed value
+    parses to an :class:`AvroUnion` (nullable values included)."""
 
-    value: object  # str | AvroRecord | AvroArray | AvroMap
+    value: object  # str | AvroRecord | AvroArray | AvroMap | AvroEnum | AvroFixed | AvroUnion
+
+
+@dataclass(frozen=True)
+class AvroEnum:
+    """An enum branch (Debezium's ``op`` / status-column shape).
+    Wire format: the symbol's zero-based INDEX as a varint int;
+    surfaces in Spark as the symbol STRING."""
+
+    name: str
+    symbols: tuple  # tuple[str, ...] in schema order (indexes are positional)
+
+
+@dataclass(frozen=True)
+class AvroFixed:
+    """A fixed branch: exactly ``size`` raw bytes, no length prefix.
+    With the ``decimal`` logical annotation (connectors emit
+    fixed-width decimals for NUMERIC columns) the bytes are the
+    two's-complement unscaled value and the branch surfaces as
+    DECIMAL(precision, scale); plain fixed surfaces as BINARY."""
+
+    name: str
+    size: int
+    decimal: tuple | None = None  # (precision, scale) when logicalType=decimal
+
+
+@dataclass(frozen=True)
+class AvroUnion:
+    """A union in SCHEMA ORDER (indexes are positional, including any
+    ``"null"`` branch).  Appears as a field's resolved value type when
+    the field has >1 non-null branch, and as an array item / map value
+    type.  Multi-type unions surface in Spark as spark-avro's public
+    ``memberN`` struct."""
+
+    branches: tuple  # full union incl. "null", schema order
+
+    @property
+    def non_null(self) -> tuple:
+        return tuple(b for b in self.branches if b != "null")
 
 
 @dataclass(frozen=True)
@@ -225,14 +304,69 @@ class AvroField:
 
     @property
     def value_type(self):
-        for b in self.branches:
-            if b != "null":
-                return b
-        raise ValueError(f"field {self.name!r} has no non-null branch")
+        nn = tuple(b for b in self.branches if b != "null")
+        if not nn:
+            raise ValueError(f"field {self.name!r} has no non-null branch")
+        if len(nn) == 1:
+            return nn[0]
+        # multi-type union: the value type is the union itself (the
+        # memberN struct in Spark terms)
+        return AvroUnion(self.branches)
 
     @property
     def nullable(self) -> bool:
         return "null" in self.branches
+
+
+def _register_named(obj, sch: dict, defined: dict) -> None:
+    """Register a named type (record/enum/fixed) under its short and
+    namespace-qualified names for later by-reference use."""
+    name = sch.get("name")
+    if name:
+        defined[name] = obj
+        ns = sch.get("namespace")
+        if ns:
+            defined[f"{ns}.{name}"] = obj
+
+
+def _parse_union(branches: list, field_name: str, defined: dict) -> AvroUnion:
+    """A union (any arity) in schema order.  The Avro spec forbids
+    immediately-nested unions and duplicate unnamed types; both would
+    make the positional index ambiguous, so they fail here at plan
+    time."""
+    if len(branches) < 2:
+        raise ValueError(
+            f"field {field_name!r}: single-branch unions are not "
+            f"supported, got {branches!r} (drop the union wrapper "
+            "or use spark-avro)"
+        )
+    parsed = []
+    for b in branches:
+        if isinstance(b, list):
+            raise ValueError(
+                f"field {field_name!r}: unions may not immediately "
+                "contain other unions (Avro spec)"
+            )
+        parsed.append(_parse_branch(b, field_name, defined))
+    # duplicate-kind check: unnamed types may appear at most once per
+    # union (named types are distinguished by name)
+    seen: set = set()
+    for p in parsed:
+        if isinstance(p, str):
+            kind = ("prim", _wire_type(p), p)
+        elif isinstance(p, AvroArray):
+            kind = ("array",)
+        elif isinstance(p, AvroMap):
+            kind = ("map",)
+        else:  # named types: record/enum/fixed — keyed by name
+            kind = (type(p).__name__, p.name)
+        if kind in seen:
+            raise ValueError(
+                f"field {field_name!r}: union contains duplicate "
+                f"type {p!r} (Avro spec forbids it)"
+            )
+        seen.add(kind)
+    return AvroUnion(tuple(parsed))
 
 
 def _parse_branch(b, field_name: str, defined: dict):
@@ -258,37 +392,79 @@ def _parse_branch(b, field_name: str, defined: dict):
             f"field {field_name!r}: unsupported type {b!r} "
             "(use spark-avro for non-primitive fields)"
         )
+    if isinstance(b, list):
+        return _parse_union(b, field_name, defined)
     if isinstance(b, dict):
         t = b.get("type")
         if t == "record":
             return _parse_record(b, defined)
+        if t == "enum":
+            symbols = b.get("symbols")
+            if (
+                not isinstance(symbols, list)
+                or not symbols
+                or not all(isinstance(s, str) for s in symbols)
+                or len(set(symbols)) != len(symbols)
+            ):
+                raise ValueError(
+                    f"field {field_name!r}: enum symbols must be a "
+                    f"non-empty list of distinct strings, got {symbols!r}"
+                )
+            enum = AvroEnum(str(b.get("name", "")), tuple(symbols))
+            _register_named(enum, b, defined)
+            return enum
+        if t == "fixed":
+            size = b.get("size")
+            if not isinstance(size, int) or size < 1:
+                raise ValueError(
+                    f"field {field_name!r}: fixed size must be a "
+                    f"positive int, got {size!r}"
+                )
+            dec = None
+            if b.get("logicalType") == "decimal":
+                precision = b.get("precision")
+                scale = b.get("scale", 0)
+                if not isinstance(precision, int) or not isinstance(scale, int) or (
+                    precision < 1 or precision > 38 or scale < 0 or scale > precision
+                ):
+                    raise ValueError(
+                        f"field {field_name!r}: bad fixed decimal "
+                        f"(precision={precision!r}, scale={scale!r}); "
+                        "Spark DecimalType needs 1<=p<=38, 0<=s<=p"
+                    )
+                dec = (precision, scale)
+            fixed = AvroFixed(str(b.get("name", "")), size, dec)
+            _register_named(fixed, b, defined)
+            return fixed
         if t == "array":
-            if "items" not in b or isinstance(b["items"], list):
+            if "items" not in b:
                 raise ValueError(
-                    f"field {field_name!r}: array items must be a "
-                    f"non-union schema, got {b.get('items')!r} "
-                    "(use spark-avro)"
+                    f"field {field_name!r}: array schema has no items"
                 )
-            item = _parse_branch(b["items"], field_name, defined)
-            if item == "null":
-                raise ValueError(
-                    f"field {field_name!r}: null array items are not "
-                    "supported (use spark-avro)"
-                )
+            if isinstance(b["items"], list):
+                item: object = _parse_union(b["items"], field_name, defined)
+            else:
+                item = _parse_branch(b["items"], field_name, defined)
+                if item == "null":
+                    raise ValueError(
+                        f"field {field_name!r}: bare-null array items are "
+                        "not supported (wrap in a ['null', T] union)"
+                    )
             return AvroArray(item)
         if t == "map":
-            if "values" not in b or isinstance(b["values"], list):
+            if "values" not in b:
                 raise ValueError(
-                    f"field {field_name!r}: map values must be a "
-                    f"non-union schema, got {b.get('values')!r} "
-                    "(use spark-avro)"
+                    f"field {field_name!r}: map schema has no values"
                 )
-            value = _parse_branch(b["values"], field_name, defined)
-            if value == "null":
-                raise ValueError(
-                    f"field {field_name!r}: null map values are not "
-                    "supported (use spark-avro)"
-                )
+            if isinstance(b["values"], list):
+                value: object = _parse_union(b["values"], field_name, defined)
+            else:
+                value = _parse_branch(b["values"], field_name, defined)
+                if value == "null":
+                    raise ValueError(
+                        f"field {field_name!r}: bare-null map values are "
+                        "not supported (wrap in a ['null', T] union)"
+                    )
             return AvroMap(value)
         return _logical_name(b, field_name)
     raise ValueError(
@@ -302,14 +478,11 @@ def _parse_record(sch: dict, defined: dict) -> AvroRecord:
     for f in sch.get("fields", []):
         name, ftype = f["name"], f["type"]
         if isinstance(ftype, list):
-            if len(ftype) != 2 or "null" not in [
-                b for b in ftype if isinstance(b, str)
-            ]:
-                raise ValueError(
-                    f"field {name!r}: only 2-branch ['null', <type>] "
-                    f"unions are supported, got {ftype!r}"
-                )
-            branches = tuple(_parse_branch(b, name, defined) for b in ftype)
+            # any-arity unions: the field keeps the FULL union in
+            # schema order (decode/encode index positionally); a
+            # single non-null branch surfaces as a plain nullable
+            # field, multiple as the memberN struct
+            branches = _parse_union(ftype, name, defined).branches
         else:
             branches = (_parse_branch(ftype, name, defined),)
         if branches == ("null",):
@@ -333,13 +506,15 @@ def parse_flat_schema(avro_schema_json: str) -> list[AvroField]:
     of structure (``before``/``after`` as ``["null", "Value"]`` where
     ``Value`` is the row-image record defined at its first use, plus a
     ``source`` metadata record; Debezium's AvroConverter emits this
-    shape for every table), arrays (scalar, record — Debezium
-    transaction-metadata ``data_collections`` — or nested container
-    items), and string-keyed maps.  Enums, fixeds, multi-type unions,
-    and union-typed items/values still fail HERE (plan time), not
-    mid-decode on an executor — a schema this codec can't express must
-    route to the spark-avro path instead of producing garbage rows.
-    """
+    shape for every table), enums, fixeds (incl. the decimal logical
+    annotation), unions of any arity (multi-type unions surface as the
+    ``memberN`` struct), arrays (scalar, record — Debezium
+    transaction-metadata ``data_collections`` — union-typed, or nested
+    container items), and string-keyed maps.  Whatever the codec can't
+    express (single-branch union wrappers, malformed schemas) still
+    fails HERE (plan time), not mid-decode on an executor — such a
+    schema must route to the spark-avro path instead of producing
+    garbage rows."""
     sch = json.loads(avro_schema_json)
     if not isinstance(sch, dict) or sch.get("type") != "record":
         raise ValueError(
@@ -390,17 +565,62 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 def _decode_item(buf: bytes, pos: int, item):
     """One array item / map value: records decode to dicts (they
-    survive the Arrow object->struct conversion), everything else
-    through the scalar/container decoder."""
+    survive the Arrow object->struct conversion), unions through the
+    positional-index decoder, everything else through the
+    scalar/container decoder."""
     if isinstance(item, AvroRecord):
         vals, pos = _decode_fields(buf, pos, item.fields)
         return {sf.name: v for sf, v in zip(item.fields, vals)}, pos
+    if isinstance(item, AvroUnion):
+        return _decode_union_branches(buf, pos, item.branches)
     return _decode_value(buf, pos, item)
 
 
+def _decode_union_branches(buf: bytes, pos: int, branches):
+    """A union value: varint branch index, then the branch's value.
+    One non-null branch -> the plain value (nullable semantics);
+    several -> spark-avro's memberN dict with exactly the active
+    member set."""
+    idx, pos = _read_long(buf, pos)
+    if idx < 0 or idx >= len(branches):
+        raise ValueError(
+            f"union branch index {idx} out of range (union has "
+            f"{len(branches)} branches)"
+        )
+    b = branches[idx]
+    if b == "null":
+        return None, pos
+    nn_count = sum(1 for x in branches if x != "null")
+    v, pos = _decode_item(buf, pos, b)
+    if nn_count == 1:
+        return v, pos
+    member = sum(1 for x in branches[:idx] if x != "null")
+    return {f"member{member}": v}, pos
+
+
 def _decode_value(buf: bytes, pos: int, ftype):
-    if ftype in ("long", "int"):
+    if isinstance(ftype, str) and ftype in ("long", "int"):
         return _read_long(buf, pos)
+    if isinstance(ftype, AvroEnum):
+        idx, pos = _read_long(buf, pos)
+        if idx < 0 or idx >= len(ftype.symbols):
+            raise ValueError(
+                f"enum {ftype.name!r}: symbol index {idx} out of range "
+                f"({len(ftype.symbols)} symbols)"
+            )
+        return ftype.symbols[idx], pos
+    if isinstance(ftype, AvroFixed):
+        if pos + ftype.size > len(buf):
+            raise ValueError("truncated Avro payload (fixed)")
+        raw = buf[pos : pos + ftype.size]
+        pos += ftype.size
+        if ftype.decimal is not None:
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return (
+                _decimal.Decimal(unscaled).scaleb(-ftype.decimal[1], _DEC_EXACT),
+                pos,
+            )
+        return bytes(raw), pos
     if isinstance(ftype, AvroArray):
         vals = []
         while True:
@@ -472,17 +692,11 @@ def _decode_value(buf: bytes, pos: int, ftype):
 def _decode_fields(buf: bytes, pos: int, fields) -> tuple[list, int]:
     out = []
     for f in fields:
-        ftype = f.branches[0]
-        if len(f.branches) == 2:
-            idx, pos = _read_long(buf=buf, pos=pos)
-            if idx < 0 or idx >= 2:
-                raise ValueError(
-                    f"field {f.name!r}: union branch {idx} out of range"
-                )
-            ftype = f.branches[idx]
-        if ftype == "null":
-            out.append(None)
+        if len(f.branches) >= 2:
+            val, pos = _decode_union_branches(buf, pos, f.branches)
+            out.append(val)
             continue
+        ftype = f.branches[0]
         if isinstance(ftype, AvroRecord):
             vals, pos = _decode_fields(buf, pos, ftype.fields)
             # dicts survive the Arrow object->struct conversion
@@ -532,41 +746,80 @@ def _encode_fields(out: bytearray, values, fields) -> None:
             f"expected {len(fields)} values, got {len(values)}"
         )
     for v, f in zip(values, fields):
+        if len(f.branches) >= 2:
+            _encode_union_branches(out, v, f.branches, f.name)
+            continue
         ftype = f.branches[0]
-        if len(f.branches) == 2:
-            if v is None:
-                _write_long(out, f.branches.index("null"))
-                continue
-            ftype = f.value_type
-            _write_long(out, f.branches.index(ftype))
-        elif v is None:
+        if v is None:
             raise ValueError(f"field {f.name!r} is not nullable, got None")
-        if isinstance(ftype, AvroRecord):
-            if isinstance(v, dict):
-                sub = [v.get(sf.name) for sf in ftype.fields]
-            elif isinstance(v, (list, tuple)):
-                sub = list(v)
-            else:
-                raise ValueError(
-                    f"field {f.name!r}: expected dict or tuple for "
-                    f"record value, got {type(v)}"
-                )
-            _encode_fields(out, sub, ftype.fields)
-            continue
-        if isinstance(ftype, str) and _ARRAY_RE.match(ftype):
-            # legacy synthetic branch name from pre-parsed callers
-            ftype = AvroArray(_ARRAY_RE.match(ftype).group(1))
-        if isinstance(ftype, (AvroArray, AvroMap)):
-            _encode_container(out, v, ftype, f.name)
-            continue
-        _encode_scalar(out, v, ftype, f.name)
+        _encode_item(out, v, ftype, f.name)
+
+
+def _encode_union_branches(out: bytearray, v, branches, fname: str) -> None:
+    """A union value: varint branch index, then the branch's value —
+    the dual of :func:`_decode_union_branches`.  With one non-null
+    branch the plain value selects it; with several, the value must be
+    a memberN dict/Row with EXACTLY one member set (anything else is
+    ambiguous and fails loudly)."""
+    if v is None:
+        if "null" not in branches:
+            raise ValueError(
+                f"field {fname!r}: union {branches!r} has no null "
+                "branch, got None"
+            )
+        _write_long(out, branches.index("null"))
+        return
+    nn = [(i, b) for i, b in enumerate(branches) if b != "null"]
+    if len(nn) == 1:
+        i, b = nn[0]
+        _write_long(out, i)
+        _encode_item(out, v, b, fname)
+        return
+    if hasattr(v, "asDict"):  # pyspark Row
+        v = v.asDict()
+    if isinstance(v, dict):
+        items = v
+    elif isinstance(v, (list, tuple)):  # positional member values
+        items = {f"member{k}": x for k, x in enumerate(v)}
+    else:
+        raise ValueError(
+            f"field {fname!r}: multi-type union value must be a "
+            f"memberN dict/Row/tuple, got {type(v)}"
+        )
+    active = [(k, val) for k, val in items.items() if val is not None]
+    if len(active) != 1:
+        raise ValueError(
+            f"field {fname!r}: multi-type union value must set exactly "
+            f"one member, got {len(active)} of {len(nn)}"
+        )
+    k, val = active[0]
+    if not (isinstance(k, str) and k.startswith("member")):
+        raise ValueError(
+            f"field {fname!r}: unknown union member key {k!r}"
+        )
+    try:
+        m = int(k[len("member"):])
+        i, b = nn[m]
+    except (ValueError, IndexError):
+        raise ValueError(
+            f"field {fname!r}: union member {k!r} out of range "
+            f"({len(nn)} non-null branches)"
+        ) from None
+    _write_long(out, i)
+    _encode_item(out, val, b, fname)
 
 
 def _encode_item(out: bytearray, v, item, fname: str) -> None:
-    """One array item / map value (the dual of :func:`_decode_item`):
-    record items accept a dict (by field name) or tuple/list/Row
-    (positional); containers recurse; scalars hit the scalar encoder."""
+    """One non-null value of any branch type (shared by fields, array
+    items, and map values — the dual of :func:`_decode_item`): record
+    values accept a dict (by field name) or tuple/list/Row
+    (positional); unions recurse through the index encoder; enums take
+    the symbol string, fixeds raw bytes (or a decimal under the
+    logical annotation); containers recurse; scalars hit the scalar
+    encoder."""
     if isinstance(item, AvroRecord):
+        if hasattr(v, "asDict"):  # pyspark Row
+            v = v.asDict()
         if isinstance(v, dict):
             sub = [v.get(sf.name) for sf in item.fields]
         elif isinstance(v, (list, tuple)):
@@ -577,6 +830,55 @@ def _encode_item(out: bytearray, v, item, fname: str) -> None:
                 f"item, got {type(v)}"
             )
         _encode_fields(out, sub, item.fields)
+    elif isinstance(item, AvroUnion):
+        _encode_union_branches(out, v, item.branches, fname)
+    elif isinstance(item, AvroEnum):
+        if v not in item.symbols:
+            raise ValueError(
+                f"field {fname!r}: {v!r} is not a symbol of enum "
+                f"{item.name!r} {item.symbols!r}"
+            )
+        _write_long(out, item.symbols.index(v))
+    elif isinstance(item, AvroFixed):
+        if item.decimal is not None:
+            precision, scale = item.decimal
+            if isinstance(v, float):
+                raise ValueError(
+                    f"field {fname!r}: refusing to encode a float as "
+                    f"fixed decimal({precision},{scale}) — binary floats "
+                    "are inexact; pass decimal.Decimal, int, or str"
+                )
+            d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(v)
+            q = d.scaleb(scale, _DEC_EXACT)
+            unscaled = int(q)
+            if q != unscaled:
+                raise ValueError(
+                    f"field {fname!r}: {v!r} does not fit scale {scale}"
+                )
+            if len(str(abs(unscaled))) > precision:
+                raise ValueError(
+                    f"field {fname!r}: {v!r} exceeds precision {precision}"
+                )
+            try:
+                out += unscaled.to_bytes(item.size, "big", signed=True)
+            except OverflowError:
+                raise ValueError(
+                    f"field {fname!r}: unscaled {unscaled} does not fit "
+                    f"fixed({item.size})"
+                ) from None
+        else:
+            raw = bytes(v)
+            if len(raw) != item.size:
+                raise ValueError(
+                    f"field {fname!r}: fixed {item.name!r} needs exactly "
+                    f"{item.size} bytes, got {len(raw)}"
+                )
+            out += raw
+    elif isinstance(item, str) and _ARRAY_RE.match(item):
+        # legacy synthetic branch name from pre-parsed callers
+        _encode_container(
+            out, v, AvroArray(_ARRAY_RE.match(item).group(1)), fname
+        )
     elif isinstance(item, (AvroArray, AvroMap)):
         _encode_container(out, v, item, fname)
     else:
@@ -594,12 +896,16 @@ def _encode_container(out: bytearray, v, ftype, fname: str) -> None:
                 f"field {fname!r}: expected a sequence for array "
                 f"value, got {type(v)}"
             )
+        item_nullable = (
+            isinstance(ftype.item, AvroUnion) and "null" in ftype.item.branches
+        )
         if len(v):
             _write_long(out, len(v))
             for iv in v:
-                if iv is None:
+                if iv is None and not item_nullable:
                     raise ValueError(
-                        f"field {fname!r}: array items are non-null"
+                        f"field {fname!r}: array items are non-null "
+                        "(declare ['null', T] items for nullable)"
                     )
                 _encode_item(out, iv, ftype.item, fname)
         _write_long(out, 0)
@@ -618,6 +924,9 @@ def _encode_container(out: bytearray, v, ftype, fname: str) -> None:
             f"field {fname!r}: expected a dict or (key, value) sequence "
             f"for map value, got {type(v)}"
         )
+    value_nullable = (
+        isinstance(ftype.value, AvroUnion) and "null" in ftype.value.branches
+    )
     if pairs:
         _write_long(out, len(pairs))
         for k, iv in pairs:
@@ -627,9 +936,10 @@ def _encode_container(out: bytearray, v, ftype, fname: str) -> None:
                     f"{type(k)}"
                 )
             _encode_scalar(out, k, "string", fname)
-            if iv is None:
+            if iv is None and not value_nullable:
                 raise ValueError(
-                    f"field {fname!r}: map values are non-null"
+                    f"field {fname!r}: map values are non-null "
+                    "(declare ['null', T] values for nullable)"
                 )
             _encode_item(out, iv, ftype.value, fname)
     _write_long(out, 0)
