@@ -35,9 +35,23 @@ Crash discipline (pinned by tests):
     compaction deletes them.
   * in-flight readers that resolved the pointer before a flip may
     still be scanning the old prefix while cleanup deletes it — the
-    same race every snapshot-pointer table format has; production
-    deployments age out old generations instead of deleting
-    immediately (``keep_generations``).
+    same race every snapshot-pointer table format has.  The answer is
+    GENERATION AGEING: ``keep_generations=N`` on the compactors
+    retains the N newest superseded prefixes (deleting only older
+    ones), so a reader that resolved the pointer up to N compactions
+    ago still finds its files; ``read_at_generation`` /
+    ``read_current(generation=...)`` give the retained prefixes their
+    natural audit read (time travel to a prior snapshot).
+
+Writer discipline: the protocol is SINGLE-COMPACTOR.  ``write_pointer``
+is last-writer-wins (object stores give us atomic PUT, not
+compare-and-swap), so two concurrent compactions would both derive the
+same next generation, overwrite each other's data files mid-write, and
+the winner's cleanup could delete state the loser believes committed.
+Run one compactor per table (the same discipline every
+pointer-flipping maintenance job has); the compactors re-read the
+pointer AFTER their flip and fail loudly on a lost race
+(best-effort detection, not prevention).
 
 Remote paths go through Spark's Hadoop FileSystem (the s3a connector
 the cluster already has); local paths use plain Python I/O so the
@@ -163,12 +177,65 @@ def join(table_dir: str, name: str) -> str:
     return table_dir.rstrip("/") + "/" + name
 
 
+def list_flat_sources(spark, table_dir: str) -> list[str]:
+    """Root-level data sources for ADOPTION of a legacy flat table:
+    every child EXCEPT ``gen-*`` prefixes, the pointer, and metadata
+    files.  A crashed first adoption (gen written, pointer flip never
+    happened) leaves an orphan ``gen-`` dir beside the flat files — a
+    bare ``spark.read.parquet(root)`` would then mix the two layouts
+    (conflicting-directory failure) and double-count bytes, so the
+    retry must read exactly this list."""
+    def keep(n: str) -> bool:
+        # gen- prefixes are the new layout; "_"/"." children are
+        # metadata Spark would skip in a directory read but would choke
+        # on in an explicit file list (_SUCCESS, .crc, _current*)
+        return not (n.startswith("gen-") or n.startswith(("_", ".")))
+
+    if _is_local(table_dir):
+        root = _local_path(table_dir)
+        if not os.path.isdir(root):
+            return []
+        return [
+            os.path.join(root, n) for n in sorted(os.listdir(root)) if keep(n)
+        ]
+    fs, jpath, _ = _hadoop_fs(spark, table_dir)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if keep(st.getPath().getName())
+    )
+
+
+def verify_pointer_generation(spark, table_dir: str, generation: int) -> None:
+    """Best-effort lost-race detection for the single-compactor
+    contract: re-read the pointer and fail loudly if another writer
+    flipped it past ``generation`` (see the module docstring — PUT is
+    atomic but not compare-and-swap, so this detects a lost race
+    after the fact rather than preventing it).  Called by the
+    compactors between their flip and their cleanup, so a losing
+    compactor never deletes the winner's state."""
+    ptr = read_pointer(spark, table_dir)
+    got = ptr.get("generation") if ptr else None
+    if got != generation:
+        raise RuntimeError(
+            f"manifest pointer race on {table_dir!r}: this compaction "
+            f"flipped to generation {generation} but the pointer now "
+            f"reads {got!r} — another compactor is running against the "
+            "single-writer contract; aborting before cleanup so the "
+            "winner's state is not deleted"
+        )
+
+
 def total_bytes(spark, path: str) -> int:
     """Recursive data size of a prefix (compaction output sizing) —
     parquet bytes from the local walk, or the filesystem's content
     summary on remote schemes."""
     if _is_local(path):
         root = _local_path(path)
+        if os.path.isfile(root):  # adoption lists root-level files too
+            return os.path.getsize(root) if root.endswith(".parquet") else 0
         return sum(
             os.path.getsize(os.path.join(dirpath, f))
             for dirpath, _, files in os.walk(root)

@@ -67,20 +67,53 @@ def load_tables(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> dict[
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
-def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_current(
+    spark: SparkSession, table_dir: str, *, generation: int | None = None
+) -> DataFrame:
     """Read a parquet table that MAY be under manifest-pointer
     management (``compact_parquet(via_manifest=True)``): follow the
     ``_current`` pointer to the live ``gen-`` prefix when present,
     else read the directory flat.  This is the reader half of the
     object-store compaction protocol — a plain ``spark.read.parquet``
     on the root would double-read old+new generations during the
-    post-flip cleanup window."""
+    post-flip cleanup window.
+
+    ``generation=N`` TIME-TRAVELS to a retained prior snapshot
+    (compactions run with ``keep_generations>0`` age superseded
+    prefixes out instead of deleting them): the read pins
+    ``gen-{N:06d}`` regardless of the pointer, failing loudly — with
+    the list of generations actually on disk — when that prefix has
+    been aged out or never existed."""
     from ultimate_data_engineering_project_spark.sources import manifest
 
+    if generation is not None:
+        return read_at_generation(spark, table_dir, generation)
     ptr = manifest.read_pointer(spark, table_dir)
     if ptr is None:
         return spark.read.parquet(table_dir)
     return spark.read.parquet(manifest.join(table_dir, ptr["data"]))
+
+
+def read_at_generation(
+    spark: SparkSession, table_dir: str, generation: int
+) -> DataFrame:
+    """Time travel on the manifest layout: read the retained
+    ``gen-{generation:06d}`` prefix of a pointer table — the audit
+    read the generation protocol makes nearly free (superseded
+    prefixes are immutable; ``keep_generations`` controls how many
+    survive cleanup).  Fails loudly with the on-disk generation list
+    when the requested one is absent."""
+    from ultimate_data_engineering_project_spark.sources import manifest
+
+    name = f"gen-{generation:06d}"
+    on_disk = manifest.list_children(spark, table_dir, "gen-")
+    if name not in on_disk:
+        raise ValueError(
+            f"generation {generation} is not on disk under "
+            f"{table_dir!r} (available: {on_disk or 'none'}); raise "
+            "keep_generations on the compactor to retain more history"
+        )
+    return spark.read.parquet(manifest.join(table_dir, name))
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> None:

@@ -69,6 +69,7 @@ def compact_parquet(
     partition_by: list[str] | None = None,
     sort_within_by: list[str] | None = None,
     via_manifest: bool = False,
+    keep_generations: int = 0,
 ) -> int:
     """Compact a parquet directory's small files to ~``target_file_bytes``
     outputs; returns the number of files written.
@@ -101,7 +102,11 @@ def compact_parquet(
     a plain ``spark.read.parquet`` on the root would double-read
     during the cleanup window).  First call on a legacy flat table
     ADOPTS it: data moves under ``gen-000001`` and the superseded flat
-    files are deleted.
+    files are deleted.  ``keep_generations=N`` ages superseded
+    prefixes instead of deleting immediately — the N newest are
+    retained, closing the in-flight-reader race (a reader that
+    resolved the pointer up to N flips ago still finds its files) and
+    enabling time travel via ``readers.read_at_generation``.
 
     Input bytes are read from the filesystem listing, not estimated
     from row counts, so decompression ratio never skews the output
@@ -118,6 +123,12 @@ def compact_parquet(
             target_file_bytes=target_file_bytes,
             partition_by=partition_by,
             sort_within_by=sort_within_by,
+            keep_generations=keep_generations,
+        )
+    if keep_generations:
+        raise ValueError(
+            "keep_generations requires via_manifest=True (the rename-"
+            "swap path has no generation layout to retain)"
         )
 
     # sizing walks the local filesystem and the swap uses local renames
@@ -190,24 +201,41 @@ def _compact_parquet_via_manifest(
     target_file_bytes: int,
     partition_by: list[str] | None,
     sort_within_by: list[str] | None,
+    keep_generations: int = 0,
 ) -> int:
     """Object-store-safe compaction (see compact_parquet's docstring):
     read the current generation (or the legacy flat root on adoption),
     rewrite into the next ``gen-`` prefix, flip the pointer, delete
-    superseded prefixes.  Crash windows self-heal exactly as in
+    superseded prefixes older than the ``keep_generations`` newest
+    (ageing: a reader that resolved the pointer up to N flips ago
+    still finds its files; ``readers.read_at_generation`` reads a
+    retained prefix back).  Crash windows self-heal exactly as in
     ``_compact_rollup_via_manifest`` (the retry reclaims the orphan
     generation by overwrite; relics are pointer-invisible and deleted
-    by the next run)."""
+    by the next run) — including a crash BEFORE the FIRST flip: the
+    adoption source list excludes gen-* children, so the retry never
+    mixes the orphan prefix into the flat read or its byte sizing.
+    Single-compactor contract: the pointer is re-read after the flip
+    and a lost race aborts before cleanup (manifest.py docstring)."""
     import math
 
     from ultimate_data_engineering_project_spark.sources import manifest
 
     ptr = manifest.read_pointer(spark, path)
-    src = manifest.join(path, ptr["data"]) if ptr else path
     gen = (ptr["generation"] if ptr else 0) + 1
     new_data = f"gen-{gen:06d}"
-    base = spark.read.parquet(src)
-    total = manifest.total_bytes(spark, src)
+    if ptr:
+        src_list = [manifest.join(path, ptr["data"])]
+        base = spark.read.parquet(*src_list)
+    else:
+        # adoption: explicit flat-source list, never the bare root — a
+        # crashed first attempt leaves an orphan gen- dir that a root
+        # read would mix in (conflicting layouts, double-counted bytes)
+        src_list = manifest.list_flat_sources(spark, path)
+        if not src_list:
+            raise ValueError(f"no data to adopt under {path!r}")
+        base = spark.read.option("basePath", path).parquet(*src_list)
+    total = sum(manifest.total_bytes(spark, s) for s in src_list)
     n_out = max(1, math.ceil(total / target_file_bytes))
     if partition_by:
         df = base.repartition(n_out, *partition_by)
@@ -220,10 +248,18 @@ def _compact_parquet_via_manifest(
         w = w.partitionBy(*partition_by)
     w.parquet(manifest.join(path, new_data))
     manifest.write_pointer(spark, path, {"data": new_data, "generation": gen})
-    # post-flip cleanup: DELETEs only
-    for name in manifest.list_children(spark, path, "gen-"):
-        if name != new_data:
-            manifest.delete_prefix(spark, path, name)
+    # lost-race check BEFORE cleanup: a losing concurrent compactor
+    # must never delete the winner's state
+    manifest.verify_pointer_generation(spark, path, gen)
+    # post-flip cleanup: DELETEs only; age out generations older than
+    # the keep_generations newest superseded ones
+    superseded = sorted(
+        n for n in manifest.list_children(spark, path, "gen-")
+        if n != new_data
+    )
+    drop = superseded[: len(superseded) - keep_generations] if keep_generations else superseded
+    for name in drop:
+        manifest.delete_prefix(spark, path, name)
     if ptr is None:
         manifest.delete_flat_children(spark, path)  # adoption
     return _count_parquet_files(spark, manifest.join(path, new_data))

@@ -1409,7 +1409,11 @@ def run_incremental_rollup_stream(
 
 
 def read_rollup(
-    spark: SparkSession, rollup_dir: str, *, merge_fn=None
+    spark: SparkSession,
+    rollup_dir: str,
+    *,
+    merge_fn=None,
+    at_generation: int | None = None,
 ) -> DataFrame:
     """The continuous aggregate's serving view: merge every batch's
     partials into final per-bucket rows (see run_incremental_rollup_
@@ -1425,12 +1429,32 @@ def read_rollup(
     ``merge_fn`` swaps the serving algebra to match the stream's
     ``partials_fn`` — e.g. ``lambda p: aggregates.hist_quantiles(p,
     (50, 95))`` over histogram partials; the default serves the
-    count/sum/min/max rollup state."""
+    count/sum/min/max rollup state.
+
+    ``at_generation=N`` TIME-TRAVELS to a retained fold (compactions
+    run with ``keep_generations>0``): the view is generation N's base
+    prefix ALONE — the aggregate as of that fold point
+    (``folded_through(N)``).  Batches newer than the fold are NOT
+    appended: those at/below the CURRENT fold have been deleted (their
+    state lives on only inside newer bases), so mixing a surviving
+    tail into an old base would serve a state no pointer ever named.
+    Fails loudly with the on-disk generation list when N has been aged
+    out."""
     from ultimate_data_engineering_project_spark.operators import aggregates
     from ultimate_data_engineering_project_spark.sources import manifest
 
     if merge_fn is None:
         merge_fn = aggregates.merge_rollup
+    if at_generation is not None:
+        name = f"gen-{at_generation:06d}"
+        on_disk = manifest.list_children(spark, rollup_dir, "gen-")
+        if name not in on_disk:
+            raise ValueError(
+                f"generation {at_generation} is not on disk under "
+                f"{rollup_dir!r} (available: {on_disk or 'none'}); raise "
+                "keep_generations on compact_rollup to retain more history"
+            )
+        return merge_fn(spark.read.parquet(manifest.join(rollup_dir, name)))
     ptr = manifest.read_pointer(spark, rollup_dir)
     if ptr is None:
         partials = (
@@ -1494,6 +1518,7 @@ def compact_rollup(
     *,
     keep_last: int = 1,
     via_manifest: bool = False,
+    keep_generations: int = 0,
 ) -> int:
     """Bound the continuous aggregate's partials table over an
     unbounded stream: fold every ``batch=<id>`` partition except the
@@ -1524,6 +1549,13 @@ def compact_rollup(
       prefix (the retry rewrites it — generation numbers derive from
       the pointer); a crash after the flip leaves superseded prefixes
       that readers ignore and the next compaction deletes.
+      ``keep_generations=N`` ages superseded gen- prefixes instead
+      (the N newest survive cleanup), closing the in-flight-reader
+      race and enabling ``read_rollup(at_generation=...)`` audit
+      reads; batch partitions at/below the new fold point are still
+      deleted (their state lives on inside every retained base).
+      Single-compactor contract: the pointer is re-read after the
+      flip and a lost race aborts before cleanup (manifest.py).
 
     Returns the number of live partials partitions after compaction
     (folded base + un-folded tail)."""
@@ -1543,7 +1575,14 @@ def compact_rollup(
         )
 
     if via_manifest:
-        return _compact_rollup_via_manifest(spark, rollup_dir, keep_last)
+        return _compact_rollup_via_manifest(
+            spark, rollup_dir, keep_last, keep_generations
+        )
+    if keep_generations:
+        raise ValueError(
+            "keep_generations requires via_manifest=True (the rename-"
+            "swap path has no generation layout to retain)"
+        )
 
     # same local-only guard as sinks.compact_parquet: the swap uses
     # local renames, which on hdfs://s3a:// would fail AFTER the
@@ -1591,7 +1630,10 @@ def compact_rollup(
 
 
 def _compact_rollup_via_manifest(
-    spark: SparkSession, rollup_dir: str, keep_last: int
+    spark: SparkSession,
+    rollup_dir: str,
+    keep_last: int,
+    keep_generations: int = 0,
 ) -> int:
     """Object-store-safe fold (see compact_rollup's docstring): new
     immutable ``gen-NNNNNN`` prefix -> atomic ``_current`` pointer
@@ -1635,11 +1677,24 @@ def _compact_rollup_via_manifest(
         rollup_dir,
         {"base": new_base, "folded_through": folded_ids[-1], "generation": gen},
     )
+    # lost-race check BEFORE cleanup (single-compactor contract): a
+    # losing concurrent compactor must never delete the winner's state
+    manifest.verify_pointer_generation(spark, rollup_dir, gen)
     # post-flip cleanup: DELETEs only (object-store-safe); a crash here
-    # leaves relics that readers ignore and the next run deletes
-    for name in manifest.list_children(spark, rollup_dir, "gen-"):
-        if name != new_base:
-            manifest.delete_prefix(spark, rollup_dir, name)
+    # leaves relics that readers ignore and the next run deletes.  With
+    # keep_generations, the N newest superseded bases survive (ageing +
+    # read_rollup(at_generation=...) audit reads)
+    superseded = sorted(
+        n for n in manifest.list_children(spark, rollup_dir, "gen-")
+        if n != new_base
+    )
+    drop = (
+        superseded[: len(superseded) - keep_generations]
+        if keep_generations
+        else superseded
+    )
+    for name in drop:
+        manifest.delete_prefix(spark, rollup_dir, name)
     for i in ids:
         if i <= folded_ids[-1]:
             manifest.delete_prefix(spark, rollup_dir, f"batch={i}")
