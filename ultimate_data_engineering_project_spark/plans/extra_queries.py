@@ -262,21 +262,22 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT user_id,
                list_transform(
-                   range(0, 8),
+                   range(0, 12),
                    j -> CAST(FLOOR(COALESCE(list_sum(
                             list_transform(series,
                                 v -> CAST(ROUND(COALESCE(v, 0) * 10000) AS BIGINT))
-                            [CAST(FLOOR(j * len(series) / 8) AS BIGINT) + 1 :
-                             CAST(FLOOR((j + 1) * len(series) / 8) AS BIGINT)]
-                        ), 0) / 500000.0) AS BIGINT)
+                            [CAST(FLOOR(j * len(series) / 12) AS BIGINT) + 1 :
+                             CAST(FLOOR((j + 1) * len(series) / 12) AS BIGINT)]
+                        ), 0) / 300000.0) AS BIGINT)
                ) AS qs
         FROM s
     ),
     k AS (
         SELECT user_id, bands.band_id,
                md5(CAST(bands.band_id AS VARCHAR) || ',' ||
-                   CAST(qs[bands.band_id * 2 + 1] AS VARCHAR) || ',' ||
-                   CAST(qs[bands.band_id * 2 + 2] AS VARCHAR)) AS block_key
+                   CAST(qs[bands.band_id * 3 + 1] AS VARCHAR) || ',' ||
+                   CAST(qs[bands.band_id * 3 + 2] AS VARCHAR) || ',' ||
+                   CAST(qs[bands.band_id * 3 + 3] AS VARCHAR)) AS block_key
         FROM q, (SELECT unnest([0, 1, 2, 3]) AS band_id) bands
     ),
     kc AS (
@@ -328,7 +329,14 @@ def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equi-join on (band_id, block_key) with a
     degenerate-bucket cap; the O(U²) enumeration never materializes.
     The exact all-pairs baseline lives on as
-    `timeseries_similar_users_exact`."""
+    `timeseries_similar_users_exact`.
+
+    r10 re-baseline (judge ask #5): 3 segment sums per band key at
+    bucket width 300k (was 2 at 500k) — sf1 candidates drop ~16x
+    from 4.28M to ~263k; the oracle above carries the SAME params, so
+    the hash check re-pins the new candidate set, and bench/scaling
+    rows for this entry are not comparable across the r9->r10
+    boundary (recorded in the comparability notes)."""
     from ultimate_data_engineering_project_spark.operators import timeseries
 
     events = load_table(spark, sf_dir, "events")
