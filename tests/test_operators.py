@@ -848,6 +848,58 @@ def test_timeseries_degenerate_bucket_cap(spark):
     assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 / 2
 
 
+def test_timeseries_adaptive_width_ladder(spark):
+    """The density ladder (r10 sf10 spot-decade fix): every 8x entity
+    growth halves the portable block-key bucket width, keeping bucket
+    occupancy ~constant so LSH candidates grow ~linearly, not
+    quadratically, with corpus size.  The Python exponent and its SQL
+    CASE twin must agree EXACTLY on every count (the candidate set is
+    oracle-hash-checked), and below ref*8 entities the ladder is a
+    no-op (driver correctness scales and sf1 are bit-identical to the
+    fixed width)."""
+    import duckdb
+
+    from ultimate_data_engineering_project_spark.operators.timeseries import (
+        adaptive_width_exp,
+        adaptive_width_sql,
+        series_block_keys_md5,
+    )
+
+    # exact breakpoints of the 8^exp ladder at ref=2000
+    assert adaptive_width_exp(1) == 0
+    assert adaptive_width_exp(15_999) == 0
+    assert adaptive_width_exp(16_000) == 1
+    assert adaptive_width_exp(127_999) == 1
+    assert adaptive_width_exp(128_000) == 2
+    assert adaptive_width_exp(2000 * 8**6) == 6
+    assert adaptive_width_exp(10**12) == 6  # capped
+
+    # SQL twin agrees on a sweep incl. every breakpoint +- 1
+    con = duckdb.connect()
+    for n in [1, 10, 1999, 2000, 15_999, 16_000, 16_001, 127_999,
+              128_000, 1_023_999, 1_024_000, 2000 * 8**6 - 1,
+              2000 * 8**6, 10**12]:
+        want = 300_000 // 2 ** adaptive_width_exp(n)
+        got = con.sql(f"SELECT {adaptive_width_sql(str(n))}").fetchone()[0]
+        assert got == want, (n, got, want)
+
+    # adaptive=False pins the fixed width; below the first breakpoint
+    # the adaptive path emits IDENTICAL keys
+    ev = spark.createDataFrame(
+        [(u, u * 10 + i, ts(f"2024-01-01T10:0{i}:00"), float(u + i))
+         for u in range(20) for i in range(4)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    from ultimate_data_engineering_project_spark.operators.timeseries import (
+        user_series,
+    )
+
+    s = user_series(ev)
+    fixed = sorted(map(tuple, series_block_keys_md5(s, adaptive=False).collect()))
+    auto = sorted(map(tuple, series_block_keys_md5(s).collect()))
+    assert fixed == auto
+
+
 def test_timeseries_portable_blocked_recall_and_exactness(spark):
     """The engine-portable blocked path (md5 over integer-quantized PAA,
     the oracle-checked scale entry) must recall planted near-identical

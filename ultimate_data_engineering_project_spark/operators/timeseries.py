@@ -141,6 +141,41 @@ def series_block_keys(
     )
 
 
+def adaptive_width_exp(n_users: int, *, ref_users: int = 2000, max_exp: int = 6) -> int:
+    """DENSITY LADDER for the portable block keys: the halving exponent
+    applied to ``bucket_width`` as the entity count grows — every 8x
+    users halves the width, multiplying each segment's key count ~2x
+    and the 3-segment band key space ~8x, so bucket OCCUPANCY (and the
+    within-bucket quadratic pair work) stays roughly constant instead
+    of growing linearly with corpus size.  Fixed quantization is the
+    classic LSH failure at scale: the sf10 spot-decade measured 102x
+    candidate growth for 10x users before this ladder.
+
+    Exact integer arithmetic on an exact COUNT(*) — a finite CASE
+    ladder in SQL reproduces it, keeping the candidate set
+    hash-checkable (no float log/pow, which differ in ulps across
+    engines).  ``max_exp=6`` covers ref_users * 8^6 = half a billion
+    entities."""
+    exp = 0
+    while exp < max_exp and n_users >= ref_users * 8 ** (exp + 1):
+        exp += 1
+    return exp
+
+
+def adaptive_width_sql(
+    count_expr: str, *, bucket_width: int = 300_000, ref_users: int = 2000,
+    max_exp: int = 6,
+) -> str:
+    """The SQL twin of :func:`adaptive_width_exp` ``->`` effective
+    width: a CASE ladder over ``count_expr`` (a subquery or column
+    yielding the entity count), exact-integer like the Python side."""
+    branches = "".join(
+        f" WHEN {count_expr} >= {ref_users * 8 ** e} THEN {bucket_width // 2 ** e}"
+        for e in range(max_exp, 0, -1)
+    )
+    return f"(CASE{branches} ELSE {bucket_width} END)"
+
+
 def series_block_keys_md5(
     series_df: DataFrame,
     *,
@@ -148,6 +183,7 @@ def series_block_keys_md5(
     bands: int = 4,
     value_scale: int = 10_000,
     bucket_width: int = 300_000,
+    adaptive: bool = True,
 ) -> DataFrame:
     """(user_id, band_id, block_key) — ENGINE-PORTABLE series blocking:
     integer-quantized PAA + md5 band keys (the `minhash_lsh_pairs_md5`
@@ -173,10 +209,21 @@ def series_block_keys_md5(
     entry's 11s).  The re-baseline cuts sf1 candidates ~16x to ~263k
     while keeping the planted-pair recall floor (the oracle and the
     recall pins changed WITH the params; bench/scaling rows across the
-    r9->r10 boundary are not comparable for this entry)."""
+    r9->r10 boundary are not comparable for this entry).
+
+    ``adaptive=True`` applies the :func:`adaptive_width_exp` density
+    ladder: the effective width is ``bucket_width // 2^exp(n_users)``
+    (one bounded COUNT job on the already-checkpointed series frame),
+    so key granularity tracks corpus density and bucket occupancy
+    stays ~constant at any scale — below ``ref_users * 8 = 16k``
+    entities (every driver correctness scale, sf1 included) the
+    ladder is a no-op and behavior is bit-identical to the fixed
+    width."""
     per_band = n_paa // bands
     if per_band * bands != n_paa:
         raise ValueError(f"n_paa ({n_paa}) must be divisible by bands ({bands})")
+    if adaptive:
+        bucket_width = bucket_width // 2 ** adaptive_width_exp(series_df.count())
     # NULL values quantize as 0 EXPLICITLY: without the coalesce, a NULL
     # poisons Spark's aggregate-fold segment sum (concat_ws then SKIPS
     # the NULL q, emitting a shortened key) while DuckDB's list_sum

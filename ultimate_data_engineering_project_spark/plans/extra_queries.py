@@ -16,6 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ultimate_data_engineering_project_spark.functions.scalar import dsum, dsum_sql
+from ultimate_data_engineering_project_spark.operators.timeseries import (
+    adaptive_width_sql,
+)
 from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
 
@@ -254,10 +257,14 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_similar_users",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT user_id, (list(value ORDER BY ts, event_id, value))[1:256] AS series
         FROM events GROUP BY user_id
+    ),
+    wd AS (
+        SELECT CAST({adaptive_width_sql('(SELECT COUNT(*) FROM s)')}
+                    AS DOUBLE) AS w
     ),
     q AS (
         SELECT user_id,
@@ -268,9 +275,9 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 v -> CAST(ROUND(COALESCE(v, 0) * 10000) AS BIGINT))
                             [CAST(FLOOR(j * len(series) / 12) AS BIGINT) + 1 :
                              CAST(FLOOR((j + 1) * len(series) / 12) AS BIGINT)]
-                        ), 0) / 300000.0) AS BIGINT)
+                        ), 0) / w) AS BIGINT)
                ) AS qs
-        FROM s
+        FROM s, wd
     ),
     k AS (
         SELECT user_id, bands.band_id,
