@@ -52,6 +52,8 @@ QUERIES = [
     ("events_rollup_incremental", "continuous aggregate: per-slice mergeable partial aggs unioned, one merge agg — counts/int-sums/min/max only, no raw rows past the first agg"),
     ("docs_search_pipeline", "BM25 candidates; gates SCOPED to 50 ids (broadcast semi-joins before per-doc work); only the gram doc-frequency pass stays corpus-wide"),
     ("docs_bpe_token_freq", "BPE encode: trained vocab frame (checkpointed by the merge loop) exploded + weighted count — vocabulary cardinality only"),
+    ("running_total_by_customer_chunked", "skew-safe chunked-prefix-sum ledger: phase-1 running sum windows on (customer, 90-day chunk) so no partition holds a hot key's full history; the chunk-total summary (map-side-combined groupBy on the SAME partitioning) feeds a tiny per-key offset window; offsets join back on (key, chunk)"),
+    ("fakestream_ledger_chunked", "the signed-leg ledger through the same chunked recomposition: transfer legs unioned map-side, then the three-stage chunk plan — bit-equal to the single-window ledger by the shared oracle"),
 ]
 
 
