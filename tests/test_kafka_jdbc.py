@@ -360,11 +360,27 @@ def test_avro_logical_types_fail_loudly():
     # the int64 boundary itself still decodes (min long = zigzag all-1s)
     v, _ = avro_py._read_long(bytes([0xFF] * 9 + [0x01]), 0)
     assert v == -(2**63)
-    with pytest.raises(ValueError, match="logical"):
-        avro_py.parse_flat_schema(
+    # r10: UNSUPPORTED logical types follow the Avro spec's ignore
+    # rule — decode as the underlying wire type, never a plan-time
+    # wall.  This is what makes real Debezium topics decodable: the
+    # default temporal mode annotates plain int/long wires with
+    # CUSTOM io.debezium.time.* names.
+    for lt, wire, spark_t in (
+        ("time-micros", "long", "bigint"),
+        ("io.debezium.time.MicroTimestamp", "long", "bigint"),
+        ("io.debezium.time.Date", "int", "int"),
+        ("io.debezium.time.ZonedTimestamp", "string", "string"),
+    ):
+        f2 = avro_py.parse_flat_schema(
             '{"type":"record","name":"t","fields":[{"name":"x",'
-            '"type":{"type":"long","logicalType":"time-micros"}}]}'
+            f'"type":{{"type":"{wire}","logicalType":"{lt}"}}}}]}}'
         )
+        assert avro_py.spark_schema_for(f2)["x"].dataType.simpleString() == spark_t
+        if wire == "long":
+            assert avro_py.decode_record(b"\x06", f2) == (3,)
+    # KNOWN logical names with an invalid wire pairing still refuse at
+    # plan time (documented spec deviation: a malformed decimal is a
+    # producer bug, and a loud error beats retyping money as bytes)
     with pytest.raises(ValueError, match="decimal"):
         avro_py.parse_flat_schema(
             '{"type":"record","name":"t","fields":[{"name":"x",'

@@ -30,7 +30,10 @@ header/attribute bags), the ``uuid`` string annotation, and the
 logical types Debezium emits for the reference's own column types
 (reference schemas.py:37,53 Numeric(15,2) -> ``bytes``+``decimal``;
 :59-60 DateTime -> ``long``+``timestamp-micros``/``millis``; Date ->
-``int``+``date``).
+``int``+``date``).  Unknown logical names follow the Avro spec's
+IGNORE rule — decode as the underlying wire type — which is what
+makes Debezium's default temporal mode decodable (it annotates plain
+int/long wires with custom ``io.debezium.time.*`` names).
 
 Remaining out-of-scope, loud at plan time: single-branch union
 wrappers, schema EVOLUTION of enum/fixed/union-typed or container
@@ -148,9 +151,23 @@ def _logical_name(ftype: dict, field_name: str) -> str:
             )
         return "string"
     if logical is not None:
+        # Avro spec (Logical Types): an unknown logical type MUST be
+        # IGNORED and the underlying type used.  This is load-bearing
+        # for real Debezium topics: the default temporal mode
+        # (time.precision.mode=adaptive) annotates plain int/long
+        # wires with CUSTOM names (io.debezium.time.MicroTimestamp,
+        # .Date, .ZonedTimestamp, ...) rather than standard Avro
+        # logical types — those columns decode as their wire integers
+        # exactly as the Kafka Connect consumer sees them.  KNOWN
+        # names with invalid parameters (handled above) still fail
+        # loudly — a deliberate spec deviation, documented: a
+        # malformed decimal is a producer bug, and a plan-time error
+        # beats silently retyping money columns as raw bytes.
+        if isinstance(prim, str) and prim in _PRIMITIVES:
+            return prim
         raise ValueError(
-            f"field {field_name!r}: unsupported logical type {logical!r} "
-            "(use spark-avro)"
+            f"field {field_name!r}: logical type {logical!r} rides an "
+            f"unsupported wire type {prim!r} (use spark-avro)"
         )
     # a dict with no logicalType is just an inline type declaration
     if isinstance(prim, str) and prim in _PRIMITIVES:
