@@ -1536,6 +1536,61 @@ def test_boilerplate_ngrams_planted(spark):
     assert not out[4]["is_boilerplate"]
 
 
+def test_rare_gram_gate_planted(spark):
+    """The gibberish gate (r10, X4): a doc of never-repeated random
+    bigrams is flagged, docs built from corpus-common bigrams are not,
+    a sub-n-token doc reports zero grams, and the corpus-relative
+    threshold uses the same integer ceiling arithmetic as the
+    boilerplate gate.  Brute-forced against a pure-Python count of the
+    same bigrams."""
+    from ultimate_data_engineering_project_spark.operators import text as T
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(6)]          # 6 identical docs
+    rows.append((6, "zxq wvu tsr qpo nml kji hgf"))  # unique bigrams
+    rows.append((7, f"{common} zxq wvu"))            # mixed
+    rows.append((8, "one"))                          # < n tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in T.rare_gram_stats(df, min_count=3, flag_frac=0.5).collect()
+    }
+    assert len(out) == 9
+    # brute force: bigram corpus counts
+    grams = {}
+    docs = dict(rows)
+    per_doc = {}
+    for did, t in docs.items():
+        tv = t.split(" ")
+        gs = [f"{a} {b}" for a, b in zip(tv, tv[1:])]
+        per_doc[did] = gs
+        for g in gs:
+            grams[g] = grams.get(g, 0) + 1
+    for did, gs in per_doc.items():
+        n_rare = sum(1 for g in gs if grams[g] < 3)
+        assert out[did]["n_grams"] == len(gs), did
+        assert out[did]["n_rare"] == n_rare, did
+        want = round(n_rare / len(gs), 6) if gs else 0.0
+        assert out[did]["rare_frac"] == want, did
+        assert out[did]["is_gibberish"] == (want >= 0.5 if gs else False), did
+    assert out[6]["is_gibberish"] and not out[0]["is_gibberish"]
+    assert out[8]["n_grams"] == 0 and out[8]["rare_frac"] == 0.0
+
+    # corpus-relative threshold: 9 docs at 5000-per-10k -> ceil(4.5)=5,
+    # so bigrams seen 6 times (the common doc's) stay common but any
+    # 4-or-fewer gram flips rare — doc 7's `dog zxq` bridge included
+    rel = {
+        r["doc_id"]: r
+        for r in T.rare_gram_stats(
+            df, min_count=3, min_count_per_10k_docs=5000, flag_frac=0.5
+        ).collect()
+    }
+    for did, gs in per_doc.items():
+        n_rare = sum(1 for g in gs if grams[g] < max(3, -(-9 * 5000 // 10000)))
+        assert rel[did]["n_rare"] == n_rare, did
+
+
 def test_boilerplate_ngrams_relative_threshold(spark):
     """min_docs_per_10k makes the frequent-gram threshold scale with
     the corpus: a footer shared by 3 of 5 docs clears the absolute

@@ -137,6 +137,10 @@ NESTED_LOOP_ALLOWED = {
     # the curated-retrieval flagship inherits bm25_topk's 1-row corpus
     # stats broadcast (verified: the ONLY nested loop in its plan)
     "docs_search_pipeline",
+    # r10 gibberish gate: the corpus-relative threshold is a 1-ROW
+    # corpus-count broadcast crossJoin (scalar-subquery family, same
+    # as the boilerplate gate's relative form)
+    "docs_rare_gram_gate",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep

@@ -1563,6 +1563,57 @@ def test_incremental_hist_rollup_stream_and_compaction(spark, sf_dir, tmp_path):
     assert rows(read_rollup(spark, rollup_dir, merge_fn=serve)) == want2
 
 
+def test_hist_rollup_time_travel(spark, sf_dir, tmp_path):
+    """Time travel serves the PERCENTILE face too: with histogram
+    partials in the same batch=<id> layout, read_rollup(at_generation=
+    N, merge_fn=hist_quantiles) returns the quantiles AS OF generation
+    N's fold — proving the generation machinery is state-agnostic
+    (the fold algebra auto-detects the count-per-bin layout)."""
+    import functools
+
+    from ultimate_data_engineering_project_spark.operators import aggregates
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        compact_rollup,
+        read_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    slices = [
+        events.where(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4)) == i
+        )
+        for i in range(4)
+    ]
+    rollup_dir = str(tmp_path / "hist_tt")
+    for i in range(3):
+        aggregates.hist_partials(slices[i]).write.parquet(
+            rollup_dir + f"/batch={i}"
+        )
+    serve = functools.partial(aggregates.hist_quantiles, qs=(50, 95))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    def direct(n):
+        df = slices[0]
+        for s in slices[1:n]:
+            df = df.unionByName(s)
+        return rows(serve(aggregates.hist_partials(df)))
+
+    # gen1 folds batches 0-1 (keep_last=1); then batch 3 arrives and
+    # gen2 folds through batch 2
+    compact_rollup(spark, rollup_dir, via_manifest=True, keep_generations=2)
+    aggregates.hist_partials(slices[3]).write.parquet(rollup_dir + "/batch=3")
+    compact_rollup(spark, rollup_dir, via_manifest=True, keep_generations=2)
+
+    assert rows(read_rollup(spark, rollup_dir, merge_fn=serve,
+                            at_generation=1)) == direct(2)
+    assert rows(read_rollup(spark, rollup_dir, merge_fn=serve,
+                            at_generation=2)) == direct(3)
+    assert rows(read_rollup(spark, rollup_dir, merge_fn=serve)) == direct(4)
+
+
 def test_compact_rollup_generation_ageing_time_travel(spark, sf_dir, tmp_path):
     """r10 judge ask #4, rollup face: ``keep_generations`` retains the
     N newest superseded folded bases, ``read_rollup(at_generation=N)``

@@ -583,6 +583,101 @@ def boilerplate_ngrams(
     )
 
 
+def rare_gram_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 3,
+    min_count_per_10k_docs: int | None = None,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document RARE-n-gram ratio — the gibberish gate, and the
+    INVERSE of :func:`boilerplate_ngrams`: an n-gram whose total
+    CORPUS occurrence count falls below the threshold is "rare", and a
+    document made mostly of never-seen grams is OCR noise, mixed
+    encodings, or generated junk.  This is the integer-exact analog of
+    the CCNet/Gopher LM-perplexity quality gate: instead of a KenLM
+    log-probability (float, model-file-bound, not oracle-checkable),
+    score how much of each document the corpus itself has (almost)
+    never seen — the corpus IS the language model, at n-gram
+    granularity, and every quantity is a BIGINT count so a DuckDB
+    oracle reproduces it hash-for-hash.
+
+    An absolute ``min_count`` weakens as the corpus grows (3
+    occurrences in 500 documents is notable; in 500k it is noise) —
+    ``min_count_per_10k_docs`` makes it corpus-relative exactly like
+    the boilerplate gate: ``threshold = max(min_count,
+    ceil(n_docs * per / 10000))`` in integer arithmetic via a 1-row
+    corpus-count broadcast (the scalar-subquery family; allowlisted
+    1-row cross join).
+
+    Distinct from the sibling gates: ``repetition_stats`` is
+    WITHIN-document repetition, ``boilerplate_ngrams`` is grams TOO
+    COMMON across documents, this is grams TOO RARE anywhere.
+
+    Output: ``(id, n_grams, n_rare, rare_frac, is_gibberish)``; a doc
+    shorter than n tokens has 0 grams and fraction 0.0.
+
+    Scale shape: occurrences explode map-side to md5 gram fingerprints
+    (raw gram text never transits an exchange); corpus counts are one
+    partially-aggregated groupBy(gid); each occurrence rejoins its
+    count by gid EQUI-join (the count frame derives from the same
+    exchange, so AQE reuses it); per-doc totals are one groupBy(id).
+    Nothing is all-pairs; total work is O(total grams)."""
+    tv = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.element_at(
+            F.transform(F.array(tv), lambda t: _grams(t, n)), 1
+        ).alias("__g"),
+    )
+    occ = base.select(id_col, F.explode("__g").alias("__gram")).select(
+        id_col, F.md5(F.col("__gram").cast("binary")).alias("__gid")
+    )
+    counts = occ.groupBy("__gid").agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = occ.join(counts, "__gid")
+    if min_count_per_10k_docs is None:
+        thr = F.lit(min_count).cast("long")
+    else:
+        stats = df.agg(F.count(F.lit(1)).alias("__n_docs")).select(
+            F.greatest(
+                F.lit(min_count).cast("long"),
+                F.expr(
+                    f"(__n_docs * {int(min_count_per_10k_docs)} + 9999) div 10000"
+                ),
+            ).alias("__thr")
+        )
+        joined = joined.crossJoin(F.broadcast(stats))  # 1-row scalar
+        thr = F.col("__thr")
+    per = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__cnt") < thr, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_rare = F.coalesce(F.col("n_rare"), F.lit(0)).cast("long")
+    frac = F.round(
+        F.when(n_grams > 0, n_rare.cast("double") / n_grams).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            n_grams.alias("n_grams"),
+            n_rare.alias("n_rare"),
+            frac.alias("rare_frac"),
+            (frac >= F.lit(flag_frac)).alias("is_gibberish"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

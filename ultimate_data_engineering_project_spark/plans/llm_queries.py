@@ -1963,6 +1963,58 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_rare_gram_gate",
+    oracle="""
+    WITH toks_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, md5(toks[i] || ' ' || toks[i+1]) AS gid
+        FROM toks_t, UNNEST(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    thr_t AS (
+        SELECT GREATEST(CAST(3 AS BIGINT),
+                        ((SELECT COUNT(*) FROM documents) * 20 + 9999)
+                        // 10000) AS thr
+    ),
+    counts AS (SELECT gid, COUNT(*) AS cnt FROM occ GROUP BY gid),
+    per AS (
+        SELECT o.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN c.cnt < t.thr THEN 1 ELSE 0 END) AS n_rare
+        FROM occ o JOIN counts c ON c.gid = o.gid, thr_t t
+        GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_rare, 0) AS BIGINT) AS n_rare,
+           CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN ROUND(CAST(p.n_rare AS DOUBLE) / p.n_grams, 6)
+                ELSE 0.0 END AS rare_frac,
+           CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN ROUND(CAST(p.n_rare AS DOUBLE) / p.n_grams, 6)
+                ELSE 0.0 END >= 0.5 AS is_gibberish
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+)
+def docs_rare_gram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-bigram GIBBERISH gate (X4 — the integer-exact analog of
+    the CCNet/Gopher LM-perplexity quality filter, and the inverse of
+    the boilerplate gate): a bigram whose total corpus occurrence
+    count is under max(3, ceil(0.2% of n_docs)) is rare; each document
+    reports how much of it the corpus has (almost) never seen.  All
+    BIGINT counts, so the DuckDB oracle reproduces the gate
+    hash-for-hash — no model file, no float log-probs.  Shuffles keyed
+    on md5 gram fingerprints / doc ids only (see
+    operators/text.rare_gram_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rare_gram_stats(
+        docs, n=2, min_count=3, min_count_per_10k_docs=20, flag_frac=0.5
+    )
+
+
+@register(
     "bm25_topk_docs",
     oracle="""
     WITH toks_t AS (
