@@ -327,6 +327,80 @@ def test_running_sum_chunked_equals_plain(spark, sf_dir):
         )
 
 
+def test_rolling_sums_chunked_equals_plain(spark, sf_dir):
+    """The skew-safe ROWS-bounded rolling sums (rolling = difference
+    of two chunked prefix sums, lagged prefix fetched by a splittable
+    (key, row-number) equi-join) must be BIT-IDENTICAL to the plain
+    rolling window on (a) real events incl. a 50-row frame with
+    count + sum + sum-of-squares in one pass, (b) an ALL-ONE-KEY hot
+    frame (the shape the operator exists for), and (c) a DECIMAL
+    value (exact dtype round-trip).  Collision and precondition
+    errors stay loud."""
+    import pytest as _pytest
+
+    from pyspark.sql import Window, functions as F
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    plain = ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(cents).over(win).alias("s"),
+        F.sum(cents * cents).over(win).alias("sq"),
+    )
+    got = windows.rolling_sums_chunked(
+        ev, ["event_type"], ["ts", "event_id"],
+        {"s": cents, "sq": cents * cents}, "ts",
+        preceding=49, chunk_seconds=86_400, n_alias="n",
+    ).select("event_id", "n", "s", "sq")
+    assert plain.schema == got.schema
+    assert plain.exceptAll(got).count() + got.exceptAll(plain).count() == 0
+
+    # hot key: EVERY row one partition value — the unsplittable shape
+    hot = ev.withColumn("event_type", F.lit("x"))
+    p2 = hot.select("event_id", F.sum(cents).over(win).alias("s"))
+    c2 = windows.rolling_sums_chunked(
+        hot, ["event_type"], ["ts", "event_id"], {"s": cents}, "ts",
+        preceding=49, chunk_seconds=3600,
+    ).select("event_id", "s")
+    assert p2.exceptAll(c2).count() + c2.exceptAll(p2).count() == 0
+
+    # decimal value keeps the plain window's sum dtype exactly
+    orders = load_table(spark, sf_dir, "orders")
+    val = F.col("o_totalprice").cast("decimal(15,2)")
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    pd_ = orders.select("o_orderkey", F.sum(val).over(w2).alias("r"))
+    cd = windows.rolling_sums_chunked(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"], {"r": val},
+        "o_orderdate", preceding=4, chunk_seconds=30 * 86_400,
+    ).select("o_orderkey", "r")
+    assert pd_.schema == cd.schema
+    assert pd_.exceptAll(cd).count() + cd.exceptAll(pd_).count() == 0
+
+    with _pytest.raises(ValueError, match="collide"):
+        windows.rolling_sums_chunked(
+            ev, ["event_type"], ["ts", "event_id"],
+            {"value": cents}, "ts", preceding=4,
+        )
+    with _pytest.raises(ValueError, match="preceding"):
+        windows.rolling_sums_chunked(
+            ev, ["event_type"], ["ts", "event_id"],
+            {"s": cents}, "ts", preceding=-1,
+        )
+
+
 def test_dedup_keep_latest(spark):
     df = spark.createDataFrame(
         [

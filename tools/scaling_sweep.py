@@ -69,6 +69,11 @@ ENTRIES = [
     # instant, so one (day, event_type) bucket holds 10% of the table)
     "events_rollup_incremental",
     "events_rollup_quantiles",
+    # r10: the ROWS-bounded rolling window's skew-safe twin — the
+    # plain events_value_anomalies (already swept above) serializes
+    # onto FIVE event_type sort-tasks at any scale; the chunked form's
+    # decade should flatten as the splittable joins parallelize
+    "events_value_anomalies_chunked",
 ]
 N_RUNS = 2
 

@@ -195,6 +195,30 @@ def running_sum_chunked(
     key's rows per chunk fit a task."""
     from pyspark.sql import types as T
 
+    return _prefix_sums_chunked(
+        df, partition_keys, order_by, {alias: value}, ts,
+        chunk_seconds=chunk_seconds,
+    )
+
+
+def _prefix_sums_chunked(
+    df: DataFrame,
+    partition_keys: list[str],
+    order_by: list[str],
+    values: dict[str, "Column"],
+    ts: str,
+    *,
+    chunk_seconds: int,
+) -> DataFrame:
+    """Shared chunked-prefix-sum core: append one EXACT running total
+    per named value, all computed in a single (key, chunk) window pass
+    + one chunk-total summary + one (key, chunk) join — see
+    :func:`running_sum_chunked` for the algebra and preconditions.
+    Multi-value so callers needing several prefix sums over the same
+    ordering (the rolling-window recomposition needs count + sum +
+    sum-of-squares) pay the shuffle once, not per value."""
+    from pyspark.sql import types as T
+
     if not order_by or order_by[0] != ts:
         raise ValueError(
             f"ts ({ts!r}) must be the leading order column (got "
@@ -202,13 +226,16 @@ def running_sum_chunked(
             "earlier-ordering column could straddle a chunk boundary "
             "and break the prefix recomposition"
         )
-    vt = df.select(value.alias("__v")).schema[0].dataType
-    if isinstance(vt, T.DecimalType):
-        target: T.DataType = T.DecimalType(min(38, vt.precision + 10), vt.scale)
-    elif isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        target = T.LongType()
-    else:
-        target = vt
+
+    def target_for(value: Column) -> T.DataType:
+        vt = df.select(value.alias("__v")).schema[0].dataType
+        if isinstance(vt, T.DecimalType):
+            return T.DecimalType(min(38, vt.precision + 10), vt.scale)
+        if isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return T.LongType()
+        return vt
+
+    targets = {name: target_for(v) for name, v in values.items()}
     chunk_us = chunk_seconds * 1_000_000
     d = df.withColumn(
         "__chunk", F.expr(f"unix_micros(cast({ts} as timestamp)) div {chunk_us}")
@@ -218,29 +245,129 @@ def running_sum_chunked(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = d.withColumn("__ls", F.sum(value).over(wloc))
-    summ = local.groupBy(*partition_keys, "__chunk").agg(F.sum(value).alias("__tot"))
+    local = d
+    for name, v in values.items():
+        local = local.withColumn(f"__ls_{name}", F.sum(v).over(wloc))
+    summ = local.groupBy(*partition_keys, "__chunk").agg(
+        *[F.sum(v).alias(f"__tot_{name}") for name, v in values.items()]
+    )
     wc = Window.partitionBy(*partition_keys).orderBy("__chunk")
-    # cast the offset to the plain window's sum dtype BEFORE the add:
+    # cast each offset to the plain window's sum dtype BEFORE the add:
     # summing the chunk totals widens precision again (p+20), and a
     # decimal add at that width would trigger Spark's precision-loss
     # scale reduction; the true offset always fits the plain dtype, so
     # this cast is exact and the add stays loss-free.
-    summ = summ.withColumn(
-        "__offset",
-        F.coalesce(
-            F.sum("__tot").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).cast(target),
-    )
-    return (
-        local.join(
-            summ.select(*partition_keys, "__chunk", "__offset"),
-            [*partition_keys, "__chunk"],
+    for name in values:
+        summ = summ.withColumn(
+            f"__off_{name}",
+            F.coalesce(
+                F.sum(f"__tot_{name}").over(
+                    wc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast(targets[name]),
         )
-        .withColumn(alias, (F.col("__offset") + F.col("__ls").cast(target)).cast(target))
-        .select(*df.columns, alias)
+    out = local.join(
+        summ.select(
+            *partition_keys, "__chunk", *[f"__off_{n}" for n in values]
+        ),
+        [*partition_keys, "__chunk"],
     )
+    for name in values:
+        out = out.withColumn(
+            name,
+            (
+                F.col(f"__off_{name}") + F.col(f"__ls_{name}").cast(targets[name])
+            ).cast(targets[name]),
+        )
+    return out.select(*df.columns, *values.keys())
+
+
+def rolling_sums_chunked(
+    df: DataFrame,
+    partition_keys: list[str],
+    order_by: list[str],
+    values: dict[str, "Column"],
+    ts: str,
+    *,
+    preceding: int,
+    chunk_seconds: int = 7 * 86_400,
+    n_alias: str = "win_n",
+) -> DataFrame:
+    """Skew-safe ROWS-bounded rolling sums — bit-identical (exact
+    types) to ``F.sum(v).over(partitionBy(keys).orderBy(...)
+    .rowsBetween(-preceding, 0))``, but NO window partition ever holds
+    one key's full history.
+
+    A plain rolling window has the worst hot-key shape of all: a
+    low-cardinality key (five event types over a 100 TB stream) makes
+    a handful of unsplittable sort-tasks carry the whole table, and no
+    salting, AQE, or chunk-halo trick splits a window partition.  The
+    recomposition here is prefix-sum algebra instead: a rolling sum
+    over the trailing W rows is the DIFFERENCE of two running totals,
+
+        rolling(v)[i] = S_v(i) - S_v(i - W),
+
+    and running totals are exactly what :func:`running_sum_chunked`
+    already computes skew-safely.  Concretely:
+
+    1. one chunked pass appends a per-key ROW NUMBER (the prefix sum
+       of 1) and the prefix sum of every requested value;
+    2. each row fetches the prefix row W = ``preceding + 1`` positions
+       earlier by a plain EQUI-join on ``(keys, rn - W)`` — splittable
+       by construction (row numbers are unique per key, so it is a
+       1:<=1 join keyed across the whole key x position space);
+    3. ``rolling = prefix - coalesce(prev_prefix, 0)`` and the
+       in-frame row count is ``least(rn, W)`` — both exact integer /
+       decimal arithmetic, so the recomposition is provably equal to
+       the single-window form (and pinned against it by tests and a
+       shared catalog oracle).
+
+    Cost vs the plain window: the self equi-join ships the table once
+    more through a splittable exchange — the price of removing the
+    unsplittable sort.  Appends one column per ``values`` name (the
+    rolling sum over ROWS [-preceding, 0]) plus ``n_alias`` (rows in
+    frame).  DOUBLE values regroup fp addition and are only equal up
+    to ulps — pass exact types when bit-equality matters."""
+    if preceding < 0:
+        raise ValueError(f"preceding must be >= 0, got {preceding}")
+    if n_alias in df.columns or any(n in df.columns for n in values):
+        raise ValueError(
+            "output column names collide with input columns: "
+            f"{[n for n in [n_alias, *values] if n in df.columns]}"
+        )
+    w = preceding + 1
+    pref = _prefix_sums_chunked(
+        df,
+        partition_keys,
+        order_by,
+        {"__rn": F.lit(1).cast("long"), **{f"__S_{n}": v for n, v in values.items()}},
+        ts,
+        chunk_seconds=chunk_seconds,
+    )
+    lagged = pref.select(
+        *partition_keys,
+        F.col("__rn").alias("__rn_lag"),
+        *[F.col(f"__S_{n}").alias(f"__P_{n}") for n in values],
+    )
+    joined = pref.withColumn("__rn_lag", F.col("__rn") - F.lit(w)).join(
+        lagged, [*partition_keys, "__rn_lag"], "left"
+    )
+    prefix_types = dict(pref.dtypes)
+    for n in values:
+        # the difference widens decimal precision by 1; cast back to
+        # the prefix dtype (== the plain rolling window's sum dtype) —
+        # exact, the true rolling sum always fits it
+        joined = joined.withColumn(
+            n,
+            (
+                F.col(f"__S_{n}") - F.coalesce(F.col(f"__P_{n}"), F.lit(0))
+            ).cast(prefix_types[f"__S_{n}"]),
+        )
+    joined = joined.withColumn(
+        n_alias, F.least(F.col("__rn"), F.lit(w).cast("long"))
+    )
+    return joined.select(*df.columns, *values.keys(), n_alias)
 
 
 def rolling(

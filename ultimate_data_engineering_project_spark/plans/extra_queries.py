@@ -722,9 +722,11 @@ def fakestream_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_value_anomalies",
-    oracle="""
+# shared by the plain rolling-window entry and its skew-safe chunked
+# twin — ONE oracle, so the driver's hash check proves the
+# prefix-sum-difference recomposition bit-equal to the single-window
+# rolling frame.
+_ANOMALY_SQL = """
     WITH w AS (
         SELECT event_id, event_type, value,
                CAST(round(value * 100) AS BIGINT) AS cents,
@@ -744,8 +746,24 @@ def fakestream_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n >= 30
       AND abs((cents - CAST(s AS DOUBLE) / n)
               / sqrt((sq - s * s / n) / (n - 1))) > 3
-    """,
-)
+    """
+
+
+def _anomaly_output(w: DataFrame) -> DataFrame:
+    """Shared z-score math over a frame carrying (event_id, event_type,
+    value, cents, n, s, sq) — both anomaly entries end here."""
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("cents") - mean) / F.sqrt(var)
+    return (
+        w.filter(F.col("n") >= 30)
+        .withColumn("zscore", F.round(z, 6))
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+@register("events_value_anomalies", oracle=_ANOMALY_SQL)
 def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection (W3 applied to DQ/fraud — the
     reference's declared monitoring dashboards): each event scored
@@ -774,15 +792,38 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(win).alias("s"),
         F.sum(cents * cents).over(win).alias("sq"),
     )
-    mean = F.col("s").cast("double") / F.col("n")
-    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("cents") - mean) / F.sqrt(var)
-    return (
-        w.filter(F.col("n") >= 30)
-        .withColumn("zscore", F.round(z, 6))
-        .filter(F.abs(z) > 3)
-        .select("event_id", "event_type", "value", "zscore")
+    return _anomaly_output(w)
+
+
+@register("events_value_anomalies_chunked", oracle=_ANOMALY_SQL)
+def events_value_anomalies_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-SAFE rolling z-score (windows.rolling_sums_chunked):
+    the plain form partitions its ROWS(-49,0) window by event_type —
+    FIVE unsplittable sort-tasks carrying the whole table, the worst
+    hot-key shape of all and the one neither salting nor AQE can fix.
+    Here the rolling sums are DIFFERENCES of two chunked prefix sums
+    (rolling = S(i) - S(i-50)), the lagged prefix fetched by a
+    splittable (key, row-number) equi-join.  The oracle is IDENTICAL
+    to events_value_anomalies' — the hash check proves the prefix-sum
+    recomposition bit-equal to the single-window frame (integer cents
+    keep every sum exact under regrouping)."""
+    from ultimate_data_engineering_project_spark.operators import windows
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
+    cents = F.round(F.col("value") * 100).cast("long")
+    rolled = windows.rolling_sums_chunked(
+        ev.select("event_id", "event_type", "value", "ts", cents.alias("cents")),
+        ["event_type"],
+        ["ts", "event_id"],
+        {"s": F.col("cents"), "sq": F.col("cents") * F.col("cents")},
+        "ts",
+        preceding=49,
+        chunk_seconds=6 * 3600,
+        n_alias="n",
+    )
+    return _anomaly_output(rolled)
 
 
 @register(
