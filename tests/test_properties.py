@@ -56,6 +56,63 @@ def test_sessionize_matches_reference(spark, ev, gap):
     assert got == expect
 
 
+rolling_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),       # key
+        st.integers(min_value=0, max_value=7200),    # seconds offset (dups!)
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(
+    rows=rolling_strategy,
+    preceding=st.sampled_from([0, 1, 4]),
+    chunk_seconds=st.sampled_from([60, 600, 3600]),
+)
+@settings(**_SETTINGS)
+def test_rolling_sums_chunked_matches_reference(
+    spark, rows, preceding, chunk_seconds
+):
+    """The chunked rolling recomposition (rolling = difference of two
+    chunked prefix sums + a (key, row-number) equi-join) vs a
+    pure-Python trailing-window fold — hypothesis hunts the edges the
+    fixture misses: duplicate timestamps straddling tiebreaks, frames
+    larger than a key's history, window size 1 (preceding=0), chunk
+    widths from one-row-per-chunk to everything-in-one-chunk, and
+    negative values (signed prefix differences)."""
+    from ultimate_data_engineering_project_spark.operators.windows import (
+        rolling_sums_chunked,
+    )
+
+    data = [
+        Row(k=k, eid=i, ts=BASE + datetime.timedelta(seconds=s), v=v)
+        for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k long, eid long, ts timestamp, v long"
+    )
+    got = {
+        r["eid"]: (r["s"], r["win_n"])
+        for r in rolling_sums_chunked(
+            df, ["k"], ["ts", "eid"], {"s": F.col("v")}, "ts",
+            preceding=preceding, chunk_seconds=chunk_seconds,
+        ).collect()
+    }
+    by_key: dict[int, list] = {}
+    for r in data:
+        by_key.setdefault(r.k, []).append(r)
+    expect = {}
+    for rs in by_key.values():
+        rs.sort(key=lambda r: (r.ts, r.eid))
+        for i, r in enumerate(rs):
+            frame = rs[max(0, i - preceding): i + 1]
+            expect[r.eid] = (sum(x.v for x in frame), len(frame))
+    assert got == expect
+
+
 asof_strategy = st.tuples(
     st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),  # left ts
     st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=15),  # right ts
