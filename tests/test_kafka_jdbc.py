@@ -197,6 +197,11 @@ def test_avro_codec_rejects_bad_schema_and_bytes():
         # spec-violating schemas
         '{"type":"record","name":"t","fields":[{"name":"x","type":["long"]}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":["null","long","long"]}]}',
+        # r10-advice: duplicate UNDERLYING types — a logical type
+        # annotates its base type, and the spec forbids two schemas of
+        # the same type in a union even when annotations differ
+        '{"type":"record","name":"t","fields":[{"name":"x","type":["bytes",{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}]}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":["long",{"type":"long","logicalType":"timestamp-micros"}]}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":["null",["long","string"]]}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"enum","name":"e","symbols":[]}}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":{"type":"enum","name":"e","symbols":["A","A"]}}]}',

@@ -326,6 +326,18 @@ def test_running_sum_chunked_equals_plain(spark, sf_dir):
             "o_orderdate",
         )
 
+    # r10-advice guard: an output alias (or derived temp name)
+    # shadowing an input column must fail loudly, not silently
+    # overwrite via withColumn
+    for bad in ("o_totalprice", "__chunk"):
+        with _pytest.raises(ValueError, match="collide"):
+            windows.running_sum_chunked(
+                orders.withColumn("__chunk", F.lit(1))
+                if bad == "__chunk" else orders,
+                ["o_custkey"], ["o_orderdate", "o_orderkey"], val,
+                "o_orderdate", alias=bad if bad != "__chunk" else "ok",
+            )
+
 
 def test_rolling_sums_chunked_equals_plain(spark, sf_dir):
     """The skew-safe ROWS-bounded rolling sums (rolling = difference

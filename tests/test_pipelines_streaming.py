@@ -1685,6 +1685,60 @@ def test_compact_rollup_generation_ageing_time_travel(spark, sf_dir, tmp_path):
     assert rows(read_rollup(spark, rollup_dir)) == arrived(6)
 
 
+def test_compact_rollup_ageing_rampup_and_orphan(spark, sf_dir, tmp_path):
+    """r10-advice twin of the sinks-side ramp-up test, on the rollup
+    compactor: (a) with ``keep_generations=3`` at the third fold only
+    2 superseded bases exist — a negative slice would delete
+    gen-000001; everything must survive the ramp-up; (b)
+    ``read_rollup(at_generation=)`` refuses a gen- prefix above the
+    pointer (crashed-compactor orphan, never committed)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pytest
+    from ultimate_data_engineering_project_spark.operators import aggregates
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        compact_rollup,
+        read_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    slices = [
+        events.where(
+            F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(6)) == i
+        )
+        for i in range(6)
+    ]
+    rollup_dir = str(tmp_path / "rollup_rampup")
+    for i in range(4):
+        aggregates.rollup_partials(slices[i]).write.parquet(
+            rollup_dir + f"/batch={i}"
+        )
+    # three folds at keep_generations=3: 2 superseded < 3 kept — the
+    # ramp-up window must retain every generation
+    compact_rollup(spark, rollup_dir, via_manifest=True, keep_generations=3)
+    aggregates.rollup_partials(slices[4]).write.parquet(rollup_dir + "/batch=4")
+    compact_rollup(spark, rollup_dir, via_manifest=True, keep_generations=3)
+    aggregates.rollup_partials(slices[5]).write.parquet(rollup_dir + "/batch=5")
+    compact_rollup(spark, rollup_dir, via_manifest=True, keep_generations=3)
+    assert sorted(
+        _os.path.basename(p) for p in _glob.glob(rollup_dir + "/gen-*")
+    ) == ["gen-000001", "gen-000002", "gen-000003"]
+    for g in (1, 2, 3):
+        assert read_rollup(spark, rollup_dir, at_generation=g).count() > 0
+
+    # orphan above the pointer: on disk, never committed — refused
+    aggregates.rollup_partials(slices[0]).write.parquet(
+        rollup_dir + "/gen-000004"
+    )
+    assert _json.load(open(rollup_dir + "/_current"))["generation"] == 3
+    with pytest.raises(ValueError, match="never\\s+committed"):
+        read_rollup(spark, rollup_dir, at_generation=4)
+    assert read_rollup(spark, rollup_dir, at_generation=3).count() > 0
+
+
 def test_compact_rollup_via_manifest(spark, sf_dir, tmp_path):
     """The OBJECT-STORE compaction protocol (r8 judge ask #4), driven
     on the local fs: fold into a new immutable gen- prefix, atomically

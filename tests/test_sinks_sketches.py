@@ -393,6 +393,51 @@ def test_manifest_generation_ageing_and_time_travel(spark, tmp_path):
     assert gens == ["gen-000006"]
 
 
+def test_manifest_ageing_rampup_and_orphan_time_travel(spark, tmp_path):
+    """Two r10-advice windows: (a) ramp-up ageing — with
+    ``keep_generations=3`` at the third compaction only 2 superseded
+    generations exist; a naive ``[: len - keep]`` negative slice would
+    delete gen-000001 in violation of the 'N newest retained' contract,
+    so nothing may be deleted until more than N superseded exist; (b)
+    ``read_at_generation`` must refuse a gen- prefix ABOVE the current
+    pointer (a compactor that crashed between writing its prefix and
+    the flip leaves an orphan that no pointer ever named — time travel
+    to it would serve possibly-torn data)."""
+    import glob
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from ultimate_data_engineering_project_spark.sources.readers import (
+        read_at_generation,
+    )
+    from ultimate_data_engineering_project_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "rampup")
+    spark.range(120).select(F.col("id")).repartition(12).write.parquet(path)
+
+    # three compactions at keep_generations=3: 2 superseded < 3 kept,
+    # so the ramp-up window must retain EVERYTHING
+    for _ in range(3):
+        compact_parquet(spark, path, target_file_bytes=1 << 30,
+                        via_manifest=True, keep_generations=3)
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(path + "/gen-*")
+    ) == ["gen-000001", "gen-000002", "gen-000003"]
+    for g in (1, 2, 3):
+        assert read_at_generation(spark, path, g).count() == 120
+
+    # orphan above the pointer: simulate a crash-before-flip by writing
+    # gen-000004 without flipping the pointer — on disk but refused
+    spark.range(5).write.parquet(path + "/gen-000004")
+    assert json.load(open(path + "/_current"))["generation"] == 3
+    with pytest.raises(ValueError, match="never\\s+committed"):
+        read_at_generation(spark, path, 4)
+    # committed generations still read fine beside the orphan
+    assert read_at_generation(spark, path, 3).count() == 120
+
+
 def test_manifest_adoption_crash_and_writer_race_guard(spark, tmp_path):
     """Two r9-advice windows: (a) a crash AFTER writing gen-000001 but
     BEFORE the first pointer flip leaves an orphan gen- dir beside the

@@ -193,8 +193,6 @@ def running_sum_chunked(
     a (key, chunk) join back.  ``chunk_seconds`` trades summary
     cardinality against residual within-chunk skew — pick it so one
     key's rows per chunk fit a task."""
-    from pyspark.sql import types as T
-
     return _prefix_sums_chunked(
         df, partition_keys, order_by, {alias: value}, ts,
         chunk_seconds=chunk_seconds,
@@ -225,6 +223,17 @@ def _prefix_sums_chunked(
             f"{order_by!r}): the chunk id is derived from ts, so any "
             "earlier-ordering column could straddle a chunk boundary "
             "and break the prefix recomposition"
+        )
+    # loud collision guard (same contract as rolling_sums_chunked):
+    # withColumn silently overwrites, so an output alias or a temp
+    # name shadowing an input column would corrupt results quietly
+    reserved = {"__chunk"}
+    for name in values:
+        reserved.update({name, f"__ls_{name}", f"__tot_{name}", f"__off_{name}"})
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"output/temp column names collide with input columns: {clash}"
         )
 
     def target_for(value: Column) -> T.DataType:
@@ -345,6 +354,14 @@ def rolling_sums_chunked(
         ts,
         chunk_seconds=chunk_seconds,
     )
+    # pref feeds BOTH sides of the self-join below.  If order_by is not
+    # a total order per key, Spark may break ties differently in the
+    # two lazy re-evaluations, assigning a row a different __rn on each
+    # side and silently mispairing a prefix with the wrong lagged
+    # prefix.  Eager localCheckpoint pins ONE materialization that both
+    # sides read (same discipline as _blocked_candidate_pairs in
+    # dedup.py before its self-join).
+    pref = pref.localCheckpoint(eager=True)
     lagged = pref.select(
         *partition_keys,
         F.col("__rn").alias("__rn_lag"),

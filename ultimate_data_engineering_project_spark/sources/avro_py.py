@@ -370,7 +370,12 @@ def _parse_union(branches: list, field_name: str, defined: dict) -> AvroUnion:
     seen: set = set()
     for p in parsed:
         if isinstance(p, str):
-            kind = ("prim", _wire_type(p), p)
+            # keyed by WIRE type only: a logical type annotates its
+            # underlying type, and the spec forbids two schemas of the
+            # same (underlying) type in a union — ['bytes',
+            # bytes+decimal] or ['long', long+timestamp-micros] are
+            # invalid even though the annotations differ
+            kind = ("prim", _wire_type(p))
         elif isinstance(p, AvroArray):
             kind = ("array",)
         elif isinstance(p, AvroMap):

@@ -102,7 +102,11 @@ def read_at_generation(
     read the generation protocol makes nearly free (superseded
     prefixes are immutable; ``keep_generations`` controls how many
     survive cleanup).  Fails loudly with the on-disk generation list
-    when the requested one is absent."""
+    when the requested one is absent, and refuses generations ABOVE
+    the current pointer's: a compactor that crashed between writing
+    its gen- prefix and the pointer flip leaves an orphan, possibly
+    torn, prefix that no pointer ever named — only committed
+    snapshots are time-travel-readable."""
     from ultimate_data_engineering_project_spark.sources import manifest
 
     name = f"gen-{generation:06d}"
@@ -112,6 +116,15 @@ def read_at_generation(
             f"generation {generation} is not on disk under "
             f"{table_dir!r} (available: {on_disk or 'none'}); raise "
             "keep_generations on the compactor to retain more history"
+        )
+    ptr = manifest.read_pointer(spark, table_dir)
+    committed = ptr.get("generation") if ptr else None
+    if committed is None or generation > committed:
+        raise ValueError(
+            f"generation {generation} under {table_dir!r} was never "
+            f"committed (pointer reads {committed!r}): the gen- prefix "
+            "on disk is a crashed compactor's orphan and may be torn; "
+            "only pointer-named snapshots are readable"
         )
     return spark.read.parquet(manifest.join(table_dir, name))
 

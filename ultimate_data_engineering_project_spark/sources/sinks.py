@@ -257,7 +257,11 @@ def _compact_parquet_via_manifest(
         n for n in manifest.list_children(spark, path, "gen-")
         if n != new_data
     )
-    drop = superseded[: len(superseded) - keep_generations] if keep_generations else superseded
+    drop = (
+        superseded[: max(0, len(superseded) - keep_generations)]
+        if keep_generations
+        else superseded
+    )
     for name in drop:
         manifest.delete_prefix(spark, path, name)
     if ptr is None:

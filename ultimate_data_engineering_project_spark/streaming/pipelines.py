@@ -1454,6 +1454,15 @@ def read_rollup(
                 f"{rollup_dir!r} (available: {on_disk or 'none'}); raise "
                 "keep_generations on compact_rollup to retain more history"
             )
+        ptr0 = manifest.read_pointer(spark, rollup_dir)
+        committed = ptr0.get("generation") if ptr0 else None
+        if committed is None or at_generation > committed:
+            raise ValueError(
+                f"generation {at_generation} under {rollup_dir!r} was "
+                f"never committed (pointer reads {committed!r}): the "
+                "gen- prefix is a crashed compactor's orphan and may be "
+                "torn; only pointer-named folds are readable"
+            )
         return merge_fn(spark.read.parquet(manifest.join(rollup_dir, name)))
     ptr = manifest.read_pointer(spark, rollup_dir)
     if ptr is None:
@@ -1689,7 +1698,7 @@ def _compact_rollup_via_manifest(
         if n != new_base
     )
     drop = (
-        superseded[: len(superseded) - keep_generations]
+        superseded[: max(0, len(superseded) - keep_generations)]
         if keep_generations
         else superseded
     )
