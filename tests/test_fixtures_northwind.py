@@ -250,7 +250,7 @@ def test_catalog_priority_prefix_covers_core_surface():
         "flagship_daily_order_volume", "pricing_summary",
         "filter_null_semantics", "json_extract_events",
         "anti_join_customers_without_orders", "set_except_customers",
-        "running_total_by_customer", "scd2_user_event_versions",
+        "scd2_user_event_versions",
         "asof_purchase_prev_click",
         # r5: ann_topk_lsh_int (fully hash-checkable) took the prefix
         # slot approx_sketch_battery held (no_oracle by construction;
@@ -262,7 +262,7 @@ def test_catalog_priority_prefix_covers_core_surface():
         # rollup_order_status_priority moved to overflow, still
         # oracle-checked there)
         "range_join_error_windows", "multimodal_decode_features",
-        "docs_repetition_stats", "source_reputation_stats",
+        "source_reputation_stats",
         "fakestream_ledger_clamped",
         "fakestream_dq_report", "near_dup_pairs_verified",
         "dedup_clusters", "training_mixture_sample",
@@ -298,6 +298,17 @@ def test_catalog_priority_prefix_covers_core_surface():
         # (X4 keeps five prefix entries); all ceded entries stay
         # oracle-checked in overflow + strict parity
         "sessionize_events_salted", "events_rollup_quantiles",
+        # r11 rotations (judge ask #1): the round-10 chunked-window
+        # flagships + the rare-gram gate enter the driver's hash gate.
+        # running_total_by_customer ceded to its chunked twin (SAME
+        # oracle); filter_recent_window ceded to the chunked anomaly
+        # recomposition (filters keep P1-P4 in the prefix);
+        # docs_repetition_stats ceded the X4 quality-gate slot to the
+        # rare-bigram gate.  All ceded entries stay oracle-checked in
+        # overflow + strict parity.
+        "running_total_by_customer_chunked",
+        "events_value_anomalies_chunked",
+        "docs_rare_gram_gate",
     }
     missing = must_have - prefix
     assert not missing, f"core queries fell out of the 50-entry prefix: {missing}"

@@ -77,7 +77,14 @@ _PRIORITY = [
     "pricing_summary",
     "filter_open_orders",
     "filter_null_semantics",
-    "filter_recent_window",
+    # r11: the skew-safe chunked rolling-anomaly recomposition (the
+    # completion of the chunked window family) takes the slot
+    # filter_recent_window held — the filter family keeps P1-P4 via
+    # filter_open_orders + filter_null_semantics, and the anomaly entry
+    # hash-checks against the SAME oracle as its plain-window twin;
+    # filter_recent_window stays oracle-checked in overflow + strict
+    # parity
+    "events_value_anomalies_chunked",
     "join_order_revenue_topk",
     "semi_join_customer_segments",
     "top_fraction_customers",
@@ -94,7 +101,13 @@ _PRIORITY = [
     "json_extract_events",
     "window_ranking_battery",
     # §2.5 windows
-    "running_total_by_customer",
+    # r11: the chunked-prefix-sum running total takes the slot its
+    # plain twin held (the sessionize_events_salted precedent: SAME
+    # DuckDB oracle, bit-identical by construction, strictly harder
+    # plan — the skew-safe form the 100 TB ledger actually runs);
+    # running_total_by_customer stays oracle-checked in overflow +
+    # strict parity
+    "running_total_by_customer_chunked",
     # r8: the executable Avro-decode path (S13, WITH the reference's
     # own decimal/timestamp logical types) takes a prefix slot so the
     # CDC decode is under the driver's own hash gate;
@@ -119,7 +132,13 @@ _PRIORITY = [
     # evidence is the strict-parity tolerance row), while every prefix
     # slot should carry a full hash check.  It moved to overflow below.
     "ann_topk_lsh_int",
-    "docs_repetition_stats",
+    # r11: the rare-bigram gibberish gate (integer-exact LM-perplexity
+    # analog, r10's X4 addition) takes the X4 quality-gate slot
+    # docs_repetition_stats held — X4 keeps five prefix entries
+    # (rare-gram, boilerplate, pii, prep pipeline, BPE);
+    # docs_repetition_stats stays oracle-checked in overflow + strict
+    # parity
+    "docs_rare_gram_gate",
     "multimodal_decode_features",
     # fakestream family, newly hash-checked against frozen fixtures
     "source_reputation_stats",
@@ -170,6 +189,13 @@ _PRIORITY = [
     # stays oracle-checked in overflow + strict parity
     "events_rollup_quantiles",
     # overflow (reached only if the driver budget extends past 50)
+    # r11 ceded entries (each keeps a same-family sibling in the
+    # prefix; running_total and the anomaly twin hash-check the SAME
+    # oracles as their prefix forms)
+    "running_total_by_customer",
+    "filter_recent_window",
+    "docs_repetition_stats",
+    "events_value_anomalies",
     "docs_text_stats",
     "sessionize_events",
     "fakestream_fraud_scores",
