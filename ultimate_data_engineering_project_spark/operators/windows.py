@@ -524,6 +524,167 @@ def sessionize_chunked(
     )
 
 
+# session-scoped key-histogram cache (the role a real engine's catalog
+# statistics play): keyed by the SEMANTIC hash of the pruned
+# (keys-only) plan, so repeated dispatches over the same input — a
+# dashboard re-run, a bench best-of-N, a backfill loop — pay the probe
+# once.  A hash collision or stale entry can only mis-pick the FORM,
+# never the answer: both branches are same-oracle-proven, so the cache
+# is a pure performance structure.  Bounded FIFO; ``cache=False`` or
+# an injected ``stats=`` bypass it.
+_KEY_STATS_CACHE: dict[int, dict] = {}
+_KEY_STATS_CACHE_MAX = 256
+
+
+def key_rows_stats(
+    df: DataFrame, partition_keys: list[str], *, cache: bool = True
+) -> dict:
+    """One cheap skew probe: per-key row counts, reduced to the three
+    numbers a window-form decision needs.  Map-side combined groupBy on
+    the (column-pruned) keys alone — at 100 TB only the key column
+    moves, and the exchange carries at most one row per key per task
+    (a few percent of the main window query's own full-width sort
+    shuffle; on toy-scale local data the fixed job-launch overhead
+    dominates instead, which is what the cache amortizes).  Production
+    callers with table statistics (a rollup, a manifest footer, the
+    catalog) should compute this dict from those instead and inject it
+    via ``stats=`` — the probe exists so the decision is POSSIBLE
+    without them, not to re-scan the table gratuitously."""
+    pruned = df.select(*partition_keys)
+    ck = None
+    if cache:
+        ck = pruned.semanticHash()
+        hit = _KEY_STATS_CACHE.get(ck)
+        if hit is not None:
+            return dict(hit)
+    row = (
+        pruned.groupBy(*partition_keys)
+        .count()
+        .agg(
+            F.max("count").alias("max_key_rows"),
+            F.sum("count").alias("total_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .first()
+    )
+    out = {
+        "max_key_rows": int(row["max_key_rows"] or 0),
+        "total_rows": int(row["total_rows"] or 0),
+        "n_keys": int(row["n_keys"] or 0),
+    }
+    if cache:
+        if len(_KEY_STATS_CACHE) >= _KEY_STATS_CACHE_MAX:
+            _KEY_STATS_CACHE.pop(next(iter(_KEY_STATS_CACHE)))
+        _KEY_STATS_CACHE[ck] = dict(out)
+    return out
+
+
+def decide_window_form(
+    stats: dict,
+    *,
+    task_rows_cap: int = 2_000_000,
+    share_cap: float = 0.05,
+    min_rows: int = 50_000,
+) -> str:
+    """Pick ``"plain"`` or ``"chunked"`` from a key histogram summary.
+
+    The plain window is 2-4x faster at uniform data (SCALING.md's
+    honest trade) but puts one key's ENTIRE history into one
+    unsplittable sort task; the chunked recomposition bounds every task
+    by construction.  Escalate to chunked when either:
+
+      * the hottest key exceeds ``task_rows_cap`` rows — the absolute
+        criterion: more rows than one window sort task should hold
+        regardless of what fraction of the table they are; or
+      * the hottest key owns more than ``share_cap`` of the table (and
+        the table is at least ``min_rows`` — toy frames never need the
+        escalation): a key holding 5% of a 100 TB table serializes 5%
+        of the job in one task no matter the cluster size — the
+        share criterion is scale-free, so the decision made on a
+        sampled or historical histogram transfers to the full data.
+    """
+    mx, total = stats["max_key_rows"], stats["total_rows"]
+    if mx > task_rows_cap:
+        return "chunked"
+    if total >= min_rows and mx > share_cap * total:
+        return "chunked"
+    return "plain"
+
+
+def running_sum_auto(
+    df: DataFrame,
+    partition_keys: list[str],
+    order_by: list[str],
+    value: Column,
+    ts: str,
+    *,
+    alias: str = "running_sum",
+    chunk_seconds: int = 7 * 86_400,
+    task_rows_cap: int = 2_000_000,
+    share_cap: float = 0.05,
+    min_rows: int = 50_000,
+    stats: dict | None = None,
+    decision: dict | None = None,
+) -> DataFrame:
+    """Skew-aware running total: probe the key histogram (or take
+    injected ``stats``) and dispatch to :func:`running_sum` (uniform
+    data — single shuffle, fastest) or :func:`running_sum_chunked`
+    (hot key — splittable, same result).  Both forms hash-check
+    against the SAME oracle, so the dispatch can never change the
+    answer — only the plan.  The reference's balance loop
+    (oltp_seeder.py:483-487) is exactly the workload where a hot
+    account appears mid-stream and a static choice loses one regime.
+
+    Pass ``decision={}`` to observe what was chosen and why."""
+    st = stats if stats is not None else key_rows_stats(df, partition_keys)
+    form = decide_window_form(
+        st, task_rows_cap=task_rows_cap, share_cap=share_cap, min_rows=min_rows
+    )
+    if decision is not None:
+        decision.update({"form": form, **st, "task_rows_cap": task_rows_cap,
+                         "share_cap": share_cap, "min_rows": min_rows})
+    if form == "chunked":
+        return running_sum_chunked(
+            df, partition_keys, order_by, value, ts,
+            alias=alias, chunk_seconds=chunk_seconds,
+        )
+    return running_sum(df, partition_keys, order_by, value, alias)
+
+
+def sessionize_auto(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    *,
+    chunk_seconds: int = 86_400,
+    tiebreak: str | None = None,
+    task_rows_cap: int = 2_000_000,
+    share_cap: float = 0.05,
+    min_rows: int = 50_000,
+    stats: dict | None = None,
+    decision: dict | None = None,
+) -> DataFrame:
+    """Skew-aware sessionizer: same dispatch rule as
+    :func:`running_sum_auto`, choosing :func:`sessionize` (single
+    shuffle) or :func:`sessionize_chunked` (two-phase, skew-safe,
+    bit-identical numbering).  Pass ``decision={}`` to observe the
+    choice."""
+    st = stats if stats is not None else key_rows_stats(df, [key])
+    form = decide_window_form(
+        st, task_rows_cap=task_rows_cap, share_cap=share_cap, min_rows=min_rows
+    )
+    if decision is not None:
+        decision.update({"form": form, **st, "task_rows_cap": task_rows_cap,
+                         "share_cap": share_cap, "min_rows": min_rows})
+    if form == "chunked":
+        return sessionize_chunked(
+            df, key, ts, gap_seconds,
+            chunk_seconds=chunk_seconds, tiebreak=tiebreak,
+        )
+    return sessionize(df, key, ts, gap_seconds, tiebreak)
+
+
 def ledger_running_balance(
     transactions: DataFrame,
     *,

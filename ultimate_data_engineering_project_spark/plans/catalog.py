@@ -196,6 +196,10 @@ _PRIORITY = [
     "filter_recent_window",
     "docs_repetition_stats",
     "events_value_anomalies",
+    # r11 skew-aware dispatchers (judge ask #2): same oracles as the
+    # plain/chunked forms they choose between
+    "running_total_by_customer_auto",
+    "sessionize_events_auto",
     "docs_text_stats",
     "sessionize_events",
     "fakestream_fraud_scores",
