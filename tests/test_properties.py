@@ -520,6 +520,7 @@ _AVRO_PROP_SCHEMA = """
      "logicalType": "decimal", "precision": 12, "scale": 3}},
   {"name": "payload", "type": ["null", "long", "string", "Status"]},
   {"name": "samples", "type": {"type": "array", "items": ["null", "double"]}},
+  {"name": "wrapped", "type": ["double"]},
   {"name": "props", "type": {"type": "map", "values": ["null", "long",
      "string"]}}
 ]}
@@ -585,6 +586,7 @@ _value_rows = st.fixed_dictionaries(
         st.none() | st.floats(allow_nan=False, allow_infinity=False, width=64),
         max_size=6,
     ),
+    wrapped=st.floats(allow_nan=False, allow_infinity=False, width=64),
     props=st.dictionaries(
         st.text(max_size=6),
         st.none()
@@ -597,7 +599,8 @@ _value_rows = st.fixed_dictionaries(
 )
 @settings(max_examples=200, deadline=None)
 def test_avro_codec_roundtrip_property(
-    image, echo, op, tags, attrs, status, checksum, fee, payload, samples, props
+    image, echo, op, tags, attrs, status, checksum, fee, payload, samples,
+    wrapped, props,
 ):
     """decode(encode(x)) == x for the full supported type surface —
     nested null-union records (Debezium's before/after shape), zigzag
@@ -605,8 +608,9 @@ def test_avro_codec_roundtrip_property(
     timestamps, dates, unicode strings, raw bytes, IEEE doubles,
     arrays of records + string-keyed maps (r9), and (r10) enums,
     fixeds (raw and decimal-annotated), multi-type unions (memberN
-    values over long/string/enum branches), nullable array items, and
-    union-typed map values.  Hypothesis hunts the boundary values a
+    values over long/string/enum branches), nullable array items,
+    union-typed map values, and (r11) single-branch union wrappers
+    (the wire keeps the index varint).  Hypothesis hunts the boundary values a
     hand-written table misses (two's-complement byte-length edges,
     10-byte varints, empty strings/bytes, astral-plane unicode, empty
     containers, all-null element runs)."""
@@ -615,10 +619,73 @@ def test_avro_codec_roundtrip_property(
     fields = avro_py.parse_flat_schema(_AVRO_PROP_SCHEMA)
     row = (
         image, echo, op, tags, attrs,
-        status, checksum, fee, payload, samples, props,
+        status, checksum, fee, payload, samples, wrapped, props,
     )
     out = avro_py.decode_record(avro_py.encode_record(row, fields), fields)
     assert out == row
+
+
+_EVO_WRITER = """
+{"type": "record", "name": "r", "fields": [
+  {"name": "id", "type": "long"},
+  {"name": "st", "type": {"type": "enum", "name": "St",
+     "symbols": ["A", "B"]}},
+  {"name": "u", "type": ["null", "long"]},
+  {"name": "m", "type": ["null", "long", "string"]}
+]}
+"""
+# reader: widened enum, reordered+widened unions — every r11
+# evolution case in one schema history
+_EVO_READER = """
+{"type": "record", "name": "r", "fields": [
+  {"name": "id", "type": "long"},
+  {"name": "st", "type": {"type": "enum", "name": "St",
+     "symbols": ["A", "B", "C"]}},
+  {"name": "u", "type": ["string", "null", "long"]},
+  {"name": "m", "type": ["boolean", "null", "string", "long"]},
+  {"name": "region", "type": "string", "default": "emea"}
+]}
+"""
+
+
+@given(
+    ident=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    status=st.sampled_from(["A", "B"]),
+    u=st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    m=st.none()
+    | st.integers(min_value=-(2**63), max_value=2**63 - 1).map(
+        lambda v: {"member0": v}
+    )
+    | st.text(max_size=10).map(lambda s: {"member1": s}),
+)
+@settings(max_examples=120, deadline=None)
+def test_avro_evolution_alignment_property(ident, status, u, m):
+    """r11 evolution fuzz: every value a v1 writer can emit aligns to
+    a reader with a WIDENED enum and WIDENED+REORDERED unions — the
+    enum symbol string survives as-is, the plain nullable union lifts
+    into the reader's memberN struct at the matched branch position,
+    and multi-union member indexes re-map by branch identity.  The
+    writer's own decode is the baseline, so any drift between the
+    aligner's remap tables and the codec's surfacing fails here."""
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    _, writers = avro_py.build_writer_aligners(
+        {1: _EVO_WRITER, 2: _EVO_READER}, _EVO_READER
+    )
+    wf, align = writers[1]
+    got = tuple(align(avro_py.decode_record(
+        avro_py.encode_record((ident, status, u, m), wf), wf
+    )))
+    # reader non-null branch orders: u -> (string, long); m ->
+    # (boolean, string, long)
+    want_u = None if u is None else {"member1": u}
+    if m is None:
+        want_m = None
+    elif "member0" in m:  # writer long -> reader member2
+        want_m = {"member2": m["member0"]}
+    else:  # writer string -> reader member1
+        want_m = {"member1": m["member1"]}
+    assert got == (ident, status, want_u, want_m, "emea")
 
 
 rollup_events_strategy = st.lists(

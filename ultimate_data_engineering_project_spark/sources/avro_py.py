@@ -35,11 +35,18 @@ IGNORE rule — decode as the underlying wire type — which is what
 makes Debezium's default temporal mode decodable (it annotates plain
 int/long wires with custom ``io.debezium.time.*`` names).
 
-Remaining out-of-scope, loud at plan time: single-branch union
-wrappers, schema EVOLUTION of enum/fixed/union-typed or container
-fields (identical layouts align by equality; a changed layout — added
-enum symbols, resized fixed, reordered union — raises per writer at
-plan time, not per row), and non-null field defaults beyond
+Schema EVOLUTION (r11): beyond identical layouts, the aligner accepts
+the Avro resolution rules' name-based cases — enums whose reader
+symbol set widened (Debezium ``ALTER TYPE ... ADD VALUE``; a symbol
+REMOVED from the reader still refuses loudly, the history may carry
+it), unions whose reader branch set is a superset of the writer's
+(reordering included; the surfaced memberN positions re-index to the
+reader's layout), non-union writers against reader unions containing
+their type, and single-branch union wrappers (wire keeps the index
+varint).  Remaining out-of-scope, loud at plan time: resized fixeds,
+changed layouts of a MATCHED union branch (e.g. an enum widened
+INSIDE a multi-type union), evolved container item/value types, type
+promotions (int->long etc.), and non-null field defaults beyond
 primitives.  For those, use the spark-avro package (the
 ``decode_confluent_avro`` path); this codec exists so the CDC
 pipeline is testable and oracle-checkable end to end in environments
@@ -347,16 +354,13 @@ def _register_named(obj, sch: dict, defined: dict) -> None:
 
 
 def _parse_union(branches: list, field_name: str, defined: dict) -> AvroUnion:
-    """A union (any arity) in schema order.  The Avro spec forbids
-    immediately-nested unions and duplicate unnamed types; both would
-    make the positional index ambiguous, so they fail here at plan
-    time."""
-    if len(branches) < 2:
-        raise ValueError(
-            f"field {field_name!r}: single-branch unions are not "
-            f"supported, got {branches!r} (drop the union wrapper "
-            "or use spark-avro)"
-        )
+    """A union (any arity, including the spec-legal single-branch
+    wrapper — its wire still carries the index varint) in schema
+    order.  The Avro spec forbids immediately-nested unions and
+    duplicate unnamed types; both would make the positional index
+    ambiguous, so they fail here at plan time."""
+    if not branches:
+        raise ValueError(f"field {field_name!r}: empty union")
     parsed = []
     for b in branches:
         if isinstance(b, list):
@@ -503,8 +507,14 @@ def _parse_record(sch: dict, defined: dict) -> AvroRecord:
             # any-arity unions: the field keeps the FULL union in
             # schema order (decode/encode index positionally); a
             # single non-null branch surfaces as a plain nullable
-            # field, multiple as the memberN struct
-            branches = _parse_union(ftype, name, defined).branches
+            # field, multiple as the memberN struct.  A SINGLE-branch
+            # union stays wrapped as one AvroUnion branch — its wire
+            # format still carries the index varint, so flattening it
+            # to the bare type would mis-decode by one byte.
+            u = _parse_union(ftype, name, defined)
+            if all(b == "null" for b in u.branches):
+                raise ValueError(f"field {name!r}: bare 'null' type")
+            branches = (u,) if len(u.branches) == 1 else u.branches
         else:
             branches = (_parse_branch(ftype, name, defined),)
         if branches == ("null",):
@@ -723,6 +733,10 @@ def _decode_fields(buf: bytes, pos: int, fields) -> tuple[list, int]:
             vals, pos = _decode_fields(buf, pos, ftype.fields)
             # dicts survive the Arrow object->struct conversion
             out.append({sf.name: v for sf, v in zip(ftype.fields, vals)})
+            continue
+        if isinstance(ftype, AvroUnion):  # single-branch union wrapper
+            val, pos = _decode_union_branches(buf, pos, ftype.branches)
+            out.append(val)
             continue
         val, pos = _decode_value(buf, pos, ftype)
         out.append(val)
@@ -1243,11 +1257,58 @@ def _make_dict_aligner(w_rec: AvroRecord, r_rec: AvroRecord,
     return align
 
 
+def _branch_key(b):
+    """Union-branch identity for cross-version matching (the Avro
+    resolution rules match named types by NAME, unnamed by type):
+    record/enum/fixed key on (kind, name), containers on kind, and
+    primitives/logicals on their parsed form."""
+    if isinstance(b, AvroRecord):
+        return ("record", b.name)
+    if isinstance(b, AvroEnum):
+        return ("enum", b.name)
+    if isinstance(b, AvroFixed):
+        return ("fixed", b.name)
+    if isinstance(b, AvroArray):
+        return ("array",)
+    if isinstance(b, AvroMap):
+        return ("map",)
+    return ("prim", b)
+
+
+def _union_view(branches: tuple) -> tuple:
+    """Normalize a field's branch tuple to union semantics: the full
+    branch tuple (single-branch wrappers unwrapped — their wire-side
+    index is the WRITER decoder's concern, not the aligner's) and the
+    non-null branches in schema order.  A plain field is the 1-branch
+    view, which is exactly how the spec's resolution rules treat a
+    non-union schema against a union."""
+    if len(branches) == 1 and isinstance(branches[0], AvroUnion):
+        branches = branches[0].branches
+    return branches, tuple(b for b in branches if b != "null")
+
+
 def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
                 *, key):
     """Resolution plan for one shared field (writer wf -> reader rf):
-    ("copy", key, source) when layouts agree, ("map", key,
-    (source, sub_aligner)) when the nested record evolved."""
+    ("copy", key, source) when the SURFACED value is already valid for
+    the reader, ("map", key, (source, fn)) when it needs reshaping —
+    a nested record that evolved, or a union whose member positions
+    moved.  Evolution accepted per the Avro resolution rules:
+
+      * enums align by NAME with the writer's symbols a subset of the
+        reader's (Debezium ``ALTER TYPE ... ADD VALUE``); a symbol
+        REMOVED from the reader still refuses loudly — the writer's
+        history may contain it;
+      * unions align by branch name-set: the reader's branches must be
+        a superset of the writer's (reordering included), each matched
+        branch layout-identical; the surfaced plain value / memberN
+        dict is re-indexed to the reader's member positions;
+      * a non-union writer resolves against a reader union containing
+        its type (and vice versa for single-branch wrappers).
+
+    Still refused: resized fixeds, changed layouts of a MATCHED union
+    branch (an enum widened inside a multi-type union), and evolved
+    container item/value types — identical layouts only."""
     wb, rb = wf.value_type, rf.value_type
     if wf.branches == rf.branches or (
         wf.branches == (rb,) and rf.nullable
@@ -1264,6 +1325,69 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
             wb, rb, sub_raw, raw_defs, sid, where + "."
         )
         return ("map", key, (key, sub))
+    w_all, w_nn = _union_view(wf.branches)
+    r_all, r_nn = _union_view(rf.branches)
+    if w_nn and r_nn:
+        if "null" in w_all and "null" not in r_all:
+            raise ValueError(
+                f"writer schema {sid}: field {where!r} is nullable in the "
+                "writer but required in the reader"
+            )
+        # enum evolution: writer symbols (by name) within the reader's
+        if (
+            len(w_nn) == 1 and len(r_nn) == 1
+            and isinstance(w_nn[0], AvroEnum) and isinstance(r_nn[0], AvroEnum)
+        ):
+            we, re_ = w_nn[0], r_nn[0]
+            if we.name == re_.name and set(we.symbols) <= set(re_.symbols):
+                return ("copy", key, key)  # symbol strings stay valid
+            raise ValueError(
+                f"writer schema {sid}: field {where!r} enum mismatch — "
+                f"writer {we.name!r} symbols {we.symbols!r} are not a "
+                f"subset of reader {re_.name!r} symbols {re_.symbols!r} "
+                "(a symbol removed from the reader refuses: the topic "
+                "history may still carry it)"
+            )
+        # union evolution: reader branch set superset of the writer's
+        r_pos = {}
+        for j, b in enumerate(r_nn):
+            r_pos.setdefault(_branch_key(b), (j, b))
+        remap = {}
+        for k, b in enumerate(w_nn):
+            ent = r_pos.get(_branch_key(b))
+            if ent is None:
+                raise ValueError(
+                    f"writer schema {sid}: field {where!r} type mismatch "
+                    f"— writer union branch {b!r} is absent from the "
+                    f"reader union {r_nn!r}"
+                )
+            j, rb2 = ent
+            if b != rb2:
+                raise ValueError(
+                    f"writer schema {sid}: field {where!r} type mismatch "
+                    f"— matched union branch changed layout "
+                    f"({b!r} vs {rb2!r}); identical layouts only"
+                )
+            remap[k] = j
+        if len(w_nn) == 1 and len(r_nn) == 1:
+            return ("copy", key, key)  # reorder / wrapper only
+        if len(w_nn) == 1:
+            j = remap[0]
+
+            def lift(v, _j=j):
+                return None if v is None else {f"member{_j}": v}
+
+            return ("map", key, (key, lift))
+        if all(k == j for k, j in remap.items()):
+            return ("copy", key, key)
+        names = {f"member{k}": f"member{j}" for k, j in remap.items()}
+
+        def reindex(d, _names=names):
+            if d is None:
+                return None
+            return {_names[k]: v for k, v in d.items()}
+
+        return ("map", key, (key, reindex))
     raise ValueError(
         f"writer schema {sid}: field {where!r} type mismatch "
         f"({wf.branches!r} vs {rf.branches!r})"
