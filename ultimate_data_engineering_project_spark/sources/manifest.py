@@ -208,6 +208,16 @@ def list_flat_sources(spark, table_dir: str) -> list[str]:
     )
 
 
+class ManifestRaceError(RuntimeError):
+    """A compactor lost a pointer race: another writer flipped the
+    table past this compaction's generation.  Carries the fresh
+    generation so the loser can retry from the winner's state."""
+
+    def __init__(self, message: str, *, seen):
+        super().__init__(message)
+        self.seen = seen
+
+
 def verify_pointer_generation(spark, table_dir: str, generation: int) -> None:
     """Best-effort lost-race detection for the single-compactor
     contract: re-read the pointer and fail loudly if another writer
@@ -215,16 +225,19 @@ def verify_pointer_generation(spark, table_dir: str, generation: int) -> None:
     atomic but not compare-and-swap, so this detects a lost race
     after the fact rather than preventing it).  Called by the
     compactors between their flip and their cleanup, so a losing
-    compactor never deletes the winner's state."""
+    compactor never deletes the winner's state; with
+    ``race_retries>0`` the compactors catch the
+    :class:`ManifestRaceError` and re-run from the fresh pointer."""
     ptr = read_pointer(spark, table_dir)
     got = ptr.get("generation") if ptr else None
     if got != generation:
-        raise RuntimeError(
+        raise ManifestRaceError(
             f"manifest pointer race on {table_dir!r}: this compaction "
             f"flipped to generation {generation} but the pointer now "
             f"reads {got!r} — another compactor is running against the "
             "single-writer contract; aborting before cleanup so the "
-            "winner's state is not deleted"
+            "winner's state is not deleted",
+            seen=got,
         )
 
 

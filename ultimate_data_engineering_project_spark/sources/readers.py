@@ -129,6 +129,43 @@ def read_at_generation(
     return spark.read.parquet(manifest.join(table_dir, name))
 
 
+def snapshot_tables(
+    spark: SparkSession, table_dirs: dict[str, str]
+) -> tuple[dict[str, DataFrame], dict[str, int | None]]:
+    """Cross-table CONSISTENT snapshot: resolve every table's pointer
+    ONCE, up front, and serve each DataFrame from its pinned immutable
+    ``gen-`` prefix — a compactor flipping any table mid-read cannot
+    tear the set (each prefix is write-once; with
+    ``keep_generations>=1`` on the compactors the pinned prefixes also
+    survive the flip's cleanup, the in-flight-reader guarantee the
+    ageing feature exists for).
+
+    Returns ``(frames, generations)``: ``frames[name]`` reads the
+    pinned prefix (NOT the live pointer — re-resolving per access is
+    exactly the tear this function exists to prevent), and
+    ``generations[name]`` records the pinned generation for audit /
+    ``read_at_generation`` replays.  A table with no pointer (legacy
+    flat layout) reads the root and pins ``None`` — flat layouts are
+    mutated in place and cannot be pinned; adopt them via
+    ``compact_parquet(via_manifest=True)`` first for full snapshot
+    isolation."""
+    from ultimate_data_engineering_project_spark.sources import manifest
+
+    frames: dict[str, DataFrame] = {}
+    gens: dict[str, int | None] = {}
+    for name, table_dir in table_dirs.items():
+        ptr = manifest.read_pointer(spark, table_dir)
+        if ptr is None:
+            frames[name] = spark.read.parquet(table_dir)
+            gens[name] = None
+        else:
+            frames[name] = spark.read.parquet(
+                manifest.join(table_dir, ptr["data"])
+            )
+            gens[name] = ptr["generation"]
+    return frames, gens
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> None:
     """Register fixtures as temp views so ``spark.sql`` works directly
     (the engine's equivalent of the reference's always-on Postgres

@@ -70,6 +70,7 @@ def compact_parquet(
     sort_within_by: list[str] | None = None,
     via_manifest: bool = False,
     keep_generations: int = 0,
+    race_retries: int = 0,
 ) -> int:
     """Compact a parquet directory's small files to ~``target_file_bytes``
     outputs; returns the number of files written.
@@ -107,6 +108,12 @@ def compact_parquet(
     retained, closing the in-flight-reader race (a reader that
     resolved the pointer up to N flips ago still finds its files) and
     enabling time travel via ``readers.read_at_generation``.
+    ``race_retries=N`` softens the single-compactor contract: a
+    compaction that LOSES a pointer race (detected by the post-flip
+    re-read) re-runs from the winner's fresh state up to N times
+    instead of aborting — both writers complete, the loser's orphan
+    prefixes stay pointer-invisible and age out under the normal
+    keep_generations cleanup.
 
     Input bytes are read from the filesystem listing, not estimated
     from row counts, so decompression ratio never skews the output
@@ -124,6 +131,7 @@ def compact_parquet(
             partition_by=partition_by,
             sort_within_by=sort_within_by,
             keep_generations=keep_generations,
+            race_retries=race_retries,
         )
     if keep_generations:
         raise ValueError(
@@ -202,6 +210,7 @@ def _compact_parquet_via_manifest(
     partition_by: list[str] | None,
     sort_within_by: list[str] | None,
     keep_generations: int = 0,
+    race_retries: int = 0,
 ) -> int:
     """Object-store-safe compaction (see compact_parquet's docstring):
     read the current generation (or the legacy flat root on adoption),
@@ -216,7 +225,37 @@ def _compact_parquet_via_manifest(
     adoption source list excludes gen-* children, so the retry never
     mixes the orphan prefix into the flat read or its byte sizing.
     Single-compactor contract: the pointer is re-read after the flip
-    and a lost race aborts before cleanup (manifest.py docstring)."""
+    and a lost race aborts before cleanup (manifest.py docstring) —
+    or, with ``race_retries``, re-runs from the winner's state."""
+    from ultimate_data_engineering_project_spark.sources import manifest
+
+    for attempt in range(race_retries + 1):
+        try:
+            return _compact_parquet_attempt(
+                spark,
+                path,
+                target_file_bytes=target_file_bytes,
+                partition_by=partition_by,
+                sort_within_by=sort_within_by,
+                keep_generations=keep_generations,
+            )
+        except manifest.ManifestRaceError:
+            if attempt == race_retries:
+                raise
+            # lost the race: the pointer now names the winner's state;
+            # loop to re-derive source + generation from it (our own
+            # written prefix stays pointer-invisible and ages out)
+
+
+def _compact_parquet_attempt(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int,
+    partition_by: list[str] | None,
+    sort_within_by: list[str] | None,
+    keep_generations: int = 0,
+) -> int:
     import math
 
     from ultimate_data_engineering_project_spark.sources import manifest

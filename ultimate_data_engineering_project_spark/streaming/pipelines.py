@@ -1528,6 +1528,7 @@ def compact_rollup(
     keep_last: int = 1,
     via_manifest: bool = False,
     keep_generations: int = 0,
+    race_retries: int = 0,
 ) -> int:
     """Bound the continuous aggregate's partials table over an
     unbounded stream: fold every ``batch=<id>`` partition except the
@@ -1564,7 +1565,11 @@ def compact_rollup(
       reads; batch partitions at/below the new fold point are still
       deleted (their state lives on inside every retained base).
       Single-compactor contract: the pointer is re-read after the
-      flip and a lost race aborts before cleanup (manifest.py).
+      flip and a lost race aborts before cleanup (manifest.py) — or,
+      with ``race_retries=N``, the losing compactor re-runs from the
+      winner's fresh pointer up to N times (both writers complete;
+      the loser's orphan prefixes stay pointer-invisible and age out
+      under the normal keep_generations cleanup).
 
     Returns the number of live partials partitions after compaction
     (folded base + un-folded tail)."""
@@ -1584,9 +1589,18 @@ def compact_rollup(
         )
 
     if via_manifest:
-        return _compact_rollup_via_manifest(
-            spark, rollup_dir, keep_last, keep_generations
-        )
+        from ultimate_data_engineering_project_spark.sources import manifest
+
+        for attempt in range(race_retries + 1):
+            try:
+                return _compact_rollup_via_manifest(
+                    spark, rollup_dir, keep_last, keep_generations
+                )
+            except manifest.ManifestRaceError:
+                if attempt == race_retries:
+                    raise
+                # lost the race: re-derive the fold from the winner's
+                # pointer (our orphan base stays pointer-invisible)
     if keep_generations:
         raise ValueError(
             "keep_generations requires via_manifest=True (the rename-"
