@@ -205,6 +205,9 @@ _PRIORITY = [
     # capture, every miss a visible hash-checked row
     "ann_lsh_recall_audit",
     "minhash_recall_audit",
+    # r11 corpus-scale BPE apply (judge ask #8): per-doc encode via the
+    # depth-independent vocab join, full token stream md5-fingerprinted
+    "docs_bpe_encode",
     "docs_text_stats",
     "sessionize_events",
     "fakestream_fraud_scores",
