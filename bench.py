@@ -91,6 +91,15 @@ HEADLINE = [
     # + one encode explode) join the watchdog set
     "docs_search_pipeline",
     "docs_bpe_token_freq",
+    # r11: the corpus-scale BPE apply wave (train@6 + one
+    # depth-independent encode join), the skew-aware ledger dispatcher
+    # (watches the probe's steady-state overhead against
+    # running_total_by_customer directly above), and the MinHash recall
+    # audit (complete gram self-join truth + band-capture flags — the
+    # heaviest new shuffle path this round)
+    "docs_bpe_encode",
+    "running_total_by_customer_auto",
+    "minhash_recall_audit",
 ]
 
 
@@ -201,7 +210,10 @@ def main() -> None:
                     "2 at 500k; oracle + recall pins changed with the "
                     "params) — that one line is NOT comparable to "
                     "r08/r09, every other line is methodology-"
-                    "unchanged from r8"
+                    "unchanged from r8; r11 adds 3 queries (BPE "
+                    "corpus encode, skew-aware ledger dispatcher, "
+                    "MinHash recall audit) — pre-existing lines stay "
+                    "comparable to r10"
                 ),
             }
         )

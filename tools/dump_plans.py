@@ -54,6 +54,10 @@ QUERIES = [
     ("docs_bpe_token_freq", "BPE encode: trained vocab frame (checkpointed by the merge loop) exploded + weighted count — vocabulary cardinality only"),
     ("running_total_by_customer_chunked", "skew-safe chunked-prefix-sum ledger: phase-1 running sum windows on (customer, 90-day chunk) so no partition holds a hot key's full history; the chunk-total summary (map-side-combined groupBy on the SAME partitioning) feeds a tiny per-key offset window; offsets join back on (key, chunk)"),
     ("fakestream_ledger_chunked", "the signed-leg ledger through the same chunked recomposition: transfer legs unioned map-side, then the three-stage chunk plan — bit-equal to the single-window ledger by the shared oracle"),
+    ("events_value_anomalies_chunked", "skew-safe ROWS-bounded rolling stats: rolling = difference of two chunked prefix sums; the lagged prefix arrives by a splittable (key, rn-W) equi-join instead of an unsplittable sort"),
+    ("running_total_by_customer_auto", "skew-aware dispatch: one pruned key-column probe (map-side-combined groupBy, memoized) picks the plain single-window plan here (uniform data) — the chunked recomposition only under a hot key"),
+    ("ann_lsh_recall_audit", "recall audit: brute-force exact top-k (broadcast queries, one corpus scan) left-joined to the LSH candidate set — every missed neighbor a visible captured=0 row"),
+    ("docs_bpe_encode", "corpus-scale BPE apply: posexplode + vocab equi-join + ordered aggregate — ONE wave whose shape is independent of merge depth"),
 ]
 
 
