@@ -91,7 +91,8 @@ def _stride(df, key: str) -> int:
     return int(df.agg({key: "max"}).first()[0]) + 1
 
 
-def main(out_dir: str, skew: bool = False, sf10: bool = False) -> None:
+def main(out_dir: str, skew: bool = False, sf10: bool = False,
+         sf100: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from ultimate_data_engineering_project_spark.session import get_spark
@@ -99,8 +100,8 @@ def main(out_dir: str, skew: bool = False, sf10: bool = False) -> None:
 
     spark = get_spark()
     os.makedirs(out_dir, exist_ok=True)
-    ncopies = 100 if sf10 else N_COPIES
-    base_parts = 64 if sf10 else 16
+    ncopies = 1000 if sf100 else (100 if sf10 else N_COPIES)
+    base_parts = 128 if sf100 else (64 if sf10 else 16)
 
     def write(df, name, parts: int = base_parts):
         # Fact tables land as `parts` files, not whatever AQE coalesces
@@ -114,12 +115,13 @@ def main(out_dir: str, skew: bool = False, sf10: bool = False) -> None:
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: {spark.read.parquet(os.path.join(out_dir, f'{name}.parquet')).count()} rows")
 
-    if not sf10:
+    if not (sf10 or sf100):
         for t in ("region", "nation", "supplier", "part"):
             write(load_table(spark, SRC, t), t, parts=1)
         _write_tpch_facts(spark, write, skew)
-    _write_events_documents(spark, write, skew, ncopies)
-    if not sf10:
+    _write_events_documents(spark, write, skew, ncopies,
+                            docs_only=sf100)
+    if not (sf10 or sf100):
         _write_embeddings(spark, write)
 
 
@@ -166,11 +168,15 @@ def _write_tpch_facts(spark, write, skew: bool) -> None:
     )
 
 
-def _write_events_documents(spark, write, skew: bool, ncopies: int) -> None:
+def _write_events_documents(spark, write, skew: bool, ncopies: int,
+                            docs_only: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from ultimate_data_engineering_project_spark.sources.readers import load_table
 
+    if docs_only:
+        _write_documents_only(spark, write, ncopies)
+        return
     ev = load_table(spark, SRC, "events")
     e_stride = _stride(ev, "event_id")
     u_stride = _stride(ev, "user_id")
@@ -233,6 +239,36 @@ def _write_events_documents(spark, write, skew: bool, ncopies: int) -> None:
     write(docs_up, "documents")
 
 
+def _write_documents_only(spark, write, ncopies: int) -> None:
+    """--sf100 (r11 judge ask #4 stretch): DOCUMENTS alone at
+    1000x sf0.1 (~5M docs) — the one table the incremental near-dup
+    probe face needs for its second spot-decade.  Same interleaved
+    doc_id + per-copy salt-token scheme as the sf1/sf10 upscales."""
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SRC, "documents")
+    salt = F.concat(F.lit("zq"), F.col("__copy").cast("string"), F.lit("_"))
+    toks = F.split(F.col("text"), " ")
+    salted = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when((i % 3) == F.lit(0), F.concat(salt, t)).otherwise(t),
+        ),
+        " ",
+    )
+    new_text = F.when(F.col("__copy") == 0, F.col("text")).otherwise(salted)
+    write(
+        _copies(spark, docs, ncopies)
+        .withColumn("doc_id", F.col("doc_id") * ncopies + F.col("__copy"))
+        .withColumn("text", new_text)
+        .withColumn("n_chars", F.length(F.col("text")))
+        .drop("__copy"),
+        "documents",
+    )
+
+
 def _write_embeddings(spark, write) -> None:
     from pyspark.sql import functions as F
 
@@ -260,12 +296,13 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     skew = "--skew" in args
     sf10 = "--sf10" in args
-    if skew and sf10:
-        raise SystemExit("--skew and --sf10 are mutually exclusive")
-    args = [a for a in args if a not in ("--skew", "--sf10")]
+    sf100 = "--sf100" in args
+    if sum([skew, sf10, sf100]) > 1:
+        raise SystemExit("--skew/--sf10/--sf100 are mutually exclusive")
+    args = [a for a in args if a not in ("--skew", "--sf10", "--sf100")]
     default = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scaling",
-        "sf10" if sf10 else ("sf1skew" if skew else "sf1"),
+        "sf100" if sf100 else ("sf10" if sf10 else ("sf1skew" if skew else "sf1")),
     )
-    main(args[0] if args else default, skew=skew, sf10=sf10)
+    main(args[0] if args else default, skew=skew, sf10=sf10, sf100=sf100)
