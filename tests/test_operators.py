@@ -339,6 +339,37 @@ def test_running_sum_chunked_equals_plain(spark, sf_dir):
             )
 
 
+def test_anomaly_zero_variance_flatline(spark, sf_dir):
+    """r11 regression (caught by the sf10 spot-decade): a flatline —
+    >= 50 identical values in the rolling frame — has zero variance;
+    the z-score is undefined and the row must be EXCLUDED, not raise
+    ANSI DIVIDE_BY_ZERO.  The guard is integer-exact (n*sq > s*s), so
+    both engines agree bit-for-bit; non-flatline rows are unchanged."""
+    from pyspark.sql import functions as F
+    from ultimate_data_engineering_project_spark.plans.extra_queries import (
+        _anomaly_output,
+    )
+
+    flat = spark.createDataFrame(
+        [(i, "click", 2.0, 200, 50, 200 * 50, 200 * 200 * 50)
+         for i in range(60)],
+        "event_id long, event_type string, value double, cents long, "
+        "n long, s long, sq long",
+    )
+    assert _anomaly_output(flat).count() == 0  # no crash, no rows
+
+    # a genuine outlier in a varying window still flags
+    varied = spark.createDataFrame(
+        [(i, "click", 1.0 + (i % 3) * 0.01,
+          100 + (i % 3), 50, 50 * 101, 50 * 101 * 101 + 10_000) for i in range(5)]
+        + [(99, "click", 90.0, 9000, 50, 50 * 101 + 8899, 50 * 101 * 101 + 81_000_000)],
+        "event_id long, event_type string, value double, cents long, "
+        "n long, s long, sq long",
+    )
+    out = _anomaly_output(varied)
+    assert out.filter(F.col("event_id") == 99).count() == 1
+
+
 def test_skew_aware_window_dispatch(spark, sf_dir):
     """r10 judge ask #2: the auto forms probe the key histogram and
     pick plain at uniform data, chunked under a hot key — and the

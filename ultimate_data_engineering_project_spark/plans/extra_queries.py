@@ -744,6 +744,7 @@ _ANOMALY_SQL = """
                  / sqrt((sq - s * s / n) / (n - 1)), 6) AS zscore
     FROM w
     WHERE n >= 30
+      AND n * sq > s * s
       AND abs((cents - CAST(s AS DOUBLE) / n)
               / sqrt((sq - s * s / n) / (n - 1))) > 3
     """
@@ -751,10 +752,20 @@ _ANOMALY_SQL = """
 
 def _anomaly_output(w: DataFrame) -> DataFrame:
     """Shared z-score math over a frame carrying (event_id, event_type,
-    value, cents, n, s, sq) — both anomaly entries end here."""
+    value, cents, n, s, sq) — both anomaly entries end here.
+
+    Zero-variance windows (a stretch of >= 50 identical values — the
+    r11 sf10 spot-decade CAUGHT this: the 100x upscale makes each
+    event's copies adjacent in the frame, and real telemetry flatlines
+    the same way) have no defined z-score and cannot be anomalies;
+    the guard is the INTEGER-EXACT inequality n*sq > s*s (var > 0 iff
+    n·Σx² > (Σx)² — both sides BIGINT, so the two engines agree
+    bit-for-bit), and the division only evaluates under it (ANSI mode
+    would otherwise raise DIVIDE_BY_ZERO on the flatline rows)."""
     mean = F.col("s").cast("double") / F.col("n")
     var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("cents") - mean) / F.sqrt(var)
+    var_pos = F.col("n") * F.col("sq") > F.col("s") * F.col("s")
+    z = F.when(var_pos, (F.col("cents") - mean) / F.sqrt(var))
     return (
         w.filter(F.col("n") >= 30)
         .withColumn("zscore", F.round(z, 6))
