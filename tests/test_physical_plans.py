@@ -109,6 +109,11 @@ def test_incremental_filter_pushdown(spark, sf_dir, tmp_path):
 #   timeseries pair joins broadcast a small-cardinality entity set.
 NESTED_LOOP_ALLOWED = {
     "cosine_topk_bruteforce",
+    # r11: the recall audit's exact-truth half IS the brute-force scan
+    # (5 broadcast queries x corpus, the same bounded nested loop as
+    # cosine_topk_bruteforce); the LSH candidate half stays a bucketed
+    # equi-join
+    "ann_lsh_recall_audit",
     "knn_label_vote",
     "fakestream_dq_report",
     "filter_recent_window",
