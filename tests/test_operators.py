@@ -469,6 +469,38 @@ def test_skew_aware_window_dispatch(spark, sf_dir):
     assert "__chunk" not in plain_plan
     assert "__chunk" in chunk_plan
 
+    # rolling_sums_auto: the third dispatcher — plain branch at toy
+    # scale, chunked under the inherent low-cardinality key, both
+    # equal to the plain window bit-for-bit
+    cents = (F.col("o_totalprice") * 100).cast("long")
+    plain_roll = windows.rolling_sums_plain(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        {"r": cents}, preceding=4,
+    ).select("o_orderkey", "r", "win_n")
+    dec6 = {}
+    auto_roll = windows.rolling_sums_auto(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        {"r": cents}, "o_orderdate", preceding=4, decision=dec6,
+    ).select("o_orderkey", "r", "win_n")
+    assert dec6["form"] == "plain"
+    assert plain_roll.schema == auto_roll.schema
+    assert plain_roll.exceptAll(auto_roll).count() + \
+        auto_roll.exceptAll(plain_roll).count() == 0
+    hot_o = orders.withColumn("o_custkey", F.lit(3).cast("long"))
+    p3 = windows.rolling_sums_plain(
+        hot_o, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        {"r": cents}, preceding=4,
+    ).select("o_orderkey", "r", "win_n")
+    dec7 = {}
+    c3 = windows.rolling_sums_auto(
+        hot_o, ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        {"r": cents}, "o_orderdate", preceding=4,
+        chunk_seconds=90 * 86_400, min_rows=1_000, decision=dec7,
+    ).select("o_orderkey", "r", "win_n")
+    assert dec7["form"] == "chunked"
+    assert p3.schema == c3.schema
+    assert p3.exceptAll(c3).count() + c3.exceptAll(p3).count() == 0
+
     # the session-scoped stats cache: a repeated probe over the same
     # pruned lineage is a dict hit (catalog-statistics role); a stale
     # or colliding entry can only change the FORM, never the answer —

@@ -83,6 +83,10 @@ ENTRIES = [
     # hash-check against the SAME oracle as the forms they choose
     "running_total_by_customer_auto",
     "sessionize_events_auto",
+    # r11 (cont.): the ROLLING dispatcher — event_type's inherent 20%
+    # share escalates to chunked from sf1 up (the sf10 regime where
+    # chunked is 3x faster absolute); plain below the toy floor
+    "events_value_anomalies_auto",
 ]
 N_RUNS = 2
 
@@ -280,6 +284,7 @@ def main(sf1_dir: str, skew_dir: str | None = None) -> None:
             "docs_duplicated_spans",
             "events_value_anomalies",
             "events_value_anomalies_chunked",
+            "events_value_anomalies_auto",
         ):
             best = None
             for _ in range(N_RUNS):

@@ -387,6 +387,85 @@ def rolling_sums_chunked(
     return joined.select(*df.columns, *values.keys(), n_alias)
 
 
+def rolling_sums_plain(
+    df: DataFrame,
+    partition_keys: list[str],
+    order_by: list[str],
+    values: dict[str, "Column"],
+    *,
+    preceding: int,
+    n_alias: str = "win_n",
+) -> DataFrame:
+    """The single-window twin of :func:`rolling_sums_chunked` — same
+    output columns (one rolling sum per ``values`` name over ROWS
+    [-preceding, 0], plus ``n_alias``), computed by the plain
+    partition-by-key window.  Exists so the skew-aware dispatcher has
+    a plain branch with an IDENTICAL schema contract."""
+    if preceding < 0:
+        raise ValueError(f"preceding must be >= 0, got {preceding}")
+    if n_alias in df.columns or any(n in df.columns for n in values):
+        raise ValueError(
+            "output column names collide with input columns: "
+            f"{[n for n in [n_alias, *values] if n in df.columns]}"
+        )
+    win = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, 0)
+    )
+    out = df
+    for name, v in values.items():
+        out = out.withColumn(name, F.sum(v).over(win))
+    out = out.withColumn(n_alias, F.count(F.lit(1)).over(win))
+    return out.select(*df.columns, *values.keys(), n_alias)
+
+
+def rolling_sums_auto(
+    df: DataFrame,
+    partition_keys: list[str],
+    order_by: list[str],
+    values: dict[str, "Column"],
+    ts: str,
+    *,
+    preceding: int,
+    chunk_seconds: int = 7 * 86_400,
+    n_alias: str = "win_n",
+    task_rows_cap: int = 2_000_000,
+    share_cap: float = 0.05,
+    min_rows: int = 50_000,
+    stats: dict | None = None,
+    decision: dict | None = None,
+) -> DataFrame:
+    """Skew-aware ROWS-bounded rolling sums — the third and last
+    dispatcher of the chunked window family (running/session/rolling).
+    The rolling shape is the one whose hot key is usually INHERENT,
+    not accidental: a low-cardinality partition key (five event types
+    over a 100 TB stream) puts a constant fraction of the table into
+    each unsplittable sort task at EVERY scale, so the share criterion
+    fires as soon as the data is big enough to matter — exactly the
+    regime the sf10 sweep measured (plain 11.9x decade and 3x slower
+    absolute vs the chunked recomposition).  Same probe/decide/cache
+    machinery as :func:`running_sum_auto`; both branches produce the
+    identical schema and hash-check against the SAME oracle."""
+    st = stats if stats is not None else key_rows_stats(df, partition_keys)
+    form = decide_window_form(
+        st, task_rows_cap=task_rows_cap, share_cap=share_cap, min_rows=min_rows
+    )
+    if decision is not None:
+        decision.update({"form": form, **st, "task_rows_cap": task_rows_cap,
+                         "share_cap": share_cap, "min_rows": min_rows})
+    if form == "chunked":
+        return rolling_sums_chunked(
+            df, partition_keys, order_by, values, ts,
+            preceding=preceding, chunk_seconds=chunk_seconds,
+            n_alias=n_alias,
+        )
+    return rolling_sums_plain(
+        df, partition_keys, order_by, values,
+        preceding=preceding, n_alias=n_alias,
+    )
+
+
 def rolling(
     df: DataFrame,
     order_by: list[str],

@@ -200,6 +200,7 @@ _PRIORITY = [
     # plain/chunked forms they choose between
     "running_total_by_customer_auto",
     "sessionize_events_auto",
+    "events_value_anomalies_auto",
     # r11 recall audits (judge ask #7): the approximate stages' recall
     # pinned cross-engine — exact truth rows flagged with candidate
     # capture, every miss a visible hash-checked row
