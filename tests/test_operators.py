@@ -501,6 +501,27 @@ def test_skew_aware_window_dispatch(spark, sf_dir):
     assert p3.schema == c3.schema
     assert p3.exceptAll(c3).count() + c3.exceptAll(p3).count() == 0
 
+    # ledger_running_balance_auto: the dispatcher on the reference's
+    # own workload shape — probe over the signed LEGS, both branches
+    # equal bit-for-bit
+    tx = spark.read.parquet("fixtures/fakestream/transactions.parquet")
+    sel = ["account_id", "transaction_id", "leg", "balance"]
+    pl = windows.ledger_running_balance(tx).select(*sel)
+    dec8 = {}
+    al = windows.ledger_running_balance_auto(tx, decision=dec8).select(*sel)
+    assert dec8["form"] == "plain"  # 2.3k legs < toy floor
+    assert pl.exceptAll(al).count() + al.exceptAll(pl).count() == 0
+    hot_tx = tx.withColumn("account_id", F.lit(1).cast("long")).withColumn(
+        "related_account_id", F.lit(None).cast("long")
+    )
+    p4 = windows.ledger_running_balance(hot_tx).select(*sel)
+    dec9 = {}
+    c4 = windows.ledger_running_balance_auto(
+        hot_tx, min_rows=100, decision=dec9
+    ).select(*sel)
+    assert dec9["form"] == "chunked"
+    assert p4.exceptAll(c4).count() + c4.exceptAll(p4).count() == 0
+
     # the session-scoped stats cache: a repeated probe over the same
     # pruned lineage is a dict hit (catalog-statistics role); a stale
     # or colliding entry can only change the FORM, never the answer —

@@ -838,6 +838,41 @@ def ledger_running_balance_chunked(
     return out
 
 
+def ledger_running_balance_auto(
+    transactions: DataFrame,
+    *,
+    clamped: bool = False,
+    chunk_seconds: int = 7 * 86_400,
+    task_rows_cap: int = 2_000_000,
+    share_cap: float = 0.05,
+    min_rows: int = 50_000,
+    stats: dict | None = None,
+    decision: dict | None = None,
+) -> DataFrame:
+    """Skew-aware X7 ledger — the dispatcher applied to the
+    reference's OWN workload shape (the balance loop,
+    oltp_seeder.py:483-487, where a hot account appears mid-stream):
+    probe the per-ACCOUNT leg histogram and run
+    :func:`ledger_running_balance` (single window) or
+    :func:`ledger_running_balance_chunked` (splittable).  The probe
+    runs over the signed LEGS (a Transfer contributes a row to BOTH
+    accounts — the histogram that actually feeds the window), and both
+    branches hash-check against the same oracle."""
+    legs_keys = _ledger_legs(transactions)
+    st = stats if stats is not None else key_rows_stats(legs_keys, ["account_id"])
+    form = decide_window_form(
+        st, task_rows_cap=task_rows_cap, share_cap=share_cap, min_rows=min_rows
+    )
+    if decision is not None:
+        decision.update({"form": form, **st, "task_rows_cap": task_rows_cap,
+                         "share_cap": share_cap, "min_rows": min_rows})
+    if form == "chunked":
+        return ledger_running_balance_chunked(
+            transactions, clamped=clamped, chunk_seconds=chunk_seconds
+        )
+    return ledger_running_balance(transactions, clamped=clamped)
+
+
 def _ledger_legs(transactions: DataFrame) -> DataFrame:
     """Signed ledger legs shared by both balance modes: completed rows
     only; Transfer emits a debit leg (leg=0) on account_id and a credit

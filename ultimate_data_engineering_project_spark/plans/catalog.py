@@ -201,6 +201,7 @@ _PRIORITY = [
     "running_total_by_customer_auto",
     "sessionize_events_auto",
     "events_value_anomalies_auto",
+    "fakestream_ledger_auto",
     # r11 recall audits (judge ask #7): the approximate stages' recall
     # pinned cross-engine — exact truth rows flagged with candidate
     # capture, every miss a visible hash-checked row

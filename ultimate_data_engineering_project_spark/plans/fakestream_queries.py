@@ -176,6 +176,31 @@ def fakestream_ledger_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("fakestream_ledger_auto", oracle=_LEDGER_SQL)
+def fakestream_ledger_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-AWARE ledger dispatch
+    (windows.ledger_running_balance_auto) on the reference's own
+    workload shape: the probe reads the per-account LEG histogram and
+    picks the single-window or chunked-prefix-sum ledger — the choice
+    the balance loop (oltp_seeder.py:483-487) can't make in advance
+    because the hot account appears mid-stream.  The oracle is
+    IDENTICAL to both siblings': whichever plan the probe picks, the
+    hash check proves the balances unchanged."""
+    from ultimate_data_engineering_project_spark.operators.windows import (
+        ledger_running_balance_auto,
+    )
+
+    ledger = ledger_running_balance_auto(_fx(spark, _TRX))
+    return ledger.select(
+        "account_id",
+        "transaction_id",
+        "transaction_date",
+        F.col("leg").cast("int").alias("leg"),
+        F.col("delta").cast("double").alias("delta"),
+        F.col("balance").cast("double").alias("balance"),
+    )
+
+
 @register(
     "fakestream_current_balances",
     oracle=_LEGS_SQL
