@@ -160,64 +160,77 @@ def main() -> None:
         y = x @ x
     canary = round(time.perf_counter() - c0, 3)
     del y
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # methodology, so round-over-round compares like-for-like:
-                # r01-r03 used best-of-2; r04+ uses best-of-3 AND adds
-                # dedup_clusters / docs_pii_redaction /
-                # training_sequence_packing — the 23-query total is NOT
-                # directly comparable to r03's 20-query best-of-2 total;
-                # compare per-query timings instead
-                "n_runs": N_RUNS,
-                "aggregation": "min",
-                "n_queries": len(timings),
-                # seconds for a fixed seeded numpy matmul loop — a
-                # host-speed yardstick: compare rounds as
-                # time/canary, not raw seconds (hosts differ per round)
-                "host_canary_sec": canary,
-                "comparability_note": (
-                    "r04+: n_runs=3 and 3 added queries; r05+ adds "
-                    "fuzzy_dedup_part_names (semantics changed r05: "
-                    "distinct-first vocabulary pairs, not row pairs) and "
-                    "timeseries_similar_users (blocked path from r05); "
-                    "r06 adds 6 queries (range join, repetition gates, "
-                    "cluster representatives, PQ ANN, incremental dedup, "
-                    "curation flagship); r08 forces execution via the "
-                    "noop sink instead of count() — count() let Catalyst "
-                    "prune ALL expression work from projection-only "
-                    "entries (docs_pii_redaction, docs_repetition_stats, "
-                    "docs_quality_scores, ... timed a zero-column "
-                    "metadata scan through r07), so per-query times rise "
-                    "honestly vs r07; totals not comparable to earlier "
-                    "rounds, compare per-query normalized by "
-                    "host_canary_sec; r08 also adds 6 queries (Avro "
-                    "embedding round-trip, Lloyd refine, SemDeDup pairs, "
-                    "boilerplate gate, duplicated spans, then the "
-                    "retrieval flagship + BPE trainer/encoder), "
-                    "+~9s of genuinely new covered work in the total; "
-                    "r09: methodology unchanged from r8 (same query "
-                    "set, same noop-sink forcing, same n_runs) — the "
-                    "first per-query-comparable round pair; compare "
-                    "canary-normalized; r10: timeseries_similar_users "
-                    "RE-BASELINED (judge ask #5: md5 blocking now 3 "
-                    "segment sums per band at bucket width 300k, was "
-                    "2 at 500k; oracle + recall pins changed with the "
-                    "params) — that one line is NOT comparable to "
-                    "r08/r09, every other line is methodology-"
-                    "unchanged from r8; r11 adds 3 queries (BPE "
-                    "corpus encode, skew-aware ledger dispatcher, "
-                    "MinHash recall audit) — pre-existing lines stay "
-                    "comparable to r10"
-                ),
-            }
-        )
+
+    # Methodology note, so round-over-round compares like-for-like.
+    # It lives OUTSIDE the stdout JSON line (stderr + the full-JSON
+    # file below): the driver records only the trailing ~2 KB of
+    # stdout, and through r10 this ~1.5 KB of prose pushed the JSON
+    # line past that budget, front-truncating away the metric/value
+    # fields and half the per-query timings (BENCH_r10.json "tail").
+    comparability_note = (
+        "r04+: n_runs=3 and 3 added queries; r05+ adds "
+        "fuzzy_dedup_part_names (semantics changed r05: "
+        "distinct-first vocabulary pairs, not row pairs) and "
+        "timeseries_similar_users (blocked path from r05); "
+        "r06 adds 6 queries (range join, repetition gates, "
+        "cluster representatives, PQ ANN, incremental dedup, "
+        "curation flagship); r08 forces execution via the "
+        "noop sink instead of count() — count() let Catalyst "
+        "prune ALL expression work from projection-only "
+        "entries (docs_pii_redaction, docs_repetition_stats, "
+        "docs_quality_scores, ... timed a zero-column "
+        "metadata scan through r07), so per-query times rise "
+        "honestly vs r07; totals not comparable to earlier "
+        "rounds, compare per-query normalized by "
+        "host_canary_sec; r08 also adds 6 queries (Avro "
+        "embedding round-trip, Lloyd refine, SemDeDup pairs, "
+        "boilerplate gate, duplicated spans, then the "
+        "retrieval flagship + BPE trainer/encoder), "
+        "+~9s of genuinely new covered work in the total; "
+        "r09: methodology unchanged from r8 (same query "
+        "set, same noop-sink forcing, same n_runs) — the "
+        "first per-query-comparable round pair; compare "
+        "canary-normalized; r10: timeseries_similar_users "
+        "RE-BASELINED (judge ask #5: md5 blocking now 3 "
+        "segment sums per band at bucket width 300k, was "
+        "2 at 500k; oracle + recall pins changed with the "
+        "params) — that one line is NOT comparable to "
+        "r08/r09, every other line is methodology-"
+        "unchanged from r8; r11 adds 3 queries (BPE "
+        "corpus encode, skew-aware ledger dispatcher, "
+        "MinHash recall audit) — pre-existing lines stay "
+        "comparable to r10"
     )
+    # Scalar headline fields LAST: if a future query set ever outgrows
+    # the tail budget again, front-truncation eats per-query lines,
+    # not the metric/value/unit/sf the driver contract names.
+    payload = {
+        "queries": timings,
+        "n_runs": N_RUNS,
+        "aggregation": "min",
+        "n_queries": len(timings),
+        # seconds for a fixed seeded numpy matmul loop — a host-speed
+        # yardstick: compare rounds as time/canary, not raw seconds
+        # (hosts differ per round)
+        "host_canary_sec": canary,
+        "note_file": "BENCH_FULL_LATEST.json",
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+    full = dict(payload)
+    full["comparability_note"] = comparability_note
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL_LATEST.json")
+        with open(out, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the data
+    print(f"# comparability_note: {comparability_note}", file=sys.stderr)
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 
