@@ -252,10 +252,11 @@ def test_catalog_priority_prefix_covers_core_surface():
         "anti_join_customers_without_orders", "set_except_customers",
         "scd2_user_event_versions",
         "asof_purchase_prev_click",
-        # r5: ann_topk_lsh_int (fully hash-checkable) took the prefix
-        # slot approx_sketch_battery held (no_oracle by construction;
-        # its evidence is the strict-parity tolerance row)
-        "agg_modern_battery", "ann_topk_lsh_int",
+        # r11: the cross-engine recall audit took the ANN slot its
+        # candidate-only twin ann_topk_lsh_int held since r5 (the
+        # audit runs the same int-plane candidates PLUS the exact
+        # truth join; the twin stays oracle-checked in overflow)
+        "agg_modern_battery", "ann_lsh_recall_audit",
         # r6: three same-family redundancies ceded their slots to the
         # new range-join / repetition / source-reputation entries
         # (fakestream_scd2_customers, fakestream_ledger and
@@ -264,7 +265,11 @@ def test_catalog_priority_prefix_covers_core_surface():
         "range_join_error_windows", "multimodal_decode_features",
         "source_reputation_stats",
         "fakestream_ledger_clamped",
-        "fakestream_dq_report", "near_dup_pairs_verified",
+        # r11: the MinHash recall audit took the X2 slot
+        # near_dup_pairs_verified held (same banded candidates PLUS
+        # the complete exact-Jaccard truth; the verified-pairs entry
+        # stays oracle-checked in overflow)
+        "fakestream_dq_report", "minhash_recall_audit",
         "dedup_clusters", "training_mixture_sample",
         "training_sequence_packing",
         "decontamination_check", "docs_pii_redaction",
@@ -288,8 +293,12 @@ def test_catalog_priority_prefix_covers_core_surface():
         # parity (filter_compound, topk_orders_by_price,
         # agg_sum_coalesce, string_functions, minhash_near_dup_md5,
         # cosine_topk_bruteforce moved to overflow)
+        # r11: the corpus-scale BPE encode took the tokenizer slot
+        # docs_bpe_token_freq held (trains the same vocab, then the
+        # depth-independent per-doc apply; token_freq stays
+        # oracle-checked in overflow)
         "events_rollup_incremental", "bm25_index_topk",
-        "docs_bpe_token_freq", "nation_trade_pagerank",
+        "docs_bpe_encode", "nation_trade_pagerank",
         "docs_boilerplate_ngrams", "docs_duplicated_spans",
         # r10 rotations (judge ask #1): the three round-9 flagship
         # additions enter the driver's hash gate.  sessionize_events
@@ -300,15 +309,19 @@ def test_catalog_priority_prefix_covers_core_surface():
         "sessionize_events_salted", "events_rollup_quantiles",
         # r11 rotations (judge ask #1): the round-10 chunked-window
         # flagships + the rare-gram gate enter the driver's hash gate.
-        # running_total_by_customer ceded to its chunked twin (SAME
-        # oracle); filter_recent_window ceded to the chunked anomaly
+        # filter_recent_window ceded to the chunked anomaly
         # recomposition (filters keep P1-P4 in the prefix);
         # docs_repetition_stats ceded the X4 quality-gate slot to the
         # rare-bigram gate.  All ceded entries stay oracle-checked in
         # overflow + strict parity.
-        "running_total_by_customer_chunked",
         "events_value_anomalies_chunked",
         "docs_rare_gram_gate",
+        # r11 (late): the skew-aware dispatcher took the running-total
+        # slot — SAME oracle as both forms it picks between; the
+        # chunked algebra stays gated via events_value_anomalies_chunked
+        # (shared _prefix_sums_chunked core) and both siblings stay
+        # oracle-checked in overflow + strict parity
+        "running_total_by_customer_auto",
     }
     missing = must_have - prefix
     assert not missing, f"core queries fell out of the 50-entry prefix: {missing}"

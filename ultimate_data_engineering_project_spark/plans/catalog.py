@@ -101,13 +101,15 @@ _PRIORITY = [
     "json_extract_events",
     "window_ranking_battery",
     # §2.5 windows
-    # r11: the chunked-prefix-sum running total takes the slot its
-    # plain twin held (the sessionize_events_salted precedent: SAME
-    # DuckDB oracle, bit-identical by construction, strictly harder
-    # plan — the skew-safe form the 100 TB ledger actually runs);
-    # running_total_by_customer stays oracle-checked in overflow +
-    # strict parity
-    "running_total_by_customer_chunked",
+    # r11: the SKEW-AWARE DISPATCHER takes the running-total slot (its
+    # chunked twin held it earlier this round; the plain twin before
+    # that) — same DuckDB oracle as BOTH forms it chooses between, so
+    # the driver's hash gate attests the probe+dispatch machinery end
+    # to end; the chunked prefix-sum algebra itself stays driver-gated
+    # through events_value_anomalies_chunked (same _prefix_sums_chunked
+    # core) and both siblings stay oracle-checked in overflow + strict
+    # parity at three scales + sf1skew
+    "running_total_by_customer_auto",
     # r8: the executable Avro-decode path (S13, WITH the reference's
     # own decimal/timestamp logical types) takes a prefix slot so the
     # CDC decode is under the driver's own hash gate;
@@ -126,12 +128,13 @@ _PRIORITY = [
     "asof_purchase_prev_click",
     # round-1 red rows, now fixed
     "agg_modern_battery",
-    # r5: the ANN approximate path's hash-checked twin takes the prefix
-    # slot approx_sketch_battery held — the sketch battery CANNOT be
-    # hash-checked by the driver by construction (no_oracle; its
-    # evidence is the strict-parity tolerance row), while every prefix
-    # slot should carry a full hash check.  It moved to overflow below.
-    "ann_topk_lsh_int",
+    # r11: the cross-engine RECALL AUDIT takes the ANN slot its
+    # candidate-only twin (ann_topk_lsh_int, r5) held — the audit runs
+    # the SAME int-plane candidate generation PLUS the exact cosine
+    # truth join, flagging every missed neighbor as a hash-checked
+    # captured=0 row (strictly harder evidence); ann_topk_lsh_int
+    # stays oracle-checked in overflow + strict parity
+    "ann_lsh_recall_audit",
     # r11: the rare-bigram gibberish gate (integer-exact LM-perplexity
     # analog, r10's X4 addition) takes the X4 quality-gate slot
     # docs_repetition_stats held — X4 keeps five prefix entries
@@ -157,7 +160,14 @@ _PRIORITY = [
     "fraud_model_trained",
     # LLM-pipeline headliners previously unreached; timeseries gives X6
     # its first hash-checked row
-    "near_dup_pairs_verified",
+    # r11: the MinHash RECALL AUDIT takes the X2 slot
+    # near_dup_pairs_verified held — the audit runs the SAME md5
+    # banded candidate generation PLUS the complete exact
+    # shingle-Jaccard truth join (integer threshold, no floats), every
+    # missed true pair a hash-checked captured=0 row;
+    # near_dup_pairs_verified stays oracle-checked in overflow +
+    # strict parity
+    "minhash_recall_audit",
     "dedup_clusters",
     "training_mixture_sample",
     "training_sequence_packing",
@@ -178,7 +188,14 @@ _PRIORITY = [
     #   cosine_topk_bruteforce -> ann_topk_lsh_int+timeseries_similar_users
     "events_rollup_incremental",
     "bm25_index_topk",
-    "docs_bpe_token_freq",
+    # r11: the corpus-scale BPE ENCODE takes the X4 tokenizer slot the
+    # token-frequency entry held — the encode trains the SAME 6-merge
+    # vocabulary first, then applies it per-document in one
+    # depth-independent join wave (strictly harder: trainer + apply +
+    # full token-stream md5 fingerprint per doc);
+    # docs_bpe_token_freq stays oracle-checked in overflow + strict
+    # parity
+    "docs_bpe_encode",
     "nation_trade_pagerank",
     "docs_boilerplate_ngrams",
     "docs_duplicated_spans",
@@ -193,23 +210,23 @@ _PRIORITY = [
     # prefix; running_total and the anomaly twin hash-check the SAME
     # oracles as their prefix forms)
     "running_total_by_customer",
+    "running_total_by_customer_chunked",
     "filter_recent_window",
     "docs_repetition_stats",
     "events_value_anomalies",
     # r11 skew-aware dispatchers (judge ask #2): same oracles as the
     # plain/chunked forms they choose between
-    "running_total_by_customer_auto",
+    # (running_total_by_customer_auto rotated into the prefix)
     "sessionize_events_auto",
     "events_value_anomalies_auto",
     "fakestream_ledger_auto",
-    # r11 recall audits (judge ask #7): the approximate stages' recall
-    # pinned cross-engine — exact truth rows flagged with candidate
-    # capture, every miss a visible hash-checked row
-    "ann_lsh_recall_audit",
-    "minhash_recall_audit",
-    # r11 corpus-scale BPE apply (judge ask #8): per-doc encode via the
-    # depth-independent vocab join, full token stream md5-fingerprinted
-    "docs_bpe_encode",
+    # r11 recall audits rotated into the prefix; the candidate-only
+    # twins they subsume stay oracle-checked here
+    "ann_topk_lsh_int",
+    "near_dup_pairs_verified",
+    # BPE token-frequency entry ceded its prefix slot to the
+    # corpus-scale encode (which trains the same vocab first)
+    "docs_bpe_token_freq",
     "docs_text_stats",
     "sessionize_events",
     "fakestream_fraud_scores",
