@@ -100,6 +100,10 @@ HEADLINE = [
     "docs_bpe_encode",
     "running_total_by_customer_auto",
     "minhash_recall_audit",
+    # r11 (late): the trained quality classifier's full train/apply
+    # cycle — two corpus passes (count shuffle + broadcast-scored
+    # doc-keyed sum); watches the model-training family's throughput
+    "docs_quality_model_holdout",
 ]
 
 
@@ -196,9 +200,10 @@ def main() -> None:
         "2 at 500k; oracle + recall pins changed with the "
         "params) — that one line is NOT comparable to "
         "r08/r09, every other line is methodology-"
-        "unchanged from r8; r11 adds 3 queries (BPE "
+        "unchanged from r8; r11 adds 4 queries (BPE "
         "corpus encode, skew-aware ledger dispatcher, "
-        "MinHash recall audit) — pre-existing lines stay "
+        "MinHash recall audit, trained quality-classifier "
+        "holdout cycle) — pre-existing lines stay "
         "comparable to r10"
     )
     # Scalar headline fields LAST: if a future query set ever outgrows

@@ -1,0 +1,182 @@
+"""Trained hashed-token quality classifier (operators/classifier.py):
+semantics vs a pure-Python reference, mergeable-statistics invariant,
+held-out accuracy above the base rate, and the broadcast scoring plan.
+"""
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ultimate_data_engineering_project_spark.operators import classifier
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+_STOP = set(
+    __import__(
+        "ultimate_data_engineering_project_spark.operators.text",
+        fromlist=["STOPWORDS"],
+    ).STOPWORDS
+)
+
+
+def _py_feature(tok: str, dim: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % dim
+
+
+def _py_features(text: str, dim: int) -> list[int]:
+    """The operator's feature stream: hashed tokens (multiplicity) ++
+    the three structural marker ids."""
+    toks = text.split(" ")
+    n_tok = len(toks)
+    n_stop = sum(1 for t in toks if t in _STOP)
+    n_dist = len(set(toks))
+    feats = [_py_feature(t, dim) for t in toks]
+    feats.append(dim + min(n_tok // 8, 15))
+    feats.append(dim + 16 + min(math.floor(96 * n_stop / n_tok), 31))
+    feats.append(dim + 48 + min(math.floor(30 * n_dist / n_tok), 31))
+    return feats
+
+
+def _py_label(text: str) -> int:
+    toks = text.split(" ")
+    n_tok = len(toks)
+    n_stop = sum(1 for t in toks if t in _STOP)
+    n_dist = len(set(toks))
+    return int(
+        n_tok >= 16 and 12 * n_stop <= n_tok and 15 * n_dist >= 7 * n_tok
+    )
+
+
+def _py_model(texts, labels, dim, alpha=1):
+    """Pure-Python NB weights, the operator's exact arithmetic: BIGINT
+    counts, the four-log expression, round-half-up to micro-units."""
+    from collections import Counter
+
+    c_pos, c_neg = Counter(), Counter()
+    for text, y in zip(texts, labels):
+        for f in _py_features(text, dim):
+            (c_pos if y else c_neg)[f] += 1
+    np_, nn = sum(c_pos.values()), sum(c_neg.values())
+    v = dim + classifier.N_MARKER_IDS
+
+    def w(cp, cn):
+        x = (
+            math.log(cp + alpha)
+            - math.log(np_ + alpha * v)
+            - math.log(cn + alpha)
+            + math.log(nn + alpha * v)
+        )
+        return math.floor(x * 1e6 + 0.5) if x >= 0 else -math.floor(
+            -x * 1e6 + 0.5
+        )
+
+    return {
+        f: (c_pos.get(f, 0), c_neg.get(f, 0), w(c_pos.get(f, 0), c_neg.get(f, 0)))
+        for f in set(c_pos) | set(c_neg)
+    }
+
+
+texts_strategy = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["the", "a", "spark", "row", "scan", "b", "zz"]),
+            min_size=1,
+            max_size=24,
+        ).map(" ".join),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(data=texts_strategy)
+@settings(**_SETTINGS)
+def test_nb_weights_match_python_reference(spark, data):
+    """Trained weights (counts AND micro-quantized log-odds) == a
+    pure-Python NB on random small-vocab corpora with random labels —
+    dim=32 forces hash collisions, the regime the hashing trick must
+    aggregate correctly."""
+    dim = 32
+    df = spark.createDataFrame(data, "text string, y long")
+    weights, _ = classifier.nb_train(df, F.col("y"), dim=dim)
+    got = {
+        r["feature"]: (r["c_pos"], r["c_neg"], r["weight_micro"])
+        for r in weights.collect()
+    }
+    expect = _py_model([t for t, _ in data], [y for _, y in data], dim)
+    assert got == expect
+
+
+def test_nb_counts_merge_invariant(spark, sf_dir):
+    """The sufficient statistics are MERGEABLE (continuous-aggregate
+    discipline): counts from two disjoint halves, merged, give
+    bit-identical weights to full-corpus training."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    label = classifier.integer_quality_label()
+    dim = 256
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    merged_counts = classifier.merge_nb_counts(
+        classifier.nb_token_counts(h1, label, dim=dim),
+        classifier.nb_token_counts(h2, label, dim=dim),
+    )
+    full_counts = classifier.nb_token_counts(docs, label, dim=dim)
+    assert (
+        merged_counts.exceptAll(full_counts).count() == 0
+        and full_counts.exceptAll(merged_counts).count() == 0
+    )
+    w_merged, _ = classifier.nb_model(
+        merged_counts, classifier.nb_doc_counts(docs, label), dim=dim
+    )
+    w_full, _ = classifier.nb_model(
+        full_counts, classifier.nb_doc_counts(docs, label), dim=dim
+    )
+    assert sorted(map(tuple, w_merged.collect())) == sorted(
+        map(tuple, w_full.collect())
+    )
+
+
+def test_holdout_accuracy_beats_base_rate(spark, sf_dir):
+    """The distilled model must actually LEARN: held-out accuracy on
+    the fixture corpus well above the majority-class base rate
+    (measured 0.848 vs 0.664 at sf0.001; pinned with slack — a model
+    predicting one class scores exactly the base rate, which is what
+    the pre-marker, oversmoothed variants did)."""
+    from ultimate_data_engineering_project_spark.plans.catalog import catalog
+
+    rows = (
+        catalog()["docs_quality_model_holdout"]
+        .fn(spark, sf_dir)
+        .select("predicted", "label")
+        .collect()
+    )
+    acc = sum(r.predicted == r.label for r in rows) / len(rows)
+    base = max(
+        sum(r.label for r in rows), sum(1 - r.label for r in rows)
+    ) / len(rows)
+    assert acc >= base + 0.10, (acc, base)
+    assert acc >= 0.78, acc
+
+
+def test_score_join_broadcasts_model(spark, sf_dir):
+    """Scoring must BROADCAST the <=dim-row model onto the token
+    stream — a sort-merge join here would shuffle every token
+    occurrence at corpus scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    label = classifier.integer_quality_label()
+    weights, stats = classifier.nb_train(docs, label, dim=256)
+    scored = classifier.nb_score(docs, weights, stats, dim=256)
+    p = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, p

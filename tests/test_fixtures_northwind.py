@@ -276,7 +276,11 @@ def test_catalog_priority_prefix_covers_core_surface():
         "top_fraction_customers", "fuzzy_dedup_part_names",
         "window_ranking_battery",
         "docs_prep_pipeline",
-        "composite_pk_order_details",
+        # r11 (late): the trained quality classifier's holdout cycle
+        # took the slot composite_pk_order_details held (the join
+        # family keeps seven prefix entries; the composite-PK join
+        # stays oracle-checked in overflow)
+        "docs_quality_model_holdout",
         "timeseries_similar_users",
         # r10: the Newton/IRLS-trained fraud model took the fraud-family
         # slot the fixed-coefficient scorer held (fakestream_fraud_scores

@@ -1,0 +1,320 @@
+"""Trained hashed-token text classifier (X4 adjacency: the canonical
+MODEL-BASED quality filter every large-scale training-data pipeline
+runs — CCNet / GPT-3 / LLaMA all train a fastText-style linear
+classifier on weakly-labeled documents and gate the corpus on its
+score.  The reference's declared ML surface stops at the fraud
+detector (README.md:47-53, trained in fraud.trained_fraud_scores);
+this module is the text-side sibling: a multinomial Naive Bayes
+log-odds model over hashed token features, trained and applied
+entirely in DataFrame algebra — no MLlib, no UDFs, no collect).
+
+Weak supervision: the label is an INTEGER heuristic gate (length /
+stopword / distinct-token inequalities — the cheap rules
+text.quality_score encodes), and the model distills that gate into
+per-token evidence, which is exactly how production quality
+classifiers are bootstrapped (heuristic labels in, learned token
+weights out).
+
+Exactness discipline (the fraud-model / PageRank convention): token
+and document counts are BIGINT sums (order-free, mergeable — the
+count frames union+re-aggregate, so the model is a CONTINUOUS
+AGGREGATE: new batches fold in without retraining); the ONLY float
+arithmetic anywhere is the 2·|vocab|+2 natural logs that turn counts
+into weights, each immediately quantized to micro-units
+(ROUND(x·1e6) AS BIGINT).  Per-document scores are then exact BIGINT
+sums of micro-weights, so the cross-engine hash oracle covers the
+model AND every score bit-for-bit; engines can diverge only where a
+single ln lands within ~1 ulp of a 0.5·1e-6 rounding boundary
+(~1e-8/weight odds — the same bound every ROUND(x*1e6) twin here
+carries).
+
+Scale shape (100 TB): tokenize + hash + label are map-side; training
+is ONE shuffle (groupBy feature, map-side combine, output capped at
+``dim`` rows by construction); the model is <= dim rows (a few MB) so
+scoring BROADCASTS it onto the token stream and pays one doc-keyed
+aggregate.  No all-pairs anywhere, no per-row Python.
+
+Sizing ``dim``: the Laplace mass α·(dim+80) must stay WELL BELOW the
+corpus token count or every weight is crushed toward the class-prior
+drift ln((N_neg+αV)/(N_pos+αV))·n_tok and the at-zero Bayes decision
+collapses to all-negative (measured: dim=65536 over the ~10^4-token
+fixture corpus scores base-rate; dim=256 scores 0.80-0.97 held-out).
+The catalog entries use dim=256 for the fixture corpus; a 100 TB
+corpus (~10^13 tokens) takes the DEFAULT_DIM=65536 production value —
+or 2^20 — with the same headroom.  This is a corpus-sized parameter,
+the timeseries bucket-width discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ultimate_data_engineering_project_spark.operators import text as text_ops
+
+#: Hashed feature space: md5's first 12 hex chars mod DIM — portable
+#: (DuckDB: ('0x' || substr(md5(t), 1, 12))::BIGINT % DIM, the
+#: llm_queries idiom), collision-tolerant by design (hashing trick).
+DEFAULT_DIM = 65_536
+
+#: Micro-unit quantization scale for log-odds weights.
+MICRO = 1_000_000
+
+
+def integer_quality_label(text_col: str = "text") -> Column:
+    """The weak-supervision label: a PURE-INTEGER quality gate (no
+    float thresholds, so the label itself is hash-exact cross-engine).
+    A document is "high quality" when it is long enough, not stopword
+    soup, and not dominated by repetition — the same three signals
+    text.quality_score blends, here as exact inequalities tuned to
+    ~30% positives on the fixture corpus:
+
+        n_tokens >= 16  AND  12*n_stopwords <= n_tokens
+                        AND  15*n_distinct  >= 7*n_tokens
+    """
+    t = text_ops.tokens(F.col(text_col))
+    n_tok = F.size(t).cast("long")
+    n_stop = F.size(
+        F.filter(t, lambda w: w.isin(*text_ops.STOPWORDS))
+    ).cast("long")
+    n_dist = F.size(F.array_distinct(t)).cast("long")
+    return (
+        (n_tok >= 16)
+        & (12 * n_stop <= n_tok)
+        & (15 * n_dist >= 7 * n_tok)
+    ).cast("long")
+
+
+def hashed_feature(tok: Column, dim: int = DEFAULT_DIM) -> Column:
+    """Portable hashing-trick feature id: first 48 md5 bits mod dim
+    (NOT xxhash64 — the oracle must reproduce it; dedup's md5-twin
+    convention)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 12), 16, 10).cast("bigint") % dim
+    )
+
+
+#: Ids dim..dim+79 are reserved for the structural markers below, and
+#: the Laplace smoothing uses this full feature-space size.
+N_MARKER_IDS = 80
+
+
+def structural_marker_features(
+    text_col: str = "text", dim: int = DEFAULT_DIM
+) -> Column:
+    """Three per-document STRUCTURAL features hashed into the same
+    feature space as the tokens (ids dim..dim+79, disjoint from the
+    token ids 0..dim-1) — the fastText recipe of mixing engineered
+    signals with bag-of-words.  Pure word soup carries no token-level
+    label signal (the weak gate is structural), so without these the
+    model degenerates to the base rate; with them it learns which
+    length / stopword / repetition buckets predict quality.
+
+    Bucket granularities are chosen so the gate's integer thresholds
+    fall ON bucket boundaries (16/8 = 2, 96/12 = 8, 30·7/15 = 14),
+    i.e. the signal is representable, which is the whole game in
+    feature engineering.  Buckets are floor(double-division) of small
+    exact integers — bit-identical cross-engine (IEEE division of
+    integers < 2^52 is correctly rounded, and floor of it is exact):
+
+        len_bucket  = least(floor(n_tok / 8), 15)          -> dim+0..15
+        stop_bucket = least(floor(96*n_stop / n_tok), 31)  -> dim+16..47
+        dist_bucket = least(floor(30*n_dist / n_tok), 31)  -> dim+48..79
+    """
+    t = text_ops.tokens(F.col(text_col))
+    n_tok = F.size(t).cast("long")
+    n_stop = F.size(
+        F.filter(t, lambda w: w.isin(*text_ops.STOPWORDS))
+    ).cast("long")
+    n_dist = F.size(F.array_distinct(t)).cast("long")
+
+    def _bucket(num: Column, den: Column, cap: int) -> Column:
+        return F.least(F.floor(num / den).cast("long"), F.lit(cap))
+
+    return F.array(
+        F.lit(dim) + _bucket(n_tok, F.lit(8), 15),
+        F.lit(dim + 16) + _bucket(96 * n_stop, n_tok, 31),
+        F.lit(dim + 48) + _bucket(30 * n_dist, n_tok, 31),
+    )
+
+
+def nb_token_counts(
+    docs: DataFrame,
+    label_col: Column,
+    *,
+    dim: int = DEFAULT_DIM,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-feature class counts — the model's SUFFICIENT STATISTICS:
+    (feature, c_pos, c_neg) with token MULTIPLICITY (multinomial NB).
+    One shuffle, map-side combined, <= dim output rows.  The frame is
+    MERGEABLE: counts from disjoint batches union + re-sum to exactly
+    the full-corpus counts (merge_nb_counts), which is what makes the
+    trained model a continuous aggregate rather than a retrain."""
+    feat = docs.select(
+        label_col.alias("__y"),
+        F.explode(_feature_stream(text_col, dim)).alias("feature"),
+    )
+    return feat.groupBy("feature").agg(
+        F.sum(F.col("__y")).alias("c_pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("c_neg"),
+    )
+
+
+def _feature_stream(text_col: str, dim: int) -> Column:
+    """One array per doc: every token's hashed id (with multiplicity)
+    ++ the three structural marker ids — a single map-side pass."""
+    return F.concat(
+        F.transform(
+            text_ops.tokens(F.col(text_col)),
+            lambda t: hashed_feature(t, dim),
+        ),
+        structural_marker_features(text_col, dim),
+    )
+
+
+def nb_doc_counts(docs: DataFrame, label_col: Column) -> DataFrame:
+    """One-row class priors: (n_pos_docs, n_neg_docs).  Mergeable for
+    the same reason as the token counts."""
+    return docs.select(label_col.alias("__y")).agg(
+        F.sum("__y").alias("n_pos_docs"),
+        F.sum(F.lit(1) - F.col("__y")).alias("n_neg_docs"),
+    )
+
+
+def merge_nb_counts(*count_frames: DataFrame) -> DataFrame:
+    """Fold partial token-count frames into one (union + re-sum —
+    exact, order-free BIGINT adds)."""
+    merged = count_frames[0]
+    for f in count_frames[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("feature").agg(
+        F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg")
+    )
+
+
+def _micro(expr: Column) -> Column:
+    return F.round(expr * MICRO).cast("long")
+
+
+def nb_model(
+    token_counts: DataFrame,
+    doc_counts: DataFrame,
+    *,
+    dim: int = DEFAULT_DIM,
+    alpha: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Turn sufficient statistics into the model:
+
+    weights — (feature, c_pos, c_neg, weight_micro) where
+        w_f = ln(c_pos+α) − ln(N_pos+α·dim) − ln(c_neg+α) + ln(N_neg+α·dim)
+    (Laplace-smoothed multinomial log-likelihood ratio), micro-quantized.
+    The per-term ln shape is LOAD-BEARING: the oracle evaluates the
+    same four-log expression so both engines round the same double.
+
+    stats — one row: class priors, token totals, bias_micro
+    (= ln(n_pos_docs+α) − ln(n_neg_docs+α)) and default_micro (the
+    weight of a feature never seen in training, i.e. c_pos = c_neg = 0
+    through the SAME four-log expression).
+    """
+    tot = token_counts.agg(
+        F.sum("c_pos").alias("__np"), F.sum("c_neg").alias("__nn")
+    )
+    ad = alpha * (dim + N_MARKER_IDS)  # the FULL feature-space size
+
+    def _w(c_pos: Column, c_neg: Column) -> Column:
+        return _micro(
+            F.log(c_pos + F.lit(alpha))
+            - F.log(F.col("__np") + F.lit(ad))
+            - F.log(c_neg + F.lit(alpha))
+            + F.log(F.col("__nn") + F.lit(ad))
+        )
+
+    weights = (
+        token_counts.crossJoin(F.broadcast(tot))  # 1-row stats frame
+        .select(
+            "feature",
+            "c_pos",
+            "c_neg",
+            _w(F.col("c_pos"), F.col("c_neg")).alias("weight_micro"),
+        )
+    )
+    stats = (
+        doc_counts.crossJoin(F.broadcast(tot))  # 1-row x 1-row
+        .select(
+            "n_pos_docs",
+            "n_neg_docs",
+            F.col("__np").alias("n_pos_tokens"),
+            F.col("__nn").alias("n_neg_tokens"),
+            _micro(
+                F.log(F.col("n_pos_docs") + F.lit(alpha))
+                - F.log(F.col("n_neg_docs") + F.lit(alpha))
+            ).alias("bias_micro"),
+            _w(F.lit(0).cast("long"), F.lit(0).cast("long")).alias(
+                "default_micro"
+            ),
+        )
+    )
+    return weights, stats
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: Column,
+    *,
+    dim: int = DEFAULT_DIM,
+    alpha: int = 1,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train end-to-end: sufficient statistics -> (weights, stats)."""
+    return nb_model(
+        nb_token_counts(docs, label_col, dim=dim, text_col=text_col),
+        nb_doc_counts(docs, label_col),
+        dim=dim,
+        alpha=alpha,
+    )
+
+
+def nb_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    stats: DataFrame,
+    *,
+    dim: int = DEFAULT_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document: exact BIGINT sum of micro-weights over
+    token occurrences (+ bias), predicted = score > 0.  The model is
+    <= dim rows -> BROADCAST join onto the exploded token stream; the
+    one shuffle is the doc-keyed aggregate."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(_feature_stream(text_col, dim)).alias("feature"),
+    )
+    scored = (
+        tok.join(F.broadcast(weights.select("feature", "weight_micro")),
+                 "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_feat"),
+            F.sum("weight_micro").alias("__w_sum"),
+            F.sum(
+                F.when(F.col("weight_micro").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__n_miss"),
+        )
+        .crossJoin(F.broadcast(stats.select("bias_micro", "default_micro")))
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(F.col("__w_sum"), F.lit(0).cast("long"))
+                + F.col("__n_miss") * F.col("default_micro")
+                + F.col("bias_micro")
+            ).alias("score_micro"),
+        )
+        .withColumn(
+            "predicted", (F.col("score_micro") > 0).cast("long")
+        )
+    )
+    return scored

@@ -173,7 +173,15 @@ _PRIORITY = [
     "training_sequence_packing",
     "decontamination_check",
     "docs_pii_redaction",
-    "composite_pk_order_details",
+    # r11 (late): the TRAINED quality classifier's full train/apply
+    # cycle — the fastText-style model-based corpus filter, the one
+    # canonical LLM-pipeline op the catalog lacked (hashed-token +
+    # structural-marker NB log-odds, exact-integer scores, held-out
+    # half hash-checked with predictions AND labels).  Takes the slot
+    # composite_pk_order_details held (the join family keeps seven
+    # prefix entries; the composite-PK join stays oracle-checked in
+    # overflow + strict parity)
+    "docs_quality_model_holdout",
     "timeseries_similar_users",
     "docs_prep_pipeline",
     # r9: the round-8 flagship families take prefix slots so the
@@ -227,6 +235,11 @@ _PRIORITY = [
     # BPE token-frequency entry ceded its prefix slot to the
     # corpus-scale encode (which trains the same vocab first)
     "docs_bpe_token_freq",
+    # composite-PK join ceded its slot to the trained quality
+    # classifier; the full-corpus weights face of that model is also
+    # oracle-checked here
+    "composite_pk_order_details",
+    "docs_quality_model_weights",
     "docs_text_stats",
     "sessionize_events",
     "fakestream_fraud_scores",

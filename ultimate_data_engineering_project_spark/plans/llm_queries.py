@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ultimate_data_engineering_project_spark.operators import (
+    classifier,
     clustering,
     dedup,
     similarity,
@@ -2699,4 +2700,167 @@ def docs_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         gated.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (operators/classifier.py) — the
+# fastText-style model-based corpus filter (X4/X7 adjacency: the text
+# sibling of fraud.trained_fraud_scores).  ONE label expression feeds
+# the Spark plan and the SQL oracle so they cannot drift.
+
+# dim sized to the fixture corpus (~10^4 tokens): the Laplace mass
+# α·(dim+80) must stay well below the corpus token count or the at-zero
+# Bayes decision collapses to all-negative (classifier.py module
+# docstring; measured 0.80/0.97 held-out accuracy at dim=256 vs
+# base-rate at 65536).  A 100 TB corpus takes DEFAULT_DIM or 2^20.
+_NB_DIM = 256
+
+# y: the pure-integer weak-supervision gate (classifier.integer_quality_label)
+_NB_LABEL_SQL = f"""
+        CASE WHEN LENGTH(string_split(text, ' ')) >= 16
+              AND 12 * LENGTH(list_filter(string_split(text, ' '),
+                              w -> w IN ({_STOPWORD_LIST})))
+                  <= LENGTH(string_split(text, ' '))
+              AND 15 * LENGTH(list_distinct(string_split(text, ' ')))
+                  >= 7 * LENGTH(string_split(text, ' '))
+             THEN 1 ELSE 0 END
+"""
+
+# The four-log weight expression — the EXACT shape nb_model evaluates,
+# so both engines round the same double into micro-units.  Smoothing
+# uses the FULL feature-space size (token ids + the 48 marker ids).
+_NB_V = _NB_DIM + classifier.N_MARKER_IDS
+_NB_W_SQL = (
+    "CAST(ROUND((ln(c_pos + 1) - ln(np + {v}) - ln(c_neg + 1)"
+    " + ln(nn + {v})) * 1000000) AS BIGINT)"
+).format(v=_NB_V)
+
+# Feature stream: every token's hashed id (with multiplicity) UNION ALL
+# the three structural marker ids per doc (classifier._feature_stream's
+# twin — the fastText tokens+signals recipe; marker buckets are
+# floor(double-division) of small exact integers, bit-identical
+# cross-engine).
+_NB_CNT_CTES = f"""
+    lab AS (
+        SELECT doc_id, text, {_NB_LABEL_SQL} AS y FROM documents
+    ),
+    labf AS (
+        SELECT doc_id, y,
+               CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(LENGTH(list_filter(string_split(text, ' '),
+                           w -> w IN ({_STOPWORD_LIST}))) AS BIGINT) AS n_stop,
+               CAST(LENGTH(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_dist
+        FROM lab
+    ),
+    tok AS (
+        SELECT doc_id, y, unnest(string_split(text, ' ')) AS tok FROM lab
+    ),
+    feat AS (
+        SELECT doc_id, y,
+               ('0x' || substr(md5(tok), 1, 12))::BIGINT % {_NB_DIM} AS feature
+        FROM tok
+        UNION ALL
+        SELECT doc_id, y, marker AS feature
+        FROM labf, UNNEST([
+            {_NB_DIM} + LEAST(CAST(FLOOR(n_tok / 8) AS BIGINT), 15),
+            {_NB_DIM} + 16 + LEAST(CAST(FLOOR(96 * n_stop / n_tok) AS BIGINT), 31),
+            {_NB_DIM} + 48 + LEAST(CAST(FLOOR(30 * n_dist / n_tok) AS BIGINT), 31)
+        ]) AS u(marker)
+    )
+"""
+
+
+@register(
+    "docs_quality_model_weights",
+    oracle=f"""
+    WITH {_NB_CNT_CTES},
+    cnt AS (
+        SELECT feature,
+               CAST(SUM(y) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - y) AS BIGINT) AS c_neg
+        FROM feat GROUP BY feature
+    ),
+    tot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn FROM cnt)
+    SELECT feature, c_pos, c_neg, {_NB_W_SQL} AS weight_micro
+    FROM cnt, tot
+    """,
+)
+def docs_quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED hashed-token quality model (X4 model-based filter —
+    the fastText-classifier step of CCNet/GPT-3-style pipelines,
+    distilling the integer heuristic gate into per-token log-odds):
+    every learned weight hash-checked, counts and all.  Training is one
+    map-side-combined shuffle capped at dim=65536 output rows; the only
+    floats are the per-feature logs, micro-quantized on the spot
+    (operators/classifier.py — the fraud-model exactness discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weights, _ = classifier.nb_train(
+        docs, classifier.integer_quality_label(), dim=_NB_DIM
+    )
+    return weights
+
+
+@register(
+    "docs_quality_model_holdout",
+    oracle=f"""
+    WITH {_NB_CNT_CTES},
+    cnt AS (
+        SELECT feature,
+               CAST(SUM(y) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - y) AS BIGINT) AS c_neg
+        FROM feat
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        GROUP BY feature
+    ),
+    tot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn FROM cnt),
+    w AS (SELECT feature, {_NB_W_SQL} AS wm FROM cnt, tot),
+    dstat AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS npd,
+               CAST(SUM(1 - y) AS BIGINT) AS nnd
+        FROM lab
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+    ),
+    consts AS (
+        SELECT
+            CAST(ROUND((ln(npd + 1) - ln(nnd + 1)) * 1000000) AS BIGINT)
+                AS bias,
+            CAST(ROUND((ln(0 + 1) - ln(np + {_NB_V}) - ln(0 + 1)
+                        + ln(nn + {_NB_V})) * 1000000) AS BIGINT)
+                AS dflt
+        FROM dstat, tot
+    )
+    SELECT f.doc_id,
+           CAST(SUM(COALESCE(w.wm, c.dflt)) + MIN(c.bias) AS BIGINT)
+               AS score_micro,
+           CAST(CASE WHEN SUM(COALESCE(w.wm, c.dflt)) + MIN(c.bias) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+           CAST(f.y AS BIGINT) AS label
+    FROM feat f LEFT JOIN w USING (feature), consts c
+    WHERE substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) >= '8000'
+    GROUP BY f.doc_id, f.y
+    """,
+)
+def docs_quality_model_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZATION of the trained quality model: train on the
+    md5-split half of the corpus (the training_mixture_sample idiom —
+    deterministic, engine-portable), score the HELD-OUT half, return
+    every held-out doc's exact integer score, prediction, and true
+    label — so the hash gate covers the full train/apply cycle and the
+    confusion matrix is derivable from the checked rows.  Scoring
+    BROADCASTS the <=65536-row model onto the token stream; the one
+    shuffle is the doc-keyed sum (exact BIGINT micro-unit adds)."""
+    from ultimate_data_engineering_project_spark.functions.scalar import (
+        md5_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = classifier.integer_quality_label()
+    train = docs.filter(md5_bucket("doc_id") < "8000")
+    test = docs.filter(md5_bucket("doc_id") >= "8000")
+    weights, stats = classifier.nb_train(train, label, dim=_NB_DIM)
+    return classifier.nb_score(test, weights, stats, dim=_NB_DIM).join(
+        test.select("doc_id", label.alias("label")), "doc_id"
     )
