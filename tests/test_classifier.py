@@ -180,3 +180,64 @@ def test_score_join_broadcasts_model(spark, sf_dir):
     p = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, p
+
+
+def test_incremental_model_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed sufficient statistics derive a model BIT-IDENTICAL
+    to one-shot training on the same corpus (exact BIGINT partials —
+    the continuous-aggregate contract), and before_batch replays the
+    model at a batch boundary == training on just that prefix."""
+    from ultimate_data_engineering_project_spark.sources.readers import (
+        load_table,
+    )
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_incremental_quality_model_stream,
+    )
+
+    dim = 256
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    third = n // 3
+    src = str(tmp_path / "docs_src")
+    for i, (lo, hi) in enumerate(
+        [(0, third), (third, 2 * third), (2 * third, n)]
+    ):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(src + f"/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    counts_dir = str(tmp_path / "nb_counts")
+    dstats_dir = str(tmp_path / "nb_dstats")
+    q = run_incremental_quality_model_stream(
+        spark, stream, counts_dir, dstats_dir, str(tmp_path / "ckpt"),
+        dim=dim,
+    )
+    q.awaitTermination(300)
+
+    label = classifier.integer_quality_label()
+
+    def model_key(pair):
+        weights, stats = pair
+        return (
+            sorted(map(tuple, weights.collect())),
+            [tuple(r) for r in stats.collect()],
+        )
+
+    inc = classifier.nb_model_from_partials(
+        spark, counts_dir, dstats_dir, dim=dim
+    )
+    full = classifier.nb_train(docs, label, dim=dim)
+    assert model_key(inc) == model_key(full)
+
+    # time travel: model as of batch 1 == one-shot train on batch 0
+    prefix = classifier.nb_model_from_partials(
+        spark, counts_dir, dstats_dir, dim=dim, before_batch=1
+    )
+    first = classifier.nb_train(
+        docs.filter(F.col("doc_id") < third), label, dim=dim
+    )
+    assert model_key(prefix) == model_key(first)

@@ -274,6 +274,43 @@ def nb_train(
     )
 
 
+def nb_model_from_partials(
+    spark,
+    counts_dir: str,
+    dstats_dir: str,
+    *,
+    dim: int = DEFAULT_DIM,
+    alpha: int = 1,
+    before_batch: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Derive the model from the per-batch partials a
+    run_incremental_quality_model_stream left on disk (immutable
+    ``batch=<id>`` partitions — the incremental-BM25 layout): merge
+    the token-count partials (one groupBy), sum the doc-count
+    partials, hand both to nb_model.  Because the statistics are
+    exact BIGINT sums, the result is BIT-IDENTICAL to training on the
+    full corpus in one batch — the stream buys incrementality for
+    free, no retrain, no drift.
+
+    ``before_batch`` replays the model as of a batch boundary (the
+    BM25 ``before_batch`` time-travel contract): only partials with
+    batch < before_batch participate.
+    """
+    counts = spark.read.parquet(counts_dir)
+    dstats = spark.read.parquet(dstats_dir)
+    if before_batch is not None:
+        counts = counts.filter(F.col("batch") < before_batch)
+        dstats = dstats.filter(F.col("batch") < before_batch)
+    token_counts = counts.groupBy("feature").agg(
+        F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg")
+    )
+    doc_counts = dstats.agg(
+        F.sum("n_pos_docs").alias("n_pos_docs"),
+        F.sum("n_neg_docs").alias("n_neg_docs"),
+    )
+    return nb_model(token_counts, doc_counts, dim=dim, alpha=alpha)
+
+
 def nb_score(
     docs: DataFrame,
     weights: DataFrame,

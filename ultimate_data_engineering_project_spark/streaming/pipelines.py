@@ -1342,6 +1342,64 @@ def run_incremental_bm25_stream(
     return writer.start()
 
 
+def run_incremental_quality_model_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    counts_dir: str,
+    dstats_dir: str,
+    checkpoint: str,
+    *,
+    dim: int | None = None,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """The CONTINUOUS-AGGREGATE face of the trained quality classifier
+    (operators/classifier.py): arriving documents fold into the
+    model's sufficient statistics per micro-batch, so the corpus
+    filter stays current without ever re-tokenizing history — the
+    model is literally a mergeable aggregate, not a retrain.
+
+    Per batch (foreachBatch — cross-batch state IS the on-disk
+    partials): the batch's (feature, c_pos, c_neg) token counts land
+    under ``counts_dir/batch=<id>`` and its ONE doc-count row under
+    ``dstats_dir/batch=<id>``.  Immutable per-batch partials, never
+    update-in-place: a crash-replayed batch overwrites its own
+    ``batch=<id>`` partitions and nothing else (the BM25/dedup-stream
+    replay-idempotence rule).  classifier.nb_model_from_partials
+    derives weights from any prefix of batches — bit-identical to a
+    one-shot train on the same documents (exact BIGINT statistics),
+    pinned by the stream test.
+
+    Scale: each batch pays one map-side-combined shuffle capped at
+    ``dim`` output rows; deriving the model reads |batches| x <=dim
+    partial rows — independent of corpus size.
+    """
+    from ultimate_data_engineering_project_spark.operators import (
+        classifier as _clf,
+    )
+
+    n_dim = _clf.DEFAULT_DIM if dim is None else dim
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(text_col).localCheckpoint(eager=True)
+        label = _clf.integer_quality_label(text_col)
+        _clf.nb_token_counts(
+            batch_df, label, dim=n_dim, text_col=text_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"batch={batch_id}")
+        )
+        _clf.nb_doc_counts(batch_df, label).write.mode("overwrite").parquet(
+            os.path.join(dstats_dir, f"batch={batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_incremental_span_stream(
     spark: SparkSession,
     docs: DataFrame,
