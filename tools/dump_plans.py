@@ -58,6 +58,7 @@ QUERIES = [
     ("running_total_by_customer_auto", "skew-aware dispatch: one pruned key-column probe (map-side-combined groupBy, memoized) picks the plain single-window plan here (uniform data) — the chunked recomposition only under a hot key"),
     ("ann_lsh_recall_audit", "recall audit: brute-force exact top-k (broadcast queries, one corpus scan) left-joined to the LSH candidate set — every missed neighbor a visible captured=0 row"),
     ("docs_bpe_encode", "corpus-scale BPE apply: posexplode + vocab equi-join + ordered aggregate — ONE wave whose shape is independent of merge depth"),
+    ("docs_quality_model_holdout", "trained quality classifier: ONE feature-keyed count shuffle (map-side combine, <=dim output rows) trains; the <=dim-row model BROADCASTS onto the held-out token stream; one doc-keyed exact BIGINT sum scores"),
 ]
 
 

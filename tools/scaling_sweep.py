@@ -87,6 +87,12 @@ ENTRIES = [
     # share escalates to chunked from sf1 up (the sf10 regime where
     # chunked is 3x faster absolute); plain below the toy floor
     "events_value_anomalies_auto",
+    # r11 (late): the trained quality classifier's full train/apply
+    # cycle — two corpus passes (one feature-keyed count shuffle with
+    # map-side combine capped at dim output rows, one broadcast-scored
+    # doc-keyed sum); the decade should track corpus rows with no
+    # superlinear term (the model never leaves broadcast size)
+    "docs_quality_model_holdout",
 ]
 N_RUNS = 2
 

@@ -319,19 +319,28 @@ def nb_score(
     dim: int = DEFAULT_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Score every document: exact BIGINT sum of micro-weights over
     token occurrences (+ bias), predicted = score > 0.  The model is
     <= dim rows -> BROADCAST join onto the exploded token stream; the
-    one shuffle is the doc-keyed aggregate."""
+    one shuffle is the doc-keyed aggregate.
+
+    ``passthrough`` columns (e.g. the true label for an evaluation
+    frame) are computed map-side in the SAME select as the feature
+    explode and carried through the aggregate as grouping keys — NOT
+    joined back afterwards, which would be a second corpus-scale
+    shuffle on doc_id."""
+    extra = passthrough or {}
     tok = docs.select(
         F.col(id_col),
+        *[c.alias(name) for name, c in extra.items()],
         F.explode(_feature_stream(text_col, dim)).alias("feature"),
     )
     scored = (
         tok.join(F.broadcast(weights.select("feature", "weight_micro")),
                  "feature", "left")
-        .groupBy(id_col)
+        .groupBy(id_col, *extra.keys())
         .agg(
             F.count(F.lit(1)).alias("__n_feat"),
             F.sum("weight_micro").alias("__w_sum"),
@@ -349,6 +358,7 @@ def nb_score(
                 + F.col("__n_miss") * F.col("default_micro")
                 + F.col("bias_micro")
             ).alias("score_micro"),
+            *extra.keys(),
         )
         .withColumn(
             "predicted", (F.col("score_micro") > 0).cast("long")

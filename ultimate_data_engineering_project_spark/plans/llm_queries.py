@@ -2861,6 +2861,9 @@ def docs_quality_model_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(md5_bucket("doc_id") < "8000")
     test = docs.filter(md5_bucket("doc_id") >= "8000")
     weights, stats = classifier.nb_train(train, label, dim=_NB_DIM)
-    return classifier.nb_score(test, weights, stats, dim=_NB_DIM).join(
-        test.select("doc_id", label.alias("label")), "doc_id"
-    )
+    # the true label rides THROUGH the scoring aggregate (map-side
+    # passthrough), not joined back on doc_id afterwards — that join
+    # would be a second corpus-scale shuffle
+    return classifier.nb_score(
+        test, weights, stats, dim=_NB_DIM, passthrough={"label": label}
+    ).select("doc_id", "score_micro", "predicted", "label")
