@@ -181,3 +181,22 @@ def test_semantic_dedup_plan_is_cluster_keyed(spark, sf_dir):
 
     exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert exchanges and all("cluster_id" in e for e in exchanges), plan
+
+
+def test_ivf_recall_audit_floor_and_structure(spark, sf_dir):
+    """The int-IVF recall audit (the third audit-family member) must
+    carry the full exact top-5 truth (5 queries x 5 rows) and a recall
+    floor — IVF misses are structural (a true neighbor in an unprobed
+    list), so the floor documents what nprobe=2 of 8 lists buys."""
+    from ultimate_data_engineering_project_spark.plans.catalog import catalog
+
+    rows = catalog()["ann_ivf_recall_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25, len(rows)
+    assert {r.query_id for r in rows} == set(range(5))
+    recall = sum(r.captured for r in rows) / len(rows)
+    assert recall >= 0.85, recall
+    # every rank 1..5 present per query — the truth side is complete
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.rank)
+    assert all(v == {1, 2, 3, 4, 5} for v in by_q.values()), by_q

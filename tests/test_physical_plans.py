@@ -109,11 +109,12 @@ def test_incremental_filter_pushdown(spark, sf_dir, tmp_path):
 #   timeseries pair joins broadcast a small-cardinality entity set.
 NESTED_LOOP_ALLOWED = {
     "cosine_topk_bruteforce",
-    # r11: the recall audit's exact-truth half IS the brute-force scan
+    # r11: the recall audits' exact-truth half IS the brute-force scan
     # (5 broadcast queries x corpus, the same bounded nested loop as
-    # cosine_topk_bruteforce); the LSH candidate half stays a bucketed
-    # equi-join
+    # cosine_topk_bruteforce); the candidate halves stay equi-joins
+    # (LSH: bucketed band keys; IVF: inverted-list cluster_id)
     "ann_lsh_recall_audit",
+    "ann_ivf_recall_audit",
     "knn_label_vote",
     "fakestream_dq_report",
     "filter_recent_window",
@@ -146,6 +147,13 @@ NESTED_LOOP_ALLOWED = {
     # corpus-count broadcast crossJoin (scalar-subquery family, same
     # as the boilerplate gate's relative form)
     "docs_rare_gram_gate",
+    # r11 trained quality classifier: token totals (weights), class
+    # priors (stats), and bias/default at scoring are each a 1-ROW
+    # broadcast crossJoin (scalar-subquery family — the fraud-model
+    # coefficient pattern); the model join itself is a broadcast HASH
+    # join, plan-tested in tests/test_classifier.py
+    "docs_quality_model_weights",
+    "docs_quality_model_holdout",
 }
 
 # fn() itself runs jobs (k-means training) — too heavy for a plan sweep

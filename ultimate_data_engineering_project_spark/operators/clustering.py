@@ -344,3 +344,62 @@ def cluster_summary(assigned: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("dist2").cast("decimal(38,0)")).alias("inertia"),
     )
+
+
+def ivf_candidates_int(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Portable INT-centroid IVF candidate generation (the recall-audit
+    twin of similarity.ivf_topk's float path, the ann_topk_lsh_int
+    convention): deterministic init + ONE integer Lloyd refine gives
+    centroids both engines derive bit-identically; every vector lands
+    in exactly one inverted list (the kmeans_lloyd_refine_int
+    assignment); each query probes its ``n_probe`` exact-int-nearest
+    lists.  Returns (query_id, neighbor_id) — the candidate set whose
+    misses the recall audit exposes row by row.
+
+    Scale shape: index build is the Lloyd pipeline (corpus maps + one
+    k·dim aggregate, corpus never shuffled on its own key); probing
+    BROADCASTS the query→list expansion onto the index (the
+    ivf_probe_index serving shape).  Ties everywhere break to the
+    lowest cid — array_sort on struct<dist2,cid> matches the oracle's
+    ORDER BY dist2, cid."""
+    cents0 = init_centroids(corpus, n_lists, id_col, vec_col)
+    assigned = assign_clusters(corpus, cents0, id_col, vec_col)
+    cents1 = collect_centroids(lloyd_step(assigned), cents0)
+    index = assign_clusters(corpus, cents1, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cluster_id"
+    )
+    cents_lit = _lit_int_matrix(cents1)
+    qv = quantize_vec(F.col(vec_col))
+    ranked = F.array_sort(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(
+                _dist2_int(qv, c).alias("dist2"),
+                i.cast("long").alias("cid"),
+            ),
+        )
+    )
+    probed = (
+        corpus.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(ranked, 1, n_probe), lambda s: s["cid"]
+                )
+            ).alias("cluster_id"),
+        )
+    )
+    return (
+        index.join(F.broadcast(probed), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
