@@ -216,6 +216,16 @@ def nb_model(
     weight of a feature never seen in training, i.e. c_pos = c_neg = 0
     through the SAME four-log expression).
     """
+    # The sufficient statistics are <= dim+80 rows but their lineage is
+    # a full corpus scan; the totals agg, the weights projection, the
+    # stats row, AND the scoring broadcast each re-evaluate that
+    # lineage as separate jobs — measured 4-5 corpus re-tokenizations
+    # per train/score cycle (a flat ~5s at sf0.1 AND sf1, all fixed
+    # overhead).  One eager localCheckpoint of the TINY frame pins a
+    # single materialization that every consumer reuses — the
+    # _blocked_candidate_pairs discipline.
+    token_counts = token_counts.localCheckpoint(eager=True)
+    doc_counts = doc_counts.localCheckpoint(eager=True)
     tot = token_counts.agg(
         F.sum("c_pos").alias("__np"), F.sum("c_neg").alias("__nn")
     )
