@@ -1250,3 +1250,64 @@ def test_avro_evolution_enum_fixed_union(spark):
 
     with pytest.raises(ConnectionError, match="schemas/ids/9"):
         registry.fetch_schema("http://reg:8081", 9, opener=boom)
+
+
+def test_avro_evolution_type_promotions(spark):
+    """The resolution rules' TYPE PROMOTIONS (late r11): a writer
+    int/string/float field decodes through a reader that widened it to
+    long/bytes/double, converters applied to the surfaced value (None
+    passes through nullable fields).  Narrowing and logical-annotated
+    wires still refuse loudly — promoting a `date` int to long would
+    silently change semantics, not representation."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    def schema(x_t, s_t, f_t, opt_t):
+        return _json.dumps({
+            "type": "record", "name": "r", "fields": [
+                {"name": "x", "type": x_t},
+                {"name": "s", "type": s_t},
+                {"name": "f", "type": f_t},
+                {"name": "opt", "type": ["null", opt_t], "default": None},
+            ],
+        })
+
+    v1 = schema("int", "string", "float", "int")
+    v2 = schema("long", "bytes", "double", "long")
+    reader_fields, writers = avro_py.build_writer_aligners({1: v1, 2: v2}, v2)
+    wf1, align1 = writers[1]
+    wf2, align2 = writers[2]
+
+    old = avro_py.encode_record((7, "hé", 1.5, 3), wf1)
+    got = tuple(align1(avro_py.decode_record(old, wf1)))
+    assert got == (7, "hé".encode("utf-8"), 1.5, 3)
+    assert isinstance(got[1], bytes) and isinstance(got[2], float)
+
+    none_row = avro_py.encode_record((1, "a", 0.5, None), wf1)
+    assert tuple(align1(avro_py.decode_record(none_row, wf1)))[3] is None
+
+    new = avro_py.encode_record((8, b"\xff\x00", 2.5, 9), wf2)
+    assert tuple(align2(avro_py.decode_record(new, wf2))) == (
+        8, b"\xff\x00", 2.5, 9
+    )
+
+    # bytes -> string promotes too (spec: string <-> bytes, UTF-8)
+    v_b = schema("int", "bytes", "float", "int")
+    v_s = schema("int", "string", "float", "int")
+    _, wr = avro_py.build_writer_aligners({1: v_b, 2: v_s}, v_s)
+    wfb, alignb = wr[1]
+    rb = avro_py.encode_record((1, "héllo".encode("utf-8"), 0.5, None), wfb)
+    assert tuple(alignb(avro_py.decode_record(rb, wfb)))[1] == "héllo"
+
+    # NARROWING refuses: a long writer cannot resolve to an int reader
+    with _pytest.raises(ValueError, match="mismatch"):
+        avro_py.build_writer_aligners({1: v2, 2: v1}, v1)
+
+    # logical-annotated wires do not promote: date (int wire) -> long
+    v_date = schema({"type": "int", "logicalType": "date"},
+                    "string", "float", "int")
+    with _pytest.raises(ValueError, match="mismatch"):
+        avro_py.build_writer_aligners({1: v_date, 2: v2}, v2)

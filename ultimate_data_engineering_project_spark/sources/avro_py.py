@@ -42,12 +42,15 @@ REMOVED from the reader still refuses loudly, the history may carry
 it), unions whose reader branch set is a superset of the writer's
 (reordering included; the surfaced memberN positions re-index to the
 reader's layout), non-union writers against reader unions containing
-their type, and single-branch union wrappers (wire keeps the index
-varint).  Remaining out-of-scope, loud at plan time: resized fixeds,
-changed layouts of a MATCHED union branch (e.g. an enum widened
-INSIDE a multi-type union), evolved container item/value types, type
-promotions (int->long etc.), and non-null field defaults beyond
-primitives.  For those, use the spark-avro package (the
+their type, single-branch union wrappers (wire keeps the index
+varint), and — late r11 — the resolution rules' TYPE PROMOTIONS for
+plain primitives (int->long/float/double, long->float/double,
+float->double, string<->bytes; logical annotations deliberately do
+not promote).  Remaining out-of-scope, loud at plan time: resized
+fixeds, changed layouts of a MATCHED union branch (e.g. an enum
+widened INSIDE a multi-type union), promotions inside multi-branch
+unions, evolved container item/value types, and non-null field
+defaults beyond primitives.  For those, use the spark-avro package (the
 ``decode_confluent_avro`` path); this codec exists so the CDC
 pipeline is testable and oracle-checkable end to end in environments
 without it.
@@ -1287,6 +1290,37 @@ def _union_view(branches: tuple) -> tuple:
     return branches, tuple(b for b in branches if b != "null")
 
 
+#: Avro resolution-rule type promotions (spec "Schema Resolution"):
+#: writer primitive -> reader primitive, with the converter applied to
+#: the SURFACED value (None passes through — nullable fields).  Only
+#: PLAIN primitives promote; a logical annotation on either side keeps
+#: the strict equality path (promoting e.g. a timestamp-micros long to
+#: double would silently change semantics, not representation).
+_PROMOTIONS = {
+    ("int", "long"): lambda v: v,
+    ("int", "float"): lambda v: None if v is None else float(v),
+    ("int", "double"): lambda v: None if v is None else float(v),
+    ("long", "float"): lambda v: None if v is None else float(v),
+    ("long", "double"): lambda v: None if v is None else float(v),
+    ("float", "double"): lambda v: v,  # decoded float32 is a Python float
+    ("string", "bytes"): lambda v: None if v is None else v.encode("utf-8"),
+    ("bytes", "string"): lambda v: None if v is None else v.decode("utf-8"),
+}
+
+
+def _promotion(wb, rb):
+    """Converter for a writer->reader primitive promotion, or None.
+    Both sides must be PLAIN primitive strings (in _PRIMITIVES, no
+    logical annotation) — `int` is promotable, `date` (an int wire)
+    is not."""
+    if (
+        isinstance(wb, str) and isinstance(rb, str)
+        and wb in _PRIMITIVES and rb in _PRIMITIVES
+    ):
+        return _PROMOTIONS.get((wb, rb))
+    return None
+
+
 def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
                 *, key):
     """Resolution plan for one shared field (writer wf -> reader rf):
@@ -1306,9 +1340,16 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
       * a non-union writer resolves against a reader union containing
         its type (and vice versa for single-branch wrappers).
 
+      * single plain-primitive branches follow the resolution rules'
+        TYPE PROMOTIONS (int->long/float/double, long->float/double,
+        float->double, string<->bytes) with the converter applied to
+        the surfaced value; logical annotations do NOT promote — the
+        wire would convert but the semantics would not.
+
     Still refused: resized fixeds, changed layouts of a MATCHED union
-    branch (an enum widened inside a multi-type union), and evolved
-    container item/value types — identical layouts only."""
+    branch (an enum widened inside a multi-type union), promotions
+    INSIDE multi-branch unions, and evolved container item/value
+    types — identical layouts only."""
     wb, rb = wf.value_type, rf.value_type
     if wf.branches == rf.branches or (
         wf.branches == (rb,) and rf.nullable
@@ -1333,6 +1374,12 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
                 f"writer schema {sid}: field {where!r} is nullable in the "
                 "writer but required in the reader"
             )
+        # type promotion (resolution rules): single PLAIN primitive
+        # branch on both sides, writer promotable to reader
+        if len(w_nn) == 1 and len(r_nn) == 1:
+            conv = _promotion(w_nn[0], r_nn[0])
+            if conv is not None:
+                return ("map", key, (key, conv))
         # enum evolution: writer symbols (by name) within the reader's
         if (
             len(w_nn) == 1 and len(r_nn) == 1
