@@ -1110,7 +1110,9 @@ def test_avro_evolution_enum_fixed_union(spark):
     and a non-union writer resolves against a reader union containing
     its type.  Still refused at plan time, never decoding garbage: a
     resized fixed, a retyped union, a NARROWED reader enum (the topic
-    history may carry the removed symbol), and a changed layout of a
+    history may carry the removed symbol) — while (late r11) a widened
+    enum INSIDE a union aligns; the refusal below pins a changed
+    layout of a
     matched union branch."""
     import json as _json
 
@@ -1183,17 +1185,20 @@ def test_avro_evolution_enum_fixed_union(spark):
             {1: v1, 3: schema(symbols=("c", "u"))},
             schema(symbols=("c", "u")),
         )
-    # changed layout of a MATCHED union branch (enum widened INSIDE a
-    # multi-type union) stays out of scope
+    # late r11: an enum widened INSIDE a multi-type union now ALIGNS
+    # (writer symbols within the reader's, matched by name — the
+    # Debezium ALTER TYPE case; full coverage in
+    # test_avro_evolution_enum_widened_inside_union)
     in_union_1 = schema(union=("null", "long",
                                {"type": "enum", "name": "E",
                                 "symbols": ["a"]}))
     in_union_2 = schema(union=("null", "long",
                                {"type": "enum", "name": "E",
                                 "symbols": ["a", "b"]}))
-    with pytest.raises(ValueError, match="changed layout"):
-        avro_py.build_writer_aligners({1: in_union_1, 2: in_union_2},
-                                      in_union_2)
+    _, wr_union = avro_py.build_writer_aligners(
+        {1: in_union_1, 2: in_union_2}, in_union_2
+    )
+    assert set(wr_union) == {1, 2}
     """The registry lookup half of the CDC decode (S13): URL shape,
     Confluent basic-auth header, response parsing, and loud error
     mapping — all driven through an injected transport (no live
@@ -1311,3 +1316,52 @@ def test_avro_evolution_type_promotions(spark):
                     "string", "float", "int")
     with _pytest.raises(ValueError, match="mismatch"):
         avro_py.build_writer_aligners({1: v_date, 2: v2}, v2)
+
+
+def test_avro_evolution_enum_widened_inside_union(spark):
+    """An enum widened INSIDE a multi-type union (Debezium ALTER TYPE
+    ... ADD VALUE on a union-typed status column — the exact case the
+    round-10 scope note called out): the union matcher pairs the enum
+    branch by name, accepts writer symbols within the reader's, and
+    the memberN layout re-indexes as usual.  A symbol REMOVED from the
+    reader still refuses — the topic history may carry it."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    def schema(symbols):
+        return _json.dumps({
+            "type": "record", "name": "r", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "u", "type": ["null", "long", {
+                    "type": "enum", "name": "Status",
+                    "symbols": list(symbols)}], "default": None},
+            ],
+        })
+
+    v1 = schema(["pending", "paid"])
+    v2 = schema(["pending", "paid", "refunded"])
+    reader_fields, writers = avro_py.build_writer_aligners({1: v1, 2: v2}, v2)
+    wf1, align1 = writers[1]
+    wf2, align2 = writers[2]
+
+    old_enum = avro_py.encode_record((1, {"member1": "paid"}), wf1)
+    assert tuple(align1(avro_py.decode_record(old_enum, wf1))) == (
+        1, {"member1": "paid"}
+    )
+    old_long = avro_py.encode_record((2, {"member0": 99}), wf1)
+    assert tuple(align1(avro_py.decode_record(old_long, wf1))) == (
+        2, {"member0": 99}
+    )
+    old_null = avro_py.encode_record((3, None), wf1)
+    assert tuple(align1(avro_py.decode_record(old_null, wf1))) == (3, None)
+    new = avro_py.encode_record((4, {"member1": "refunded"}), wf2)
+    assert tuple(align2(avro_py.decode_record(new, wf2))) == (
+        4, {"member1": "refunded"}
+    )
+
+    # symbol REMOVED from the reader refuses at plan time
+    with _pytest.raises(ValueError, match="changed layout"):
+        avro_py.build_writer_aligners({1: v2, 2: v1}, v1)

@@ -46,9 +46,11 @@ their type, single-branch union wrappers (wire keeps the index
 varint), and — late r11 — the resolution rules' TYPE PROMOTIONS for
 plain primitives (int->long/float/double, long->float/double,
 float->double, string<->bytes; logical annotations deliberately do
-not promote).  Remaining out-of-scope, loud at plan time: resized
-fixeds, changed layouts of a MATCHED union branch (e.g. an enum
-widened INSIDE a multi-type union), promotions inside multi-branch
+not promote) — and an enum widened INSIDE a multi-type union aligns
+by the same name/subset rule (the matcher pairs enum branches by
+name).  Remaining out-of-scope, loud at plan time: resized fixeds,
+other changed layouts of a MATCHED union branch (a record or
+container branch that evolved), promotions inside multi-branch
 unions, evolved container item/value types, and non-null field
 defaults beyond primitives.  For those, use the spark-avro package (the
 ``decode_confluent_avro`` path); this codec exists so the CDC
@@ -1347,9 +1349,9 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
         wire would convert but the semantics would not.
 
     Still refused: resized fixeds, changed layouts of a MATCHED union
-    branch (an enum widened inside a multi-type union), promotions
-    INSIDE multi-branch unions, and evolved container item/value
-    types — identical layouts only."""
+    branch OTHER than a name/subset-widened enum, promotions INSIDE
+    multi-branch unions, and evolved container item/value types —
+    identical layouts otherwise."""
     wb, rb = wf.value_type, rf.value_type
     if wf.branches == rf.branches or (
         wf.branches == (rb,) and rf.nullable
@@ -1410,11 +1412,25 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
                 )
             j, rb2 = ent
             if b != rb2:
-                raise ValueError(
-                    f"writer schema {sid}: field {where!r} type mismatch "
-                    f"— matched union branch changed layout "
-                    f"({b!r} vs {rb2!r}); identical layouts only"
-                )
+                # enum widened INSIDE a multi-type union (the Debezium
+                # ALTER TYPE case on a union-typed status column):
+                # symbol strings decode via the WRITER's symbol list,
+                # so a writer-subset enum surfaces values that are
+                # already valid for the reader — accept without a
+                # converter.  Anything else matched-but-evolved still
+                # refuses (documented scope).
+                if (
+                    isinstance(b, AvroEnum) and isinstance(rb2, AvroEnum)
+                    and b.name == rb2.name
+                    and set(b.symbols) <= set(rb2.symbols)
+                ):
+                    pass
+                else:
+                    raise ValueError(
+                        f"writer schema {sid}: field {where!r} type mismatch "
+                        f"— matched union branch changed layout "
+                        f"({b!r} vs {rb2!r}); identical layouts only"
+                    )
             remap[k] = j
         if len(w_nn) == 1 and len(r_nn) == 1:
             return ("copy", key, key)  # reorder / wrapper only
