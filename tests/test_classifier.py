@@ -33,14 +33,18 @@ def _py_feature(tok: str, dim: int) -> int:
     return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % dim
 
 
-def _py_features(text: str, dim: int) -> list[int]:
-    """The operator's feature stream: hashed tokens (multiplicity) ++
-    the three structural marker ids."""
+def _py_features(text: str, dim: int, bigrams: bool = False) -> list[int]:
+    """The operator's feature stream: hashed tokens (multiplicity)
+    [++ hashed adjacent bigrams] ++ the three structural marker ids."""
     toks = text.split(" ")
     n_tok = len(toks)
     n_stop = sum(1 for t in toks if t in _STOP)
     n_dist = len(set(toks))
     feats = [_py_feature(t, dim) for t in toks]
+    if bigrams:
+        feats += [
+            _py_feature(f"{a} {b}", dim) for a, b in zip(toks, toks[1:])
+        ]
     feats.append(dim + min(n_tok // 8, 15))
     feats.append(dim + 16 + min(math.floor(96 * n_stop / n_tok), 31))
     feats.append(dim + 48 + min(math.floor(30 * n_dist / n_tok), 31))
@@ -57,14 +61,14 @@ def _py_label(text: str) -> int:
     )
 
 
-def _py_model(texts, labels, dim, alpha=1):
+def _py_model(texts, labels, dim, alpha=1, bigrams=False):
     """Pure-Python NB weights, the operator's exact arithmetic: BIGINT
     counts, the four-log expression, round-half-up to micro-units."""
     from collections import Counter
 
     c_pos, c_neg = Counter(), Counter()
     for text, y in zip(texts, labels):
-        for f in _py_features(text, dim):
+        for f in _py_features(text, dim, bigrams=bigrams):
             (c_pos if y else c_neg)[f] += 1
     np_, nn = sum(c_pos.values()), sum(c_neg.values())
     v = dim + classifier.N_MARKER_IDS
@@ -109,13 +113,95 @@ def test_nb_weights_match_python_reference(spark, data):
     aggregate correctly."""
     dim = 32
     df = spark.createDataFrame(data, "text string, y long")
-    weights, _ = classifier.nb_train(df, F.col("y"), dim=dim)
+    # check_sizing=False: these corpora are deliberately tiny (the
+    # arithmetic is under test, not the sizing policy — which has its
+    # own trip test below)
+    weights, _ = classifier.nb_train(
+        df, F.col("y"), dim=dim, check_sizing=False
+    )
     got = {
         r["feature"]: (r["c_pos"], r["c_neg"], r["weight_micro"])
         for r in weights.collect()
     }
     expect = _py_model([t for t, _ in data], [y for _, y in data], dim)
     assert got == expect
+
+
+@given(data=texts_strategy)
+@settings(**_SETTINGS)
+def test_nb_weights_with_bigrams_match_python_reference(spark, data):
+    """The WIDENED feature stream (hashed adjacent bigrams into the
+    same 0..dim-1 space — the fastText word-ngram recipe) keeps the
+    exact-arithmetic contract: trained weights == the pure-Python NB
+    with the same bigram hashing, at a collision-forcing dim."""
+    dim = 32
+    df = spark.createDataFrame(data, "text string, y long")
+    weights, _ = classifier.nb_train(
+        df, F.col("y"), dim=dim, bigrams=True, check_sizing=False
+    )
+    got = {
+        r["feature"]: (r["c_pos"], r["c_neg"], r["weight_micro"])
+        for r in weights.collect()
+    }
+    expect = _py_model(
+        [t for t, _ in data], [y for _, y in data], dim, bigrams=True
+    )
+    assert got == expect
+
+
+def test_nb_sizing_guard_trips_on_oversized_dim(spark, sf_dir):
+    """The documented at-zero-decision collapse is now ENFORCED: a dim
+    whose Laplace mass crowds the corpus token mass raises at model
+    time, naming a corpus-fit dim, instead of silently training a
+    base-rate predictor (r11 verdict nit #3)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    label = classifier.integer_quality_label()
+    with pytest.raises(ValueError, match="headroom|suggest_dim"):
+        classifier.nb_train(docs, label, dim=65_536)
+
+
+def test_suggest_dim_is_corpus_derived():
+    """suggest_dim: largest power of two holding SIZING_HEADROOM×
+    headroom, clamped to [64, 2^20]."""
+    assert classifier.suggest_dim(27_939) == 2_048
+    assert classifier.suggest_dim(0) == 64
+    assert classifier.suggest_dim(10**13) == 2**20
+    # the suggested dim itself passes the guard inequality
+    for tokens in (5_000, 27_939, 270_704):
+        d = classifier.suggest_dim(tokens)
+        assert (
+            classifier.SIZING_HEADROOM
+            * (d + classifier.N_MARKER_IDS)
+            <= tokens
+        ) or d == 64
+
+
+def test_null_text_scores_like_empty(spark):
+    """A NULL text must not diverge cross-engine (the DuckDB oracle's
+    LEAST/CASE branches still emit rows for NULL text): the operator
+    reads text through COALESCE(text, ''), so a NULL doc labels 0, is
+    NOT dropped by the feature explode, and scores exactly like an
+    empty-string doc."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "spark rows scan fast")],
+        "doc_id long, text string",
+    )
+    labels = {
+        r["doc_id"]: r["y"]
+        for r in df.select(
+            "doc_id", classifier.integer_quality_label().alias("y")
+        ).collect()
+    }
+    assert labels[1] == 0 and labels[2] == 0
+    weights, stats = classifier.nb_train(
+        df, classifier.integer_quality_label(), dim=32, check_sizing=False
+    )
+    scored = {
+        r["doc_id"]: r["score_micro"]
+        for r in classifier.nb_score(df, weights, stats, dim=32).collect()
+    }
+    assert set(scored) == {1, 2, 3}
+    assert scored[1] == scored[2]
 
 
 def test_nb_counts_merge_invariant(spark, sf_dir):

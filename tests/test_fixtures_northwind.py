@@ -303,14 +303,22 @@ def test_catalog_priority_prefix_covers_core_surface():
         # oracle-checked in overflow)
         "events_rollup_incremental", "bm25_index_topk",
         "docs_bpe_encode", "nation_trade_pagerank",
-        "docs_boilerplate_ngrams", "docs_duplicated_spans",
+        # r12: the IVF recall audit (structural misses — unprobed
+        # lists) took the n-gram-gate slot docs_boilerplate_ngrams
+        # held; the rare-gram gate keeps the n-gram family in the
+        # prefix and boilerplate stays oracle-checked in overflow
+        "ann_ivf_recall_audit", "docs_duplicated_spans",
         # r10 rotations (judge ask #1): the three round-9 flagship
         # additions enter the driver's hash gate.  sessionize_events
         # ceded to its skew-safe twin (SAME oracle, bit-identical by
         # construction); docs_text_stats ceded to the percentile rollup
         # (X4 keeps five prefix entries); all ceded entries stay
         # oracle-checked in overflow + strict parity
-        "sessionize_events_salted", "events_rollup_quantiles",
+        # r12: both skew-aware dispatchers rotated in over the twins
+        # they subsume (SAME oracles — a wrong dispatch can only cost
+        # time, never correctness); the salted/chunked/plain siblings
+        # stay oracle-checked in overflow + strict parity
+        "sessionize_events_auto", "events_rollup_quantiles",
         # r11 rotations (judge ask #1): the round-10 chunked-window
         # flagships + the rare-gram gate enter the driver's hash gate.
         # filter_recent_window ceded to the chunked anomaly
@@ -318,7 +326,7 @@ def test_catalog_priority_prefix_covers_core_surface():
         # docs_repetition_stats ceded the X4 quality-gate slot to the
         # rare-bigram gate.  All ceded entries stay oracle-checked in
         # overflow + strict parity.
-        "events_value_anomalies_chunked",
+        "events_value_anomalies_auto",
         "docs_rare_gram_gate",
         # r11 (late): the skew-aware dispatcher took the running-total
         # slot — SAME oracle as both forms it picks between; the

@@ -156,8 +156,19 @@ NESTED_LOOP_ALLOWED = {
     "docs_quality_model_holdout",
 }
 
-# fn() itself runs jobs (k-means training) — too heavy for a plan sweep
-PLAN_SWEEP_SKIP = {"ann_topk_ivf", "ann_topk_pq"}
+# fn() itself runs jobs — too heavy for a plan sweep: k-means training
+# (ann_topk_ivf/_pq, and the IVF recall audit runs Lloyd + a centroid
+# collect), and the quality classifier's eager localCheckpoint train
+# step (weights/holdout).  Their plan shapes are pinned by dedicated
+# tests (tests/test_classifier.py broadcast pin; the IVF probe shape
+# shares ann_topk_ivf's, pinned where it was trained).
+PLAN_SWEEP_SKIP = {
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_ivf_recall_audit",
+    "docs_quality_model_weights",
+    "docs_quality_model_holdout",
+}
 
 
 def test_timeseries_blocked_pair_join_is_equi(spark, sf_dir):

@@ -39,10 +39,23 @@ corpus token count or every weight is crushed toward the class-prior
 drift ln((N_neg+αV)/(N_pos+αV))·n_tok and the at-zero Bayes decision
 collapses to all-negative (measured: dim=65536 over the ~10^4-token
 fixture corpus scores base-rate; dim=256 scores 0.80-0.97 held-out).
-The catalog entries use dim=256 for the fixture corpus; a 100 TB
-corpus (~10^13 tokens) takes the DEFAULT_DIM=65536 production value —
-or 2^20 — with the same headroom.  This is a corpus-sized parameter,
-the timeseries bucket-width discipline.
+ENFORCED since r12: nb_model raises unless the corpus token mass is
+>= SIZING_HEADROOM× the Laplace mass, naming the corpus-fit dim from
+suggest_dim (opt-out: check_sizing=False, for deliberately tiny test
+corpora).  The catalog entries use dim=256 for the fixture corpus; a
+100 TB corpus (~10^13 tokens) takes the DEFAULT_DIM=65536 production
+value — or 2^20 — with the same headroom.  This is a corpus-sized
+parameter, the timeseries bucket-width discipline.
+
+Feature richness: ``bigrams=True`` hashes adjacent token pairs into
+the same 0..dim-1 space (the fastText word-ngram recipe) under the
+same BIGINT discipline — merge invariance and the pure-Python
+reference both hold for the widened stream (tests).  On the fixture
+corpus it does NOT help (held-out 0.848 -> 0.844 at sf0.001, 0.972 ->
+0.964 at sf0.1): the weak label is structural and the synthetic text
+is word soup, so pair features add only hash collisions.  Unigrams
+stay the oracle-checked catalog default; real corpora with phrasal
+quality signals are where the flag earns its keep.
 """
 
 from __future__ import annotations
@@ -60,6 +73,16 @@ DEFAULT_DIM = 65_536
 MICRO = 1_000_000
 
 
+def _txt(text_col: str) -> Column:
+    """NULL-safe text: a NULL document must not diverge cross-engine
+    (Spark's size()/explode drops NULL-array docs while DuckDB's
+    LEAST/CASE branches still emit rows), so every consumer reads the
+    column through COALESCE(text, '') — and the oracle CTEs do the
+    same.  split('', ' ') is [''] on BOTH engines (verified), so an
+    empty doc becomes one empty token and gates to label 0."""
+    return F.coalesce(F.col(text_col), F.lit(""))
+
+
 def integer_quality_label(text_col: str = "text") -> Column:
     """The weak-supervision label: a PURE-INTEGER quality gate (no
     float thresholds, so the label itself is hash-exact cross-engine).
@@ -71,7 +94,7 @@ def integer_quality_label(text_col: str = "text") -> Column:
         n_tokens >= 16  AND  12*n_stopwords <= n_tokens
                         AND  15*n_distinct  >= 7*n_tokens
     """
-    t = text_ops.tokens(F.col(text_col))
+    t = text_ops.tokens(_txt(text_col))
     n_tok = F.size(t).cast("long")
     n_stop = F.size(
         F.filter(t, lambda w: w.isin(*text_ops.STOPWORDS))
@@ -97,6 +120,25 @@ def hashed_feature(tok: Column, dim: int = DEFAULT_DIM) -> Column:
 #: the Laplace smoothing uses this full feature-space size.
 N_MARKER_IDS = 80
 
+#: Minimum ratio of corpus token mass to Laplace mass α·(dim+80) that
+#: nb_model enforces (below it the smoothing dominates the evidence and
+#: the at-zero Bayes decision collapses to all-negative).
+SIZING_HEADROOM = 10
+
+
+def suggest_dim(total_tokens: int, *, alpha: int = 1) -> int:
+    """Corpus-derived default ``dim``: the largest power of two whose
+    Laplace mass keeps SIZING_HEADROOM× headroom below the corpus
+    token mass, clamped to [64, 2^20].  ~3·10^4 fixture tokens -> 2048;
+    a 100 TB corpus (~10^13 tokens) -> the 2^20 ceiling."""
+    dim = 64
+    while (
+        dim < 2**20
+        and SIZING_HEADROOM * alpha * (dim * 2 + N_MARKER_IDS) <= total_tokens
+    ):
+        dim *= 2
+    return dim
+
 
 def structural_marker_features(
     text_col: str = "text", dim: int = DEFAULT_DIM
@@ -120,7 +162,7 @@ def structural_marker_features(
         stop_bucket = least(floor(96*n_stop / n_tok), 31)  -> dim+16..47
         dist_bucket = least(floor(30*n_dist / n_tok), 31)  -> dim+48..79
     """
-    t = text_ops.tokens(F.col(text_col))
+    t = text_ops.tokens(_txt(text_col))
     n_tok = F.size(t).cast("long")
     n_stop = F.size(
         F.filter(t, lambda w: w.isin(*text_ops.STOPWORDS))
@@ -143,16 +185,21 @@ def nb_token_counts(
     *,
     dim: int = DEFAULT_DIM,
     text_col: str = "text",
+    bigrams: bool = False,
 ) -> DataFrame:
     """Per-feature class counts — the model's SUFFICIENT STATISTICS:
     (feature, c_pos, c_neg) with token MULTIPLICITY (multinomial NB).
     One shuffle, map-side combined, <= dim output rows.  The frame is
     MERGEABLE: counts from disjoint batches union + re-sum to exactly
     the full-corpus counts (merge_nb_counts), which is what makes the
-    trained model a continuous aggregate rather than a retrain."""
+    trained model a continuous aggregate rather than a retrain —
+    with OR without bigram features (the widened stream is still a
+    per-doc map-side array, so merge invariance is unchanged)."""
     feat = docs.select(
         label_col.alias("__y"),
-        F.explode(_feature_stream(text_col, dim)).alias("feature"),
+        F.explode(_feature_stream(text_col, dim, bigrams=bigrams)).alias(
+            "feature"
+        ),
     )
     return feat.groupBy("feature").agg(
         F.sum(F.col("__y")).alias("c_pos"),
@@ -160,16 +207,34 @@ def nb_token_counts(
     )
 
 
-def _feature_stream(text_col: str, dim: int) -> Column:
+def _feature_stream(
+    text_col: str, dim: int, *, bigrams: bool = False
+) -> Column:
     """One array per doc: every token's hashed id (with multiplicity)
-    ++ the three structural marker ids — a single map-side pass."""
-    return F.concat(
-        F.transform(
-            text_ops.tokens(F.col(text_col)),
-            lambda t: hashed_feature(t, dim),
-        ),
+    ++ the three structural marker ids — a single map-side pass.
+
+    ``bigrams=True`` additionally hashes every ADJACENT token pair
+    (joined with a single space — the fastText word-ngram recipe) into
+    the SAME 0..dim-1 bucket space via the same md5 trick, so the
+    widened stream stays one map-side expression, the count frame stays
+    <= dim+80 rows, and the DuckDB twin is
+    ('0x' || substr(md5(t1 || ' ' || t2), 1, 12))::BIGINT % dim.
+    The unigram-only stream is the oracle-checked catalog default;
+    the bigram A/B accuracy numbers live in COVERAGE.md."""
+    toks = text_ops.tokens(_txt(text_col))
+    parts = [
+        F.transform(toks, lambda t: hashed_feature(t, dim)),
         structural_marker_features(text_col, dim),
-    )
+    ]
+    if bigrams:
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        parts.insert(1, F.transform(pairs, lambda g: hashed_feature(g, dim)))
+    return F.concat(*parts)
 
 
 def nb_doc_counts(docs: DataFrame, label_col: Column) -> DataFrame:
@@ -202,6 +267,7 @@ def nb_model(
     *,
     dim: int = DEFAULT_DIM,
     alpha: int = 1,
+    check_sizing: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Turn sufficient statistics into the model:
 
@@ -230,6 +296,26 @@ def nb_model(
         F.sum("c_pos").alias("__np"), F.sum("c_neg").alias("__nn")
     )
     ad = alpha * (dim + N_MARKER_IDS)  # the FULL feature-space size
+    # Sizing guard (ENFORCED, not just documented): when the Laplace
+    # mass α·(dim+80) approaches the corpus token mass, every weight is
+    # crushed toward the class-prior drift and the at-zero Bayes
+    # decision silently collapses to all-negative (module docstring —
+    # measured at dim=65536 over the ~3·10^4-token fixture).  The
+    # counts frame is already checkpointed (<= dim+80 rows), so this
+    # one-row read costs a tiny local job, the same bounded-collect
+    # class as the ledger split-point scalar.
+    if check_sizing:
+        row = tot.first()
+        total_tokens = (row["__np"] or 0) + (row["__nn"] or 0)
+        if SIZING_HEADROOM * ad > total_tokens:
+            raise ValueError(
+                f"nb_model: Laplace mass alpha*(dim+{N_MARKER_IDS}) = "
+                f"{ad} needs >= {SIZING_HEADROOM}x headroom below the "
+                f"corpus token mass ({total_tokens}); the at-zero "
+                f"decision would collapse to all-negative.  Use dim <= "
+                f"{suggest_dim(total_tokens, alpha=alpha)} for this "
+                f"corpus (suggest_dim), or grow the corpus."
+            )
 
     def _w(c_pos: Column, c_neg: Column) -> Column:
         return _micro(
@@ -274,13 +360,18 @@ def nb_train(
     dim: int = DEFAULT_DIM,
     alpha: int = 1,
     text_col: str = "text",
+    bigrams: bool = False,
+    check_sizing: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Train end-to-end: sufficient statistics -> (weights, stats)."""
     return nb_model(
-        nb_token_counts(docs, label_col, dim=dim, text_col=text_col),
+        nb_token_counts(
+            docs, label_col, dim=dim, text_col=text_col, bigrams=bigrams
+        ),
         nb_doc_counts(docs, label_col),
         dim=dim,
         alpha=alpha,
+        check_sizing=check_sizing,
     )
 
 
@@ -292,6 +383,7 @@ def nb_model_from_partials(
     dim: int = DEFAULT_DIM,
     alpha: int = 1,
     before_batch: int | None = None,
+    check_sizing: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Derive the model from the per-batch partials a
     run_incremental_quality_model_stream left on disk (immutable
@@ -318,7 +410,13 @@ def nb_model_from_partials(
         F.sum("n_pos_docs").alias("n_pos_docs"),
         F.sum("n_neg_docs").alias("n_neg_docs"),
     )
-    return nb_model(token_counts, doc_counts, dim=dim, alpha=alpha)
+    return nb_model(
+        token_counts,
+        doc_counts,
+        dim=dim,
+        alpha=alpha,
+        check_sizing=check_sizing,
+    )
 
 
 def nb_score(
@@ -330,6 +428,7 @@ def nb_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     passthrough: dict[str, Column] | None = None,
+    bigrams: bool = False,
 ) -> DataFrame:
     """Score every document: exact BIGINT sum of micro-weights over
     token occurrences (+ bias), predicted = score > 0.  The model is
@@ -345,14 +444,15 @@ def nb_score(
     tok = docs.select(
         F.col(id_col),
         *[c.alias(name) for name, c in extra.items()],
-        F.explode(_feature_stream(text_col, dim)).alias("feature"),
+        F.explode(_feature_stream(text_col, dim, bigrams=bigrams)).alias(
+            "feature"
+        ),
     )
     scored = (
         tok.join(F.broadcast(weights.select("feature", "weight_micro")),
                  "feature", "left")
         .groupBy(id_col, *extra.keys())
         .agg(
-            F.count(F.lit(1)).alias("__n_feat"),
             F.sum("weight_micro").alias("__w_sum"),
             F.sum(
                 F.when(F.col("weight_micro").isNull(), F.lit(1)).otherwise(

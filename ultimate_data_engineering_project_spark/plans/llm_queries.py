@@ -2727,22 +2727,29 @@ def docs_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bayes decision collapses to all-negative (classifier.py module
 # docstring; measured 0.80/0.97 held-out accuracy at dim=256 vs
 # base-rate at 65536).  A 100 TB corpus takes DEFAULT_DIM or 2^20.
+# Since r12 nb_model ENFORCES the headroom (SIZING_HEADROOM× = 10×)
+# and suggest_dim derives the corpus-fit value; 256 keeps ~40×
+# headroom even on the md5-half training split of the sf0.001 corpus.
 _NB_DIM = 256
 
-# y: the pure-integer weak-supervision gate (classifier.integer_quality_label)
+# y: the pure-integer weak-supervision gate (classifier.integer_quality_label).
+# text reads through COALESCE(text, '') on BOTH engines (classifier._txt's
+# twin): without it a NULL doc diverges — Spark's explode drops it while
+# DuckDB's CASE still emits label 0.
 _NB_LABEL_SQL = f"""
-        CASE WHEN LENGTH(string_split(text, ' ')) >= 16
-              AND 12 * LENGTH(list_filter(string_split(text, ' '),
+        CASE WHEN LENGTH(string_split(COALESCE(text, ''), ' ')) >= 16
+              AND 12 * LENGTH(list_filter(string_split(COALESCE(text, ''), ' '),
                               w -> w IN ({_STOPWORD_LIST})))
-                  <= LENGTH(string_split(text, ' '))
-              AND 15 * LENGTH(list_distinct(string_split(text, ' ')))
-                  >= 7 * LENGTH(string_split(text, ' '))
+                  <= LENGTH(string_split(COALESCE(text, ''), ' '))
+              AND 15 * LENGTH(list_distinct(string_split(COALESCE(text, ''), ' ')))
+                  >= 7 * LENGTH(string_split(COALESCE(text, ''), ' '))
              THEN 1 ELSE 0 END
 """
 
 # The four-log weight expression — the EXACT shape nb_model evaluates,
 # so both engines round the same double into micro-units.  Smoothing
-# uses the FULL feature-space size (token ids + the 48 marker ids).
+# uses the FULL feature-space size (token ids + the 80 reserved marker
+# ids, classifier.N_MARKER_IDS).
 _NB_V = _NB_DIM + classifier.N_MARKER_IDS
 _NB_W_SQL = (
     "CAST(ROUND((ln(c_pos + 1) - ln(np + {v}) - ln(c_neg + 1)"
@@ -2756,7 +2763,8 @@ _NB_W_SQL = (
 # cross-engine).
 _NB_CNT_CTES = f"""
     lab AS (
-        SELECT doc_id, text, {_NB_LABEL_SQL} AS y FROM documents
+        SELECT doc_id, COALESCE(text, '') AS text, {_NB_LABEL_SQL} AS y
+        FROM documents
     ),
     labf AS (
         SELECT doc_id, y,
