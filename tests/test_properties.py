@@ -631,11 +631,18 @@ _EVO_WRITER = """
   {"name": "st", "type": {"type": "enum", "name": "St",
      "symbols": ["A", "B"]}},
   {"name": "u", "type": ["null", "long"]},
-  {"name": "m", "type": ["null", "long", "string"]}
+  {"name": "m", "type": ["null", "long", "string"]},
+  {"name": "dc", "type": {"type": "array", "items": {
+     "type": "record", "name": "D", "fields": [
+       {"name": "n", "type": "string"},
+       {"name": "cnt", "type": "int"}]}}},
+  {"name": "mv", "type": {"type": "map", "values": "int"}}
 ]}
 """
-# reader: widened enum, reordered+widened unions — every r11
-# evolution case in one schema history
+# reader: widened enum, reordered+widened unions (r11) + r12 container
+# evolution — the array's ELEMENT record gained a defaulted field and
+# promoted cnt int->long, and the map's values promoted int->double —
+# every recursive resolution case in one schema history
 _EVO_READER = """
 {"type": "record", "name": "r", "fields": [
   {"name": "id", "type": "long"},
@@ -643,7 +650,13 @@ _EVO_READER = """
      "symbols": ["A", "B", "C"]}},
   {"name": "u", "type": ["string", "null", "long"]},
   {"name": "m", "type": ["boolean", "null", "string", "long"]},
-  {"name": "region", "type": "string", "default": "emea"}
+  {"name": "region", "type": "string", "default": "emea"},
+  {"name": "dc", "type": {"type": "array", "items": {
+     "type": "record", "name": "D", "fields": [
+       {"name": "n", "type": "string"},
+       {"name": "cnt", "type": "long"},
+       {"name": "src", "type": "string", "default": "cdc"}]}}},
+  {"name": "mv", "type": {"type": "map", "values": "double"}}
 ]}
 """
 
@@ -657,16 +670,31 @@ _EVO_READER = """
         lambda v: {"member0": v}
     )
     | st.text(max_size=10).map(lambda s: {"member1": s}),
+    dc=st.lists(
+        st.tuples(
+            st.text(max_size=6),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        ).map(lambda t: {"n": t[0], "cnt": t[1]}),
+        max_size=4,
+    ),
+    mv=st.dictionaries(
+        st.text(max_size=4),
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        max_size=4,
+    ),
 )
 @settings(max_examples=120, deadline=None)
-def test_avro_evolution_alignment_property(ident, status, u, m):
-    """r11 evolution fuzz: every value a v1 writer can emit aligns to
-    a reader with a WIDENED enum and WIDENED+REORDERED unions — the
-    enum symbol string survives as-is, the plain nullable union lifts
-    into the reader's memberN struct at the matched branch position,
-    and multi-union member indexes re-map by branch identity.  The
-    writer's own decode is the baseline, so any drift between the
-    aligner's remap tables and the codec's surfacing fails here."""
+def test_avro_evolution_alignment_property(ident, status, u, m, dc, mv):
+    """r11+r12 evolution fuzz: every value a v1 writer can emit aligns
+    to a reader with a WIDENED enum, WIDENED+REORDERED unions, an
+    array whose ELEMENT record evolved (added defaulted field + cnt
+    int->long promotion), and a map whose values promoted int->double
+    — the enum symbol string survives as-is, the plain nullable union
+    lifts into the reader's memberN struct at the matched branch
+    position, multi-union member indexes re-map by branch identity,
+    and container elements convert per item/value.  The writer's own
+    decode is the baseline, so any drift between the aligner's remap
+    tables and the codec's surfacing fails here."""
     from ultimate_data_engineering_project_spark.sources import avro_py
 
     _, writers = avro_py.build_writer_aligners(
@@ -674,7 +702,7 @@ def test_avro_evolution_alignment_property(ident, status, u, m):
     )
     wf, align = writers[1]
     got = tuple(align(avro_py.decode_record(
-        avro_py.encode_record((ident, status, u, m), wf), wf
+        avro_py.encode_record((ident, status, u, m, dc, mv), wf), wf
     )))
     # reader non-null branch orders: u -> (string, long); m ->
     # (boolean, string, long)
@@ -685,7 +713,9 @@ def test_avro_evolution_alignment_property(ident, status, u, m):
         want_m = {"member2": m["member0"]}
     else:  # writer string -> reader member1
         want_m = {"member1": m["member1"]}
-    assert got == (ident, status, want_u, want_m, "emea")
+    want_dc = [{"n": d["n"], "cnt": d["cnt"], "src": "cdc"} for d in dc]
+    want_mv = {k: float(v) for k, v in mv.items()}
+    assert got == (ident, status, want_u, want_m, "emea", want_dc, want_mv)
 
 
 rollup_events_strategy = st.lists(

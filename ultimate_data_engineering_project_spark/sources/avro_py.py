@@ -48,10 +48,16 @@ plain primitives (int->long/float/double, long->float/double,
 float->double, string<->bytes; logical annotations deliberately do
 not promote) — and an enum widened INSIDE a multi-type union aligns
 by the same name/subset rule (the matcher pairs enum branches by
-name).  Remaining out-of-scope, loud at plan time: resized fixeds,
-other changed layouts of a MATCHED union branch (a record or
-container branch that evolved), promotions inside multi-branch
-unions, evolved container item/value types, and non-null field
+name).  r12 extends resolution RECURSIVELY through containers and
+matched union branches (_branch_converter): an array<record> /
+map<record> whose ELEMENT record evolved aligns by the same
+name-based field rules as top-level records (the Debezium
+``data_collections`` ALTER TABLE case), container items/values
+follow the primitive promotions and enum widening, and a matched
+union branch that evolved resolves through the same rules with the
+converter applied to the active member.  Remaining out-of-scope,
+loud at plan time: resized fixeds, multi-branch unions NESTED inside
+container elements, and non-null field
 defaults beyond primitives.  For those, use the spark-avro package (the
 ``decode_confluent_avro`` path); this codec exists so the CDC
 pipeline is testable and oracle-checkable end to end in environments
@@ -1176,6 +1182,16 @@ def _raw_record_fields(t, raw_defs: dict):
                 if ns:
                     raw_defs[f"{ns}.{name}"] = fields
             return fields
+        # container types: register any ELEMENT record definitions for
+        # later by-name lookup (r12 container-element evolution — the
+        # aligner needs the reader element record's raw fields for
+        # defaults), but the container itself resolves to None
+        if t.get("type") == "array":
+            _raw_record_fields(t.get("items"), raw_defs)
+            return None
+        if t.get("type") == "map":
+            _raw_record_fields(t.get("values"), raw_defs)
+            return None
         return None
     return None
 
@@ -1323,6 +1339,134 @@ def _promotion(wb, rb):
     return None
 
 
+def _raw_record_for(raw_t, name: str, raw_defs: dict):
+    """Raw JSON field list for the named record within ``raw_t``
+    (digging union lists and container item/value types), falling back
+    to the by-name registry.  None means the reader's defaults are
+    unavailable for that record — which only matters when it ADDED a
+    required field that needs one, and the aligner then refuses with
+    the missing-default error (never silently)."""
+    if isinstance(raw_t, list):
+        for e in raw_t:
+            r = _raw_record_for(e, name, raw_defs)
+            if r is not None:
+                return r
+        return None
+    if isinstance(raw_t, dict):
+        t = raw_t.get("type")
+        if t == "record":
+            rn = raw_t.get("name")
+            ns = raw_t.get("namespace")
+            if rn == name or (ns and f"{ns}.{rn}" == name):
+                return _raw_record_fields(raw_t, raw_defs)
+            return None
+        if t == "array":
+            return _raw_record_for(raw_t.get("items"), name, raw_defs)
+        if t == "map":
+            return _raw_record_for(raw_t.get("values"), name, raw_defs)
+        return None
+    if isinstance(raw_t, str) and raw_t.split(".")[-1] == name.split(".")[-1]:
+        return raw_defs.get(raw_t)
+    return None
+
+
+def _branch_converter(wb, rb, raw_t, raw_defs, sid, where):
+    """Resolution for one matched writer/reader branch pair anywhere a
+    value can nest (r12): None when the surfaced writer value is
+    already valid for the reader, else a converter applied to the
+    surfaced value; refuses loudly at plan time otherwise.  Covers the
+    recursive cases the Avro resolution rules define:
+
+      * identical branches -> None;
+      * plain-primitive promotions (_PROMOTIONS);
+      * enums aligned by name with writer symbols ⊆ reader symbols
+        (symbol STRINGS surface, so no converter needed);
+      * records aligned by the same recursive name-based field rules
+        as top-level records (_make_dict_aligner) — the Debezium
+        array<record> ``data_collections`` ALTER TABLE case;
+      * array items / map values recursively (an element converter
+        lifts over the list / the dict's values);
+      * single-non-null-branch unions recursively (the surfaced value
+        is plain); a writer-nullable vs reader-required element still
+        refuses.
+
+    Still refused here: multi-branch unions that changed (beyond the
+    field-level reorder/superset handling in _field_plan) and resized
+    fixeds."""
+    if wb == rb:
+        return None
+    conv = _promotion(wb, rb)
+    if conv is not None:
+        return conv
+    if isinstance(wb, AvroEnum) and isinstance(rb, AvroEnum):
+        if wb.name == rb.name and set(wb.symbols) <= set(rb.symbols):
+            return None
+        raise ValueError(
+            f"writer schema {sid}: {where!r} enum mismatch — writer "
+            f"{wb.name!r} symbols {wb.symbols!r} are not a subset of "
+            f"reader {rb.name!r} symbols {rb.symbols!r} (a symbol "
+            "removed from the reader refuses: the history may carry it)"
+        )
+    if isinstance(wb, AvroRecord) and isinstance(rb, AvroRecord):
+        if wb.name != rb.name:
+            raise ValueError(
+                f"writer schema {sid}: {where!r} record name mismatch "
+                f"({wb.name!r} vs {rb.name!r}); records align by name"
+            )
+        sub_raw = _raw_record_for(raw_t, rb.name, raw_defs)
+        return _make_dict_aligner(
+            wb, rb, sub_raw, raw_defs, sid, where + "."
+        )
+    if isinstance(wb, AvroArray) and isinstance(rb, AvroArray):
+        inner = _branch_converter(
+            wb.item, rb.item,
+            raw_t, raw_defs, sid, where + "[]",
+        )
+        if inner is None:
+            return None
+
+        def conv_arr(v, _f=inner):
+            return None if v is None else [_f(x) for x in v]
+
+        return conv_arr
+    if isinstance(wb, AvroMap) and isinstance(rb, AvroMap):
+        inner = _branch_converter(
+            wb.value, rb.value,
+            raw_t, raw_defs, sid, where + "{}",
+        )
+        if inner is None:
+            return None
+
+        def conv_map(v, _f=inner):
+            return None if v is None else {k: _f(x) for k, x in v.items()}
+
+        return conv_map
+    if isinstance(wb, AvroUnion) and isinstance(rb, AvroUnion):
+        w_nn, r_nn = wb.non_null, rb.non_null
+        if "null" in wb.branches and "null" not in rb.branches:
+            raise ValueError(
+                f"writer schema {sid}: {where!r} is nullable in the "
+                "writer but required in the reader"
+            )
+        if len(w_nn) == 1 and len(r_nn) == 1:
+            # single-non-null unions surface the PLAIN value, so the
+            # element converter applies directly (None passes through
+            # the recursive cases' null checks)
+            return _branch_converter(
+                w_nn[0], r_nn[0], raw_t, raw_defs, sid, where
+            )
+        raise ValueError(
+            f"writer schema {sid}: {where!r} multi-branch union "
+            f"changed layout ({wb!r} vs {rb!r}); nested multi-branch "
+            "union evolution routes to spark-avro"
+        )
+    raise ValueError(
+        f"writer schema {sid}: {where!r} type mismatch "
+        f"({wb!r} vs {rb!r}); identical layouts, name-aligned "
+        "records/enums, and primitive promotions only"
+    )
+
+
 def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
                 *, key):
     """Resolution plan for one shared field (writer wf -> reader rf):
@@ -1346,12 +1490,15 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
         TYPE PROMOTIONS (int->long/float/double, long->float/double,
         float->double, string<->bytes) with the converter applied to
         the surfaced value; logical annotations do NOT promote — the
-        wire would convert but the semantics would not.
+        wire would convert but the semantics would not;
+      * (r12) container item/value types and matched union branches
+        resolve RECURSIVELY through _branch_converter — evolved
+        array<record>/map<record> element records (Debezium
+        ``data_collections``), promotions and enum widening inside
+        containers, nested single-non-null unions.
 
-    Still refused: resized fixeds, changed layouts of a MATCHED union
-    branch OTHER than a name/subset-widened enum, promotions INSIDE
-    multi-branch unions, and evolved container item/value types —
-    identical layouts otherwise."""
+    Still refused: resized fixeds and multi-branch unions nested
+    inside container elements — identical layouts otherwise."""
     wb, rb = wf.value_type, rf.value_type
     if wf.branches == rf.branches or (
         wf.branches == (rb,) and rf.nullable
@@ -1376,32 +1523,27 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
                 f"writer schema {sid}: field {where!r} is nullable in the "
                 "writer but required in the reader"
             )
-        # type promotion (resolution rules): single PLAIN primitive
-        # branch on both sides, writer promotable to reader
+        # single non-null branch on both sides: the surfaced value is
+        # PLAIN, so the recursive branch resolver applies directly —
+        # promotions, name-aligned enum widening, evolved records, and
+        # (r12) evolved container item/value types, nested to any depth
         if len(w_nn) == 1 and len(r_nn) == 1:
-            conv = _promotion(w_nn[0], r_nn[0])
-            if conv is not None:
-                return ("map", key, (key, conv))
-        # enum evolution: writer symbols (by name) within the reader's
-        if (
-            len(w_nn) == 1 and len(r_nn) == 1
-            and isinstance(w_nn[0], AvroEnum) and isinstance(r_nn[0], AvroEnum)
-        ):
-            we, re_ = w_nn[0], r_nn[0]
-            if we.name == re_.name and set(we.symbols) <= set(re_.symbols):
-                return ("copy", key, key)  # symbol strings stay valid
-            raise ValueError(
-                f"writer schema {sid}: field {where!r} enum mismatch — "
-                f"writer {we.name!r} symbols {we.symbols!r} are not a "
-                f"subset of reader {re_.name!r} symbols {re_.symbols!r} "
-                "(a symbol removed from the reader refuses: the topic "
-                "history may still carry it)"
+            conv = _branch_converter(
+                w_nn[0], r_nn[0], raw.get("type"), raw_defs, sid, where
             )
-        # union evolution: reader branch set superset of the writer's
+            if conv is None:
+                return ("copy", key, key)
+            return ("map", key, (key, conv))
+        # union evolution: reader branch set superset of the writer's;
+        # each MATCHED branch resolves recursively (identity, widened
+        # enum, evolved record / container element — r12), and the
+        # surfaced memberN dict re-indexes to the reader's positions
+        # with the per-branch converter applied to the active member
         r_pos = {}
         for j, b in enumerate(r_nn):
             r_pos.setdefault(_branch_key(b), (j, b))
-        remap = {}
+        remap: dict[int, int] = {}
+        convs: dict[int, object] = {}
         for k, b in enumerate(w_nn):
             ent = r_pos.get(_branch_key(b))
             if ent is None:
@@ -1411,46 +1553,49 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
                     f"reader union {r_nn!r}"
                 )
             j, rb2 = ent
-            if b != rb2:
-                # enum widened INSIDE a multi-type union (the Debezium
-                # ALTER TYPE case on a union-typed status column):
-                # symbol strings decode via the WRITER's symbol list,
-                # so a writer-subset enum surfaces values that are
-                # already valid for the reader — accept without a
-                # converter.  Anything else matched-but-evolved still
-                # refuses (documented scope).
-                if (
-                    isinstance(b, AvroEnum) and isinstance(rb2, AvroEnum)
-                    and b.name == rb2.name
-                    and set(b.symbols) <= set(rb2.symbols)
-                ):
-                    pass
-                else:
-                    raise ValueError(
-                        f"writer schema {sid}: field {where!r} type mismatch "
-                        f"— matched union branch changed layout "
-                        f"({b!r} vs {rb2!r}); identical layouts only"
-                    )
             remap[k] = j
-        if len(w_nn) == 1 and len(r_nn) == 1:
-            return ("copy", key, key)  # reorder / wrapper only
+            if b != rb2:
+                try:
+                    convs[k] = _branch_converter(
+                        b, rb2, raw.get("type"), raw_defs, sid, where
+                    )
+                except ValueError as exc:
+                    raise ValueError(
+                        f"writer schema {sid}: field {where!r} — matched "
+                        f"union branch changed layout and cannot resolve "
+                        f"({b!r} vs {rb2!r}): {exc}"
+                    ) from exc
         if len(w_nn) == 1:
+            # reader union is wider: lift the plain surfaced value into
+            # its reader member slot (converted if the branch evolved)
             j = remap[0]
+            conv0 = convs.get(0)
 
-            def lift(v, _j=j):
-                return None if v is None else {f"member{_j}": v}
+            def lift(v, _j=j, _c=conv0):
+                if v is None:
+                    return None
+                return {f"member{_j}": v if _c is None else _c(v)}
 
             return ("map", key, (key, lift))
-        if all(k == j for k, j in remap.items()):
+        if all(k == j for k, j in remap.items()) and not any(
+            c is not None for c in convs.values()
+        ):
             return ("copy", key, key)
-        names = {f"member{k}": f"member{j}" for k, j in remap.items()}
+        entries = {
+            f"member{k}": (f"member{j}", convs.get(k))
+            for k, j in remap.items()
+        }
 
-        def reindex(d, _names=names):
+        def remap_members(d, _e=entries):
             if d is None:
                 return None
-            return {_names[k]: v for k, v in d.items()}
+            out = {}
+            for k, v in d.items():
+                name, c = _e[k]
+                out[name] = v if c is None else c(v)
+            return out
 
-        return ("map", key, (key, reindex))
+        return ("map", key, (key, remap_members))
     raise ValueError(
         f"writer schema {sid}: field {where!r} type mismatch "
         f"({wf.branches!r} vs {rf.branches!r})"
