@@ -104,6 +104,11 @@ HEADLINE = [
     # cycle — two corpus passes (count shuffle + broadcast-scored
     # doc-keyed sum); watches the model-training family's throughput
     "docs_quality_model_holdout",
+    # r12: the frozen-tokenizer OOV encode — train on documents, apply
+    # to the disjoint part-name corpus with merge-rule subword
+    # segmentation (the rule chain runs at OOV-vocab cardinality; the
+    # corpus side stays one join wave)
+    "parts_bpe_encode_oov",
 ]
 
 
@@ -242,7 +247,9 @@ def main() -> None:
         "(same query set, noop forcing, n_runs) — lines "
         "comparable to r11/r10; adds the pre/post canary "
         "bracket + contended flag (committed r11 numbers "
-        "were ~40% contended and undetectable at the time)"
+        "were ~40% contended and undetectable at the time); "
+        "r12 also adds 1 query (parts_bpe_encode_oov: frozen-"
+        "tokenizer OOV subword encode of the part-name corpus)"
     )
     # Scalar headline fields LAST: if a future query set ever outgrows
     # the tail budget again, front-truncation eats per-query lines,
