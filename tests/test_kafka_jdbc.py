@@ -867,6 +867,58 @@ def test_avro_evolution_container_elements_r12():
         avro_py.build_writer_aligners({1: nu1, 2: nu2}, nu2)
 
 
+def test_avro_evolution_promotion_inside_multibranch_union():
+    """r12: a plain-primitive writer branch with no same-type reader
+    branch resolves to the FIRST promotable reader branch in reader
+    order (the spec's in-union resolution) — int promotes into the
+    reader's long slot with the member index re-mapped and the value
+    converted; narrowing a multi-type union to a single branch still
+    refuses (the surfaced memberN shape would change)."""
+    import json as _json
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    def schema(branches):
+        return _json.dumps({
+            "type": "record", "name": "r", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "u", "type": ["null"] + branches,
+                 "default": None},
+            ],
+        })
+
+    v_int = schema(["int", "string"])
+    v_long = schema(["string", "long"])  # reordered AND promoted
+    _, wr = avro_py.build_writer_aligners({1: v_int, 2: v_long}, v_long)
+    wf1, align1 = wr[1]
+    # writer member0 (int) -> reader member1 (long), value unchanged
+    old_i = avro_py.encode_record((1, {"member0": 7}), wf1)
+    assert tuple(align1(avro_py.decode_record(old_i, wf1))) == (
+        1, {"member1": 7}
+    )
+    # writer member1 (string) -> reader member0 (string)
+    old_s = avro_py.encode_record((2, {"member1": "x"}), wf1)
+    assert tuple(align1(avro_py.decode_record(old_s, wf1))) == (
+        2, {"member0": "x"}
+    )
+    assert tuple(align1(avro_py.decode_record(
+        avro_py.encode_record((3, None), wf1), wf1))) == (3, None)
+
+    # int -> double promotion with conversion applied to the member
+    v_dbl = schema(["string", "double"])
+    _, wr2 = avro_py.build_writer_aligners({1: v_int, 2: v_dbl}, v_dbl)
+    wf1b, align1b = wr2[1]
+    got = tuple(align1b(avro_py.decode_record(
+        avro_py.encode_record((4, {"member0": 7}), wf1b), wf1b)))
+    assert got == (4, {"member1": 7.0})
+    assert isinstance(got[1]["member1"], float)
+
+    # narrowing to a single branch refuses loudly
+    v_one = schema(["long"])
+    with pytest.raises(ValueError, match="narrow"):
+        avro_py.build_writer_aligners({1: v_int, 2: v_one}, v_one)
+
+
 def test_decode_confluent_evolving_data_collections_element(spark):
     """r12 judge ask #4 end to end on Spark: the Debezium transaction
     envelope's ``data_collections`` array<record> whose ELEMENT record

@@ -53,11 +53,15 @@ matched union branches (_branch_converter): an array<record> /
 map<record> whose ELEMENT record evolved aligns by the same
 name-based field rules as top-level records (the Debezium
 ``data_collections`` ALTER TABLE case), container items/values
-follow the primitive promotions and enum widening, and a matched
+follow the primitive promotions and enum widening, a matched
 union branch that evolved resolves through the same rules with the
-converter applied to the active member.  Remaining out-of-scope,
-loud at plan time: resized fixeds, multi-branch unions NESTED inside
-container elements, and non-null field
+converter applied to the active member, and a plain-primitive writer
+branch with no same-type reader branch takes the spec's in-union
+resolution — the first PROMOTABLE reader branch in reader order.
+Remaining out-of-scope, loud at plan time: resized fixeds (the spec
+defines no fixed-size resolution), narrowing a multi-type union to a
+single branch (the surfaced shape would change), multi-branch unions
+NESTED inside container elements, and non-null field
 defaults beyond primitives.  For those, use the spark-avro package (the
 ``decode_confluent_avro`` path); this codec exists so the CDC
 pipeline is testable and oracle-checkable end to end in environments
@@ -1539,6 +1543,15 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
         # enum, evolved record / container element — r12), and the
         # surfaced memberN dict re-indexes to the reader's positions
         # with the per-branch converter applied to the active member
+        if len(w_nn) > 1 and len(r_nn) == 1:
+            # narrowing a multi-type union to one branch would change
+            # the surfaced shape (memberN struct -> plain value);
+            # refuse at plan time like every other narrowing
+            raise ValueError(
+                f"writer schema {sid}: field {where!r} type mismatch — "
+                f"multi-branch writer union {w_nn!r} cannot narrow to "
+                f"the single reader branch {r_nn!r}"
+            )
         r_pos = {}
         for j, b in enumerate(r_nn):
             r_pos.setdefault(_branch_key(b), (j, b))
@@ -1546,11 +1559,26 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
         convs: dict[int, object] = {}
         for k, b in enumerate(w_nn):
             ent = r_pos.get(_branch_key(b))
+            if ent is None and isinstance(b, str) and b in _PRIMITIVES:
+                # spec resolution inside unions: a writer branch
+                # matches the FIRST reader branch it can resolve to —
+                # for a plain primitive with no same-type reader
+                # branch, that is the first promotable target in
+                # reader order (r12; closes the "promotions inside
+                # multi-branch unions" residue)
+                for j2, rb_c in enumerate(r_nn):
+                    if (
+                        isinstance(rb_c, str)
+                        and _promotion(b, rb_c) is not None
+                    ):
+                        ent = (j2, rb_c)
+                        break
             if ent is None:
                 raise ValueError(
                     f"writer schema {sid}: field {where!r} type mismatch "
                     f"— writer union branch {b!r} is absent from the "
-                    f"reader union {r_nn!r}"
+                    f"reader union {r_nn!r} (no identical or promotable "
+                    "branch)"
                 )
             j, rb2 = ent
             remap[k] = j
