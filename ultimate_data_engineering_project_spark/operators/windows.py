@@ -627,10 +627,13 @@ def key_rows_stats(
     (a few percent of the main window query's own full-width sort
     shuffle; on toy-scale local data the fixed job-launch overhead
     dominates instead, which is what the cache amortizes).  Production
-    callers with table statistics (a rollup, a manifest footer, the
-    catalog) should compute this dict from those instead and inject it
-    via ``stats=`` — the probe exists so the decision is POSSIBLE
-    without them, not to re-scan the table gratuitously."""
+    callers have two zero-probe paths (r12, both wired): inject a
+    precomputed dict via ``stats=``, or pass ``stats_dir=`` so the
+    dispatcher reads the histogram the compactor persisted in the
+    manifest pointer (:func:`stats_from_manifest`;
+    ``sinks.compact_parquet(stats_keys=...)`` writes it).  The probe
+    exists so the decision is POSSIBLE without them, not to re-scan
+    the table gratuitously."""
     pruned = df.select(*partition_keys)
     ck = None
     if cache:
