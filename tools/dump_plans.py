@@ -59,6 +59,10 @@ QUERIES = [
     ("ann_lsh_recall_audit", "recall audit: brute-force exact top-k (broadcast queries, one corpus scan) left-joined to the LSH candidate set — every missed neighbor a visible captured=0 row"),
     ("docs_bpe_encode", "corpus-scale BPE apply: posexplode + vocab equi-join + ordered aggregate — ONE wave whose shape is independent of merge depth"),
     ("docs_quality_model_holdout", "trained quality classifier: ONE feature-keyed count shuffle (map-side combine, <=dim output rows) trains; the <=dim-row model BROADCASTS onto the held-out token stream; one doc-keyed exact BIGINT sum scores"),
+    ("ann_ivf_recall_audit", "IVF recall audit: exact brute-force top-5 truth left-joined to the int-centroid probe candidates — structural misses (unprobed lists) surface as captured=0 rows"),
+    ("events_value_anomalies_auto", "skew-aware rolling-anomaly dispatch: pruned key probe picks the plain window at uniform data, the chunked prefix-sum recomposition under the inherent low-cardinality hot key"),
+    ("sessionize_events_auto", "skew-aware sessionize dispatch: same probe/decide machinery; plain single-shuffle sessionizer here, two-phase salted recomposition under a hot key"),
+    ("parts_bpe_encode_oov", "frozen-tokenizer OOV encode: vocab + merge-rule-segmented OOV words union into ONE lookup side; corpus side stays a single posexplode + equi-join + ordered aggregate wave, depth-independent"),
 ]
 
 
