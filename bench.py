@@ -22,6 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
 HEADLINE = [
     "flagship_daily_order_volume",
     "pricing_summary",
@@ -121,20 +122,61 @@ def _canary_sec() -> float:
     (r05's VM ran every query ~1.3-1.4x slower than r04's, uniformly) —
     dividing per-query times by the canary ratio separates real plan
     regressions from host drift.  Called before AND after the sweep
-    (r12): the bracket also detects contention arriving mid-sweep."""
-    import numpy as np
+    (r12): the bracket also detects contention arriving mid-sweep.
 
-    x = np.random.default_rng(0).standard_normal((1200, 1200))
-    c0 = time.perf_counter()
-    for _ in range(3):
-        y = x @ x
-    elapsed = round(time.perf_counter() - c0, 3)
-    del y
-    return elapsed
+    Isolation discipline (r12, all three measured to matter on this
+    host class):
+
+      * runs in a SUBPROCESS with BLAS pinned to one thread there —
+        pinning this process's env instead leaks into Spark's Python
+        workers and strangles the Arrow numpy kernels (measured:
+        kmeans_lloyd 0.7s -> 5.9s), while leaving BLAS free makes the
+        matmul a 40ms multithreaded blip that is pure scheduler noise;
+      * the PRE sample runs BEFORE the Spark JVM starts and the POST
+        sample after spark.stop() — the JVM's background JIT threads
+        inflate a concurrent serial matmul 1.5-2.6x for minutes;
+      * each call is the MIN of two timed 3-matmul loops (single
+        samples swing with CPU steal minute to minute).
+    """
+    import subprocess
+
+    code = (
+        "import time, numpy as np\n"
+        "x = np.random.default_rng(0).standard_normal((1200, 1200))\n"
+        "best = None\n"
+        "for _ in range(2):\n"
+        "    c0 = time.perf_counter()\n"
+        "    for _ in range(3):\n"
+        "        y = x @ x\n"
+        "    e = time.perf_counter() - c0\n"
+        "    best = e if best is None else min(best, e)\n"
+        "print(round(best, 3))\n"
+    )
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return float(out.stdout.strip())
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # Contention tripwire, part 1 (r12, judge ask #1): time the host
+    # canary BEFORE the sweep — and before the Spark JVM exists (its
+    # startup JIT threads contend with the canary for minutes).  The
+    # committed BENCH_r11 numbers were ~40% contended (71.6s vs a
+    # 52.1s idle rerun at the same canary) and a single canary cannot
+    # see contention that starts or stops mid-sweep — two bracketing
+    # canaries can.
+    pre_canary = _canary_sec()
+
     from ultimate_data_engineering_project_spark.session import get_spark
     from ultimate_data_engineering_project_spark.plans.catalog import queries
 
@@ -146,13 +188,6 @@ def main() -> None:
     # one-time class loading, NOT data caching (region is not used by
     # any headline query's hot path).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-
-    # Contention tripwire, part 1 (r12, judge ask #1): time the host
-    # canary BEFORE the sweep.  The committed BENCH_r11 numbers were
-    # ~40% contended (71.6s vs a 52.1s idle rerun at the same canary)
-    # and a single canary cannot see contention that starts or stops
-    # mid-sweep — two bracketing canaries can.
-    pre_canary = _canary_sec()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -180,13 +215,16 @@ def main() -> None:
         sf = None  # non-sf<N> fixture dir: report null, never crash
         # after the whole benchmark has already run
 
-    # Contention tripwire, part 2: re-time the canary after the sweep.
+    # Contention tripwire, part 2: re-time the canary after the sweep
+    # — after the JVM is gone (its background threads inflate a
+    # concurrent single-thread matmul; measured 1.5-2.6x at startup).
     # If the two disagree by >1.5x, another workload was sharing the
     # host mid-sweep and the per-query numbers are noise — mark the
     # payload contended=true so the next round's regression compare
     # skips it instead of chasing phantom slowdowns (the r11 lesson:
     # the committed 71.6s total was ~40% contention, which would have
     # masked a real regression of the same size).
+    spark.stop()
     post_canary = _canary_sec()
     ratio = max(pre_canary, post_canary) / max(
         min(pre_canary, post_canary), 1e-9
@@ -287,7 +325,6 @@ def main() -> None:
         pass  # read-only checkout: the stdout line still carries the data
     print(f"# comparability_note: {comparability_note}", file=sys.stderr)
     print(json.dumps(payload, separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":
