@@ -858,13 +858,29 @@ def test_avro_evolution_container_elements_r12():
                                             "values": "long"}}])
     with pytest.raises(ValueError, match="mismatch"):
         avro_py.build_writer_aligners({1: f1, 2: f2}, f2)
+
+    # late r12: a multi-branch union nested inside an array item now
+    # evolves through the same resolver as field-level unions — the
+    # reader union widened+reordered, each element's plain value lifts
+    # into its reader member slot
     nu1 = schema([{"name": "xs", "type": {"type": "array",
                                           "items": ["null", "long"]}}])
     nu2 = schema([{"name": "xs", "type": {"type": "array",
-                                          "items": ["null", "long",
-                                                    "string"]}}])
-    with pytest.raises(ValueError, match="union"):
-        avro_py.build_writer_aligners({1: nu1, 2: nu2}, nu2)
+                                          "items": ["null", "string",
+                                                    "long"]}}])
+    _, wrn = avro_py.build_writer_aligners({1: nu1, 2: nu2}, nu2)
+    wf1n, align1n = wrn[1]
+    old_n = avro_py.encode_record((8, [7, None, 9]), wf1n)
+    assert tuple(align1n(avro_py.decode_record(old_n, wf1n))) == (
+        8, [{"member1": 7}, None, {"member1": 9}]
+    )
+    # and narrowing the nested union still refuses
+    with pytest.raises(ValueError, match="narrow|mismatch"):
+        avro_py.build_writer_aligners(
+            {1: schema([{"name": "xs", "type": {"type": "array",
+                         "items": ["null", "long", "string"]}}]),
+             2: nu1}, nu1,
+        )
 
 
 def test_avro_evolution_promotion_inside_multibranch_union():

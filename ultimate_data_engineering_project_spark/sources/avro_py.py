@@ -58,10 +58,12 @@ union branch that evolved resolves through the same rules with the
 converter applied to the active member, and a plain-primitive writer
 branch with no same-type reader branch takes the spec's in-union
 resolution — the first PROMOTABLE reader branch in reader order.
-Remaining out-of-scope, loud at plan time: resized fixeds (the spec
-defines no fixed-size resolution), narrowing a multi-type union to a
-single branch (the surfaced shape would change), multi-branch unions
-NESTED inside container elements, and non-null field
+Union resolution is ONE shared implementation
+(_union_value_converter), used at field level and nested inside
+container elements alike.  Remaining out-of-scope, loud at plan time:
+resized fixeds (the spec defines no fixed-size resolution), narrowing
+a multi-type union to a single branch (the surfaced shape would
+change), and non-null field
 defaults beyond primitives.  For those, use the spark-avro package (the
 ``decode_confluent_avro`` path); this codec exists so the CDC
 pipeline is testable and oracle-checkable end to end in environments
@@ -1390,13 +1392,14 @@ def _branch_converter(wb, rb, raw_t, raw_defs, sid, where):
         array<record> ``data_collections`` ALTER TABLE case;
       * array items / map values recursively (an element converter
         lifts over the list / the dict's values);
-      * single-non-null-branch unions recursively (the surfaced value
-        is plain); a writer-nullable vs reader-required element still
-        refuses.
+      * unions at any depth via _union_value_converter (the SAME
+        resolver _field_plan uses) — single-non-null unions surface
+        plain values, multi-branch unions re-index their memberN
+        dicts; writer-nullable vs reader-required and multi-to-single
+        narrowing still refuse.
 
-    Still refused here: multi-branch unions that changed (beyond the
-    field-level reorder/superset handling in _field_plan) and resized
-    fixeds."""
+    Still refused here: resized fixeds (the spec defines no fixed-size
+    resolution)."""
     if wb == rb:
         return None
     conv = _promotion(wb, rb)
@@ -1446,29 +1449,133 @@ def _branch_converter(wb, rb, raw_t, raw_defs, sid, where):
 
         return conv_map
     if isinstance(wb, AvroUnion) and isinstance(rb, AvroUnion):
-        w_nn, r_nn = wb.non_null, rb.non_null
-        if "null" in wb.branches and "null" not in rb.branches:
-            raise ValueError(
-                f"writer schema {sid}: {where!r} is nullable in the "
-                "writer but required in the reader"
-            )
-        if len(w_nn) == 1 and len(r_nn) == 1:
-            # single-non-null unions surface the PLAIN value, so the
-            # element converter applies directly (None passes through
-            # the recursive cases' null checks)
-            return _branch_converter(
-                w_nn[0], r_nn[0], raw_t, raw_defs, sid, where
-            )
-        raise ValueError(
-            f"writer schema {sid}: {where!r} multi-branch union "
-            f"changed layout ({wb!r} vs {rb!r}); nested multi-branch "
-            "union evolution routes to spark-avro"
+        # full union resolution — shared with _field_plan, so
+        # multi-branch unions evolve identically at field level and
+        # nested inside container elements (late r12)
+        return _union_value_converter(
+            wb.branches, rb.branches, raw_t, raw_defs, sid, where
         )
     raise ValueError(
         f"writer schema {sid}: {where!r} type mismatch "
         f"({wb!r} vs {rb!r}); identical layouts, name-aligned "
         "records/enums, and primitive promotions only"
     )
+
+
+def _union_value_converter(w_all, r_all, raw_t, raw_defs, sid, where):
+    """Resolution for a writer union VALUE against a reader union
+    (full branch tuples, null included): None when surfaced values are
+    already reader-valid, else a converter; loud refusal otherwise.
+    This is THE union logic — _field_plan delegates its union section
+    here, and _branch_converter routes nested unions (container
+    items/values) through it, so one implementation covers both
+    depths.  Semantics (the Avro resolution rules over spark-avro's
+    surfaced shapes):
+
+      * writer-nullable vs reader-required refuses;
+      * 1 vs 1 non-null branch: surfaced value is PLAIN — recurse into
+        the branch pair (identity, promotion, enum widening, evolved
+        record/container);
+      * >1 vs 1: refuses — the surfaced shape would change (memberN
+        struct -> plain value);
+      * 1 vs many: the plain value LIFTS into its reader member slot
+        (first identical branch by key, else the first promotable
+        reader branch in reader order), converted if needed;
+      * many vs many: reader branch set must cover the writer's (by
+        key or promotion); the surfaced memberN dict re-indexes to
+        reader positions with per-branch converters on the active
+        member.
+    """
+    w_nn = tuple(b for b in w_all if b != "null")
+    r_nn = tuple(b for b in r_all if b != "null")
+    if "null" in w_all and "null" not in r_all:
+        raise ValueError(
+            f"writer schema {sid}: field {where!r} is nullable in the "
+            "writer but required in the reader"
+        )
+    if len(w_nn) == 1 and len(r_nn) == 1:
+        return _branch_converter(
+            w_nn[0], r_nn[0], raw_t, raw_defs, sid, where
+        )
+    if len(w_nn) > 1 and len(r_nn) == 1:
+        # narrowing a multi-type union to one branch would change the
+        # surfaced shape (memberN struct -> plain value); refuse at
+        # plan time like every other narrowing
+        raise ValueError(
+            f"writer schema {sid}: field {where!r} type mismatch — "
+            f"multi-branch writer union {w_nn!r} cannot narrow to "
+            f"the single reader branch {r_nn!r}"
+        )
+    r_pos = {}
+    for j, b in enumerate(r_nn):
+        r_pos.setdefault(_branch_key(b), (j, b))
+    remap: dict[int, int] = {}
+    convs: dict[int, object] = {}
+    for k, b in enumerate(w_nn):
+        ent = r_pos.get(_branch_key(b))
+        if ent is None and isinstance(b, str) and b in _PRIMITIVES:
+            # spec resolution inside unions: a writer branch matches
+            # the FIRST reader branch it can resolve to — for a plain
+            # primitive with no same-type reader branch, that is the
+            # first promotable target in reader order
+            for j2, rb_c in enumerate(r_nn):
+                if (
+                    isinstance(rb_c, str)
+                    and _promotion(b, rb_c) is not None
+                ):
+                    ent = (j2, rb_c)
+                    break
+        if ent is None:
+            raise ValueError(
+                f"writer schema {sid}: field {where!r} type mismatch "
+                f"— writer union branch {b!r} is absent from the "
+                f"reader union {r_nn!r} (no identical or promotable "
+                "branch)"
+            )
+        j, rb2 = ent
+        remap[k] = j
+        if b != rb2:
+            try:
+                convs[k] = _branch_converter(
+                    b, rb2, raw_t, raw_defs, sid, where
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"writer schema {sid}: field {where!r} — matched "
+                    f"union branch changed layout and cannot resolve "
+                    f"({b!r} vs {rb2!r}): {exc}"
+                ) from exc
+    if len(w_nn) == 1:
+        # reader union is wider: lift the plain surfaced value into
+        # its reader member slot (converted if the branch evolved)
+        j = remap[0]
+        conv0 = convs.get(0)
+
+        def lift(v, _j=j, _c=conv0):
+            if v is None:
+                return None
+            return {f"member{_j}": v if _c is None else _c(v)}
+
+        return lift
+    if all(k == j for k, j in remap.items()) and not any(
+        c is not None for c in convs.values()
+    ):
+        return None
+    entries = {
+        f"member{k}": (f"member{j}", convs.get(k))
+        for k, j in remap.items()
+    }
+
+    def remap_members(d, _e=entries):
+        if d is None:
+            return None
+        out = {}
+        for k, v in d.items():
+            name, c = _e[k]
+            out[name] = v if c is None else c(v)
+        return out
+
+    return remap_members
 
 
 def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
@@ -1522,108 +1629,18 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
     w_all, w_nn = _union_view(wf.branches)
     r_all, r_nn = _union_view(rf.branches)
     if w_nn and r_nn:
-        if "null" in w_all and "null" not in r_all:
-            raise ValueError(
-                f"writer schema {sid}: field {where!r} is nullable in the "
-                "writer but required in the reader"
-            )
-        # single non-null branch on both sides: the surfaced value is
-        # PLAIN, so the recursive branch resolver applies directly —
-        # promotions, name-aligned enum widening, evolved records, and
-        # (r12) evolved container item/value types, nested to any depth
-        if len(w_nn) == 1 and len(r_nn) == 1:
-            conv = _branch_converter(
-                w_nn[0], r_nn[0], raw.get("type"), raw_defs, sid, where
-            )
-            if conv is None:
-                return ("copy", key, key)
-            return ("map", key, (key, conv))
-        # union evolution: reader branch set superset of the writer's;
-        # each MATCHED branch resolves recursively (identity, widened
-        # enum, evolved record / container element — r12), and the
-        # surfaced memberN dict re-indexes to the reader's positions
-        # with the per-branch converter applied to the active member
-        if len(w_nn) > 1 and len(r_nn) == 1:
-            # narrowing a multi-type union to one branch would change
-            # the surfaced shape (memberN struct -> plain value);
-            # refuse at plan time like every other narrowing
-            raise ValueError(
-                f"writer schema {sid}: field {where!r} type mismatch — "
-                f"multi-branch writer union {w_nn!r} cannot narrow to "
-                f"the single reader branch {r_nn!r}"
-            )
-        r_pos = {}
-        for j, b in enumerate(r_nn):
-            r_pos.setdefault(_branch_key(b), (j, b))
-        remap: dict[int, int] = {}
-        convs: dict[int, object] = {}
-        for k, b in enumerate(w_nn):
-            ent = r_pos.get(_branch_key(b))
-            if ent is None and isinstance(b, str) and b in _PRIMITIVES:
-                # spec resolution inside unions: a writer branch
-                # matches the FIRST reader branch it can resolve to —
-                # for a plain primitive with no same-type reader
-                # branch, that is the first promotable target in
-                # reader order (r12; closes the "promotions inside
-                # multi-branch unions" residue)
-                for j2, rb_c in enumerate(r_nn):
-                    if (
-                        isinstance(rb_c, str)
-                        and _promotion(b, rb_c) is not None
-                    ):
-                        ent = (j2, rb_c)
-                        break
-            if ent is None:
-                raise ValueError(
-                    f"writer schema {sid}: field {where!r} type mismatch "
-                    f"— writer union branch {b!r} is absent from the "
-                    f"reader union {r_nn!r} (no identical or promotable "
-                    "branch)"
-                )
-            j, rb2 = ent
-            remap[k] = j
-            if b != rb2:
-                try:
-                    convs[k] = _branch_converter(
-                        b, rb2, raw.get("type"), raw_defs, sid, where
-                    )
-                except ValueError as exc:
-                    raise ValueError(
-                        f"writer schema {sid}: field {where!r} — matched "
-                        f"union branch changed layout and cannot resolve "
-                        f"({b!r} vs {rb2!r}): {exc}"
-                    ) from exc
-        if len(w_nn) == 1:
-            # reader union is wider: lift the plain surfaced value into
-            # its reader member slot (converted if the branch evolved)
-            j = remap[0]
-            conv0 = convs.get(0)
-
-            def lift(v, _j=j, _c=conv0):
-                if v is None:
-                    return None
-                return {f"member{_j}": v if _c is None else _c(v)}
-
-            return ("map", key, (key, lift))
-        if all(k == j for k, j in remap.items()) and not any(
-            c is not None for c in convs.values()
-        ):
+        # one union resolver for every depth (late r12): identity,
+        # promotions (including the spec's first-promotable-branch
+        # match inside multi-branch unions), enum widening, evolved
+        # records/containers, memberN re-index, nullable/narrowing
+        # refusals — shared verbatim with container-nested unions via
+        # _branch_converter
+        conv = _union_value_converter(
+            w_all, r_all, raw.get("type"), raw_defs, sid, where
+        )
+        if conv is None:
             return ("copy", key, key)
-        entries = {
-            f"member{k}": (f"member{j}", convs.get(k))
-            for k, j in remap.items()
-        }
-
-        def remap_members(d, _e=entries):
-            if d is None:
-                return None
-            out = {}
-            for k, v in d.items():
-                name, c = _e[k]
-                out[name] = v if c is None else c(v)
-            return out
-
-        return ("map", key, (key, remap_members))
+        return ("map", key, (key, conv))
     raise ValueError(
         f"writer schema {sid}: field {where!r} type mismatch "
         f"({wf.branches!r} vs {rf.branches!r})"
