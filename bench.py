@@ -287,7 +287,11 @@ def main() -> None:
         "bracket + contended flag (committed r11 numbers "
         "were ~40% contended and undetectable at the time); "
         "r12 also adds 1 query (parts_bpe_encode_oov: frozen-"
-        "tokenizer OOV subword encode of the part-name corpus)"
+        "tokenizer OOV subword encode of the part-name corpus); "
+        "CAUTION: host_canary_sec is REDEFINED at r12 (pinned "
+        "single-thread subprocess, JVM stopped) — do not canary-"
+        "normalize across the r11/r12 boundary, compare raw "
+        "per-query times there"
     )
     # Scalar headline fields LAST: if a future query set ever outgrows
     # the tail budget again, front-truncation eats per-query lines,
@@ -307,6 +311,14 @@ def main() -> None:
         "canary_pre_sec": pre_canary,
         "canary_post_sec": post_canary,
         "contended": contended,
+        # the canary was REDEFINED in r12 (pinned single-thread
+        # subprocess, JVM stopped, min-of-2) — r11-and-earlier
+        # host_canary_sec values were measured in-process beside a
+        # live JVM with free BLAS and are NOT comparable (r11's 1.503
+        # vs r12's ~0.8 on comparable hosts is yardstick change, not
+        # host drift); cross the r11/r12 boundary on RAW per-query
+        # times, canary-normalize only within a methodology
+        "canary_methodology": "r12-pinned-subprocess-min2",
         "note_file": "BENCH_FULL_LATEST.json",
         "metric": "headline_queries_total_sec",
         "value": total,

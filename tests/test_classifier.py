@@ -160,6 +160,19 @@ def test_nb_sizing_guard_trips_on_oversized_dim(spark, sf_dir):
         classifier.nb_train(docs, label, dim=65_536)
 
 
+def test_nb_sizing_guard_tiny_corpus_advises_no_dim(spark):
+    """When even the dim=64 floor cannot satisfy the headroom, the
+    guard must say so (grow the corpus / check_sizing=False) instead of
+    advising a dim that trips the identical error again — the
+    advice-loop the r12 review flagged."""
+    df = spark.createDataFrame(
+        [(i, "just a few words here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="too small for ANY dim"):
+        classifier.nb_train(df, classifier.integer_quality_label(), dim=64)
+
+
 def test_suggest_dim_is_corpus_derived():
     """suggest_dim: largest power of two holding SIZING_HEADROOM×
     headroom, clamped to [64, 2^20]."""

@@ -882,6 +882,22 @@ def test_avro_evolution_container_elements_r12():
              2: nu1}, nu1,
         )
 
+    # plain item vs union item (the canonical make-the-column-nullable
+    # ALTER inside an array): writer "long" items resolve against the
+    # reader's ["null","long"] items — values copy through unchanged
+    pl = schema([{"name": "xs", "type": {"type": "array",
+                                         "items": "long"}}])
+    _, wrp = avro_py.build_writer_aligners({1: pl, 2: nu1}, nu1)
+    wf1p, align1p = wrp[1]
+    old_p = avro_py.encode_record((9, [1, 2]), wf1p)
+    assert tuple(align1p(avro_py.decode_record(old_p, wf1p))) == (
+        9, [1, 2]
+    )
+    # required reader items vs nullable writer items refuse (an old
+    # element could be null and the reader has nowhere to put it)
+    with pytest.raises(ValueError, match="nullable"):
+        avro_py.build_writer_aligners({1: nu1, 2: pl}, pl)
+
 
 def test_avro_evolution_promotion_inside_multibranch_union():
     """r12: a plain-primitive writer branch with no same-type reader

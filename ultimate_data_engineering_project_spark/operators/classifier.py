@@ -308,13 +308,26 @@ def nb_model(
         row = tot.first()
         total_tokens = (row["__np"] or 0) + (row["__nn"] or 0)
         if SIZING_HEADROOM * ad > total_tokens:
+            floor_mass = SIZING_HEADROOM * alpha * (64 + N_MARKER_IDS)
+            if total_tokens < floor_mass:
+                # even the dim=64 floor trips: no dim can satisfy the
+                # guard — advising one would loop the user back here
+                fix = (
+                    f"the corpus is too small for ANY dim (needs >= "
+                    f"{floor_mass} tokens, has {total_tokens}); grow "
+                    f"the corpus or pass check_sizing=False for a "
+                    f"deliberately tiny one"
+                )
+            else:
+                fix = (
+                    f"use dim <= {suggest_dim(total_tokens, alpha=alpha)} "
+                    f"for this corpus (suggest_dim), or grow the corpus"
+                )
             raise ValueError(
                 f"nb_model: Laplace mass alpha*(dim+{N_MARKER_IDS}) = "
                 f"{ad} needs >= {SIZING_HEADROOM}x headroom below the "
                 f"corpus token mass ({total_tokens}); the at-zero "
-                f"decision would collapse to all-negative.  Use dim <= "
-                f"{suggest_dim(total_tokens, alpha=alpha)} for this "
-                f"corpus (suggest_dim), or grow the corpus."
+                f"decision would collapse to all-negative.  Fix: {fix}."
             )
 
     def _w(c_pos: Column, c_neg: Column) -> Column:

@@ -1448,12 +1448,18 @@ def _branch_converter(wb, rb, raw_t, raw_defs, sid, where):
             return None if v is None else {k: _f(x) for k, x in v.items()}
 
         return conv_map
-    if isinstance(wb, AvroUnion) and isinstance(rb, AvroUnion):
-        # full union resolution — shared with _field_plan, so
-        # multi-branch unions evolve identically at field level and
-        # nested inside container elements (late r12)
+    if isinstance(wb, AvroUnion) or isinstance(rb, AvroUnion):
+        # full union resolution — shared with _field_plan, so unions
+        # evolve identically at field level and nested inside
+        # container elements (late r12).  A PLAIN branch on either
+        # side is the 1-branch union view (exactly how the spec's
+        # resolution rules treat a non-union schema against a union):
+        # writer "int" items vs reader ["null","int"] items is the
+        # canonical make-a-column-nullable ALTER and resolves here.
+        w_all = wb.branches if isinstance(wb, AvroUnion) else (wb,)
+        r_all = rb.branches if isinstance(rb, AvroUnion) else (rb,)
         return _union_value_converter(
-            wb.branches, rb.branches, raw_t, raw_defs, sid, where
+            w_all, r_all, raw_t, raw_defs, sid, where
         )
     raise ValueError(
         f"writer schema {sid}: {where!r} type mismatch "
@@ -1608,8 +1614,11 @@ def _field_plan(wf: AvroField, rf: AvroField, raw, raw_defs, sid, where,
         ``data_collections``), promotions and enum widening inside
         containers, nested single-non-null unions.
 
-    Still refused: resized fixeds and multi-branch unions nested
-    inside container elements — identical layouts otherwise."""
+    Still refused: resized fixeds (no fixed-size resolution rule
+    exists) and multi-to-single union narrowing (the surfaced memberN
+    shape would change) — multi-branch unions nested inside container
+    elements resolve through the SAME _union_value_converter as
+    field-level unions (late r12)."""
     wb, rb = wf.value_type, rf.value_type
     if wf.branches == rf.branches or (
         wf.branches == (rb,) and rf.nullable
