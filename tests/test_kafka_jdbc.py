@@ -951,6 +951,60 @@ def test_avro_evolution_promotion_inside_multibranch_union():
         avro_py.build_writer_aligners({1: v_int, 2: v_one}, v_one)
 
 
+def test_avro_raw_defaults_found_past_first_union_record():
+    """r12 review finding: a record defined inline in a LATER union
+    branch must still register for by-name references elsewhere —
+    otherwise the container aligner loses the reader's declared
+    element defaults and falsely refuses a spec-valid evolution."""
+    import json as _json
+
+    from ultimate_data_engineering_project_spark.sources import avro_py
+
+    def schema(b_fields):
+        return _json.dumps({
+            "type": "record", "name": "r", "fields": [
+                # field 'a': union whose FIRST record is A and whose
+                # LATER branch defines record B inline
+                {"name": "a", "type": ["null",
+                    {"type": "record", "name": "A",
+                     "fields": [{"name": "x", "type": "long"}]},
+                    {"type": "array", "items": {
+                        "type": "record", "name": "B",
+                        "fields": b_fields}}],
+                 "default": None},
+                # field 'b' references B by NAME
+                {"name": "b", "type": {"type": "array", "items": "B"}},
+            ],
+        })
+
+    v1 = schema([{"name": "n", "type": "string"}])
+    v2 = schema([{"name": "n", "type": "string"},
+                 {"name": "y", "type": "string", "default": "?"}])
+    _, wr = avro_py.build_writer_aligners({1: v1, 2: v2}, v2)
+    wf1, align1 = wr[1]
+    old = avro_py.encode_record((None, [{"n": "k"}]), wf1)
+    assert tuple(align1(avro_py.decode_record(old, wf1))) == (
+        None, [{"n": "k", "y": "?"}]
+    )
+
+
+def test_bpe_segment_words_rejects_separator_in_word(spark):
+    """r12 review finding: the trainer's sep-in-corpus guard only
+    covers the training frame — the OOV segmentation path must refuse
+    a word carrying the separator rather than silently mis-segment."""
+    import pytest as _pytest
+
+    from ultimate_data_engineering_project_spark.operators.text import (
+        bpe_segment_words,
+    )
+
+    words = spark.createDataFrame(
+        [("ok",), ("bad\x1fword",)], "word string"
+    )
+    with _pytest.raises(ValueError, match="separator"):
+        bpe_segment_words(words, [(1, "a", "b", "ab", 2)]).collect()
+
+
 def test_decode_confluent_evolving_data_collections_element(spark):
     """r12 judge ask #4 end to end on Spark: the Debezium transaction
     envelope's ``data_collections`` array<record> whose ELEMENT record

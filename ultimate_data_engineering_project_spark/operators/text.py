@@ -1287,6 +1287,16 @@ def bpe_segment_words(
 
     Returns ``(word_col, __toks array<string>)`` — the same shape as
     the trained-vocab map, so the two union into one lookup side."""
+    # The trainer's sep-in-corpus guard only protects the TRAINING
+    # frame; an OOV word carrying the separator would conflate in-word
+    # bytes with token boundaries and silently mis-segment — refuse
+    # loudly here exactly like the trainer does (the frame is
+    # vocab-cardinality, so the probe is cheap).
+    if words.where(F.col(word_col).contains(sep)).limit(1).count():
+        raise ValueError(
+            "bpe_segment_words separator occurs inside a word to "
+            "segment; pass a sep character absent from the corpus"
+        )
     sep2 = sep + sep
     out = words.select(
         F.col(word_col),

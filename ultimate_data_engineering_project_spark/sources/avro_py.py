@@ -1173,11 +1173,16 @@ def _raw_record_fields(t, raw_defs: dict):
     if isinstance(t, str):
         return raw_defs.get(t)
     if isinstance(t, list):
+        # walk EVERY branch for its registration side effects (a
+        # record defined inline in a later union branch must land in
+        # raw_defs for by-name references elsewhere — r12 review
+        # finding), returning the first record's fields as before
+        first = None
         for b in t:
             r = _raw_record_fields(b, raw_defs)
-            if r is not None:
-                return r
-        return None
+            if first is None and r is not None:
+                first = r
+        return first
     if isinstance(t, dict):
         if t.get("type") == "record":
             fields = t.get("fields", [])
