@@ -1444,6 +1444,79 @@ def test_incremental_bm25_stream_matches_batch(spark, sf_dir, tmp_path):
     ] == [(r["doc_id"], r["score"], r["rank"]) for r in full0.collect()]
 
 
+def test_incremental_bpe_encode_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The tokenizer-service face (r12): a tokenizer frozen on the
+    documents corpus (save/load round-trip pinned) stream-encodes the
+    DISJOINT part-name corpus micro-batch by micro-batch — the union
+    of per-batch outputs equals a one-shot bpe_encode_docs with
+    subword OOV segmentation, and a checkpointed re-run of the
+    exhausted stream changes nothing (replay idempotence)."""
+    from ultimate_data_engineering_project_spark.operators import text as T
+    from ultimate_data_engineering_project_spark.sources.readers import (
+        load_table,
+    )
+    from ultimate_data_engineering_project_spark.streaming.pipelines import (
+        run_incremental_bpe_encode_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_dir = str(tmp_path / "tok")
+    T.save_bpe_tokenizer(docs, 6, tok_dir, batch_pairs=4)
+    merges, vocab, sep = T.load_bpe_tokenizer(spark, tok_dir)
+    assert sep == "\x1f" and len(merges) == 6
+    assert [m[0] for m in merges] == [1, 2, 3, 4, 5, 6]
+    # save/load round-trip: the loaded table IS the trained one
+    trained, tvocab = T._bpe_loop(docs, 6, text_col="text", sep="\x1f",
+                                  batch_pairs=4)
+    assert merges == trained
+    assert sorted(map(tuple, vocab.collect())) == sorted(
+        map(tuple, tvocab.collect())
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    src = str(tmp_path / "part_src")
+    for i in range(3):
+        part.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            src + f"/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(part.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    out_dir = str(tmp_path / "enc_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_incremental_bpe_encode_stream(
+        spark, stream, tok_dir, out_dir, ckpt
+    )
+    q.awaitTermination(300)
+
+    inc = spark.read.parquet(out_dir + "/batch=*")
+    full = T.bpe_encode_docs(
+        part, 0, vocab=vocab, merges=merges, oov="subword"
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # replay idempotence: re-running the exhausted stream with the same
+    # checkpoint processes nothing and the outputs are unchanged
+    q2 = run_incremental_bpe_encode_stream(
+        spark,
+        spark.readStream.schema(part.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*"),
+        tok_dir, out_dir, ckpt,
+    )
+    q2.awaitTermination(300)
+    inc2 = spark.read.parquet(out_dir + "/batch=*")
+    assert sorted(map(tuple, inc2.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_incremental_span_stream_matches_batch(spark, sf_dir, tmp_path):
     """The streaming span probe (anchors vs history index) emits
     exactly the CROSS-BATCH spans the batch duplicated_spans operator

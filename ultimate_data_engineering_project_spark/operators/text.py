@@ -1333,6 +1333,58 @@ def bpe_segment_words(
     )
 
 
+def save_bpe_tokenizer(
+    train_df: DataFrame,
+    n_merges: int,
+    tok_dir: str,
+    *,
+    text_col: str = "text",
+    sep: str = "\x1f",
+    batch_pairs: int = 1,
+) -> None:
+    """FREEZE a tokenizer: train the merge table on ``train_df`` and
+    persist the three artifacts a tokenizer service ships — the
+    fully-merged vocab frame (``tok_dir/vocab``), the ordered merge
+    table (``tok_dir/merges``), and a one-row meta frame with the
+    separator and depth (``tok_dir/meta``).  Everything is parquet
+    written through Spark, so the layout works on object stores and a
+    1000-executor cluster reads it like any other table.  The frozen
+    artifacts are CONFIG from then on: encoding a new corpus
+    (`bpe_encode_docs` with ``vocab=``/``merges=``, or the streaming
+    face `streaming.pipelines.run_incremental_bpe_encode_stream`)
+    never re-trains and never re-reads the training corpus."""
+    spark = train_df.sparkSession
+    merges, vocab = _bpe_loop(
+        train_df, n_merges, text_col=text_col, sep=sep,
+        batch_pairs=batch_pairs,
+    )
+    vocab.write.mode("overwrite").parquet(f"{tok_dir}/vocab")
+    spark.createDataFrame(
+        merges,
+        "step long, sym1 string, sym2 string, merged string, pair_n long",
+    ).write.mode("overwrite").parquet(f"{tok_dir}/merges")
+    spark.createDataFrame(
+        [(sep, n_merges)], "sep string, n_merges long"
+    ).write.mode("overwrite").parquet(f"{tok_dir}/meta")
+
+
+def load_bpe_tokenizer(spark, tok_dir: str):
+    """Load a frozen tokenizer saved by `save_bpe_tokenizer`:
+    returns ``(merges, vocab, sep)`` — the ordered merge-rule list
+    (driver-side, rank order), the vocab DataFrame, and the
+    separator.  The merge table is vocabulary-depth rows (a bounded
+    collect by construction — 32k rows for a production vocab)."""
+    meta = spark.read.parquet(f"{tok_dir}/meta").first()
+    merges = [
+        (r["step"], r["sym1"], r["sym2"], r["merged"], r["pair_n"])
+        for r in spark.read.parquet(f"{tok_dir}/merges")
+        .orderBy("step")
+        .collect()
+    ]
+    vocab = spark.read.parquet(f"{tok_dir}/vocab")
+    return merges, vocab, meta["sep"]
+
+
 def bpe_encode_docs(
     df: DataFrame,
     n_merges: int,

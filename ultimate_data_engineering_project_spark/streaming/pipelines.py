@@ -1342,6 +1342,62 @@ def run_incremental_bm25_stream(
     return writer.start()
 
 
+def run_incremental_bpe_encode_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    tok_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """The TOKENIZER-SERVICE face of the BPE family (r12): a frozen
+    tokenizer (``text.save_bpe_tokenizer`` — vocab + merge table +
+    meta, persisted parquet) encodes ARRIVING documents per
+    micro-batch, exactly what a production ingestion edge does when
+    the model's tokenizer is fixed but the corpus keeps growing.
+
+    The tokenizer is CONFIG, loaded once at stream start (never
+    per-batch): the vocab frame joins map-side-broadcast against each
+    batch's words, and words outside it are merge-rule subword
+    segmented (``text.bpe_segment_words``) at BATCH-OOV-VOCAB
+    cardinality — the rule chain never touches corpus-cardinality
+    data, so the per-batch cost is one join wave + a tiny
+    segmentation frame whatever the merge depth.
+
+    Per batch (foreachBatch): the encoded per-doc rows
+    ``(id, n_tokens, token_fingerprint)`` land under
+    ``out_dir/batch=<id>`` — immutable per-batch partitions, never
+    update-in-place, so a crash-replayed batch overwrites its own
+    partition and nothing else (the BM25/dedup-stream
+    replay-idempotence rule).  Equality with a one-shot
+    ``bpe_encode_docs(oov="subword")`` over the same documents is
+    pinned by the stream test, checkpoint restart included."""
+    from ultimate_data_engineering_project_spark.operators import text as _text
+
+    merges, vocab, sep = _text.load_bpe_tokenizer(spark, tok_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        _text.bpe_encode_docs(
+            batch_df, 0, id_col=id_col, text_col=text_col, sep=sep,
+            vocab=vocab, merges=merges, oov="subword",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_incremental_quality_model_stream(
     spark: SparkSession,
     docs: DataFrame,
