@@ -301,8 +301,13 @@ def test_catalog_priority_prefix_covers_core_surface():
         # docs_bpe_token_freq held (trains the same vocab, then the
         # depth-independent per-doc apply; token_freq stays
         # oracle-checked in overflow)
+        # r13: the frozen-tokenizer OOV encode took the tokenizer slot
+        # docs_bpe_encode held since r11 (trains the same vocab on
+        # documents, then subword-segments the disjoint part-name
+        # corpus; docs_bpe_encode and docs_bpe_token_freq stay
+        # oracle-checked in overflow + strict parity)
         "events_rollup_incremental", "bm25_index_topk",
-        "docs_bpe_encode", "nation_trade_pagerank",
+        "parts_bpe_encode_oov", "nation_trade_pagerank",
         # r12: the IVF recall audit (structural misses — unprobed
         # lists) took the n-gram-gate slot docs_boilerplate_ngrams
         # held; the rare-gram gate keeps the n-gram family in the
