@@ -656,7 +656,20 @@ _EVO_READER = """
        {"name": "n", "type": "string"},
        {"name": "cnt", "type": "long"},
        {"name": "src", "type": "string", "default": "cdc"}]}}},
-  {"name": "mv", "type": {"type": "map", "values": "double"}}
+  {"name": "mv", "type": {"type": "map", "values": "double"}},
+  {"name": "meta", "type": {"type": "record", "name": "Meta", "fields": [
+     {"name": "gen", "type": "long", "default": 0},
+     {"name": "tags", "type": {"type": "array", "items": "string"},
+      "default": ["a"]}]},
+   "default": {"gen": 9}},
+  {"name": "op", "type": {"type": "enum", "name": "Op",
+     "symbols": ["c", "u", "d"]}, "default": "c"},
+  {"name": "attrs", "type": {"type": "map", "values": "long"},
+   "default": {"k": 3}},
+  {"name": "hist", "type": {"type": "array", "items": {
+     "type": "record", "name": "H", "fields": [
+       {"name": "x", "type": "long", "default": 1}]}},
+   "default": [{}, {"x": 5}]}
 ]}
 """
 
@@ -688,7 +701,9 @@ def test_avro_evolution_alignment_property(ident, status, u, m, dc, mv):
     """r11+r12 evolution fuzz: every value a v1 writer can emit aligns
     to a reader with a WIDENED enum, WIDENED+REORDERED unions, an
     array whose ELEMENT record evolved (added defaulted field + cnt
-    int->long promotion), and a map whose values promoted int->double
+    int->long promotion), a map whose values promoted int->double,
+    and (r13) four reader-ADDED fields with COMPOSITE defaults
+    (record/enum/map/array-of-record, converted at plan time)
     — the enum symbol string survives as-is, the plain nullable union
     lifts into the reader's memberN struct at the matched branch
     position, multi-union member indexes re-map by branch identity,
@@ -715,7 +730,14 @@ def test_avro_evolution_alignment_property(ident, status, u, m, dc, mv):
         want_m = {"member1": m["member1"]}
     want_dc = [{"n": d["n"], "cnt": d["cnt"], "src": "cdc"} for d in dc]
     want_mv = {k: float(v) for k, v in mv.items()}
-    assert got == (ident, status, want_u, want_m, "emea", want_dc, want_mv)
+    # r13 composite reader defaults, converted at plan time: record
+    # default with the absent field taking its own default, enum
+    # symbol, map values, and array-of-record items where an empty
+    # JSON object backfills the element record's own field defaults
+    want_meta = {"gen": 9, "tags": ["a"]}
+    want_hist = [{"x": 1}, {"x": 5}]
+    assert got == (ident, status, want_u, want_m, "emea", want_dc,
+                   want_mv, want_meta, "c", {"k": 3}, want_hist)
 
 
 rollup_events_strategy = st.lists(
