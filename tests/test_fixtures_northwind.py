@@ -286,11 +286,12 @@ def test_catalog_priority_prefix_covers_core_surface():
         # slot the fixed-coefficient scorer held (fakestream_fraud_scores
         # stays oracle-checked in overflow)
         "fraud_model_trained",
-        # r8: the executable Avro CDC decode with the reference's own
-        # decimal/timestamp logical types took the slot
-        # rolling_7day_order_volume held (same W3 rolling family as
-        # range_rolling_revenue; still oracle-checked in overflow)
-        "avro_debezium_txn_roundtrip",
+        # r8: the executable Avro CDC decode took the slot
+        # rolling_7day_order_volume held; r13: the EVOLVING decode
+        # (writer-version dispatch + resolution-by-name + composite
+        # record defaults) took the S13 slot in turn —
+        # avro_debezium_txn_roundtrip stays oracle-checked in overflow
+        "avro_schema_evolution_decode",
         # r9: the round-8 flagship families rotated in (judge ask #1);
         # each ceded slot keeps a same-family sibling in the prefix and
         # the ceded entry stays oracle-checked in overflow + strict

@@ -110,13 +110,17 @@ _PRIORITY = [
     # core) and both siblings stay oracle-checked in overflow + strict
     # parity at three scales + sf1skew
     "running_total_by_customer_auto",
-    # r8: the executable Avro-decode path (S13, WITH the reference's
-    # own decimal/timestamp logical types) takes a prefix slot so the
-    # CDC decode is under the driver's own hash gate;
-    # rolling_7day_order_volume ceded (same W3 rolling-window family as
-    # range_rolling_revenue — both stay oracle-checked in overflow +
-    # strict parity)
-    "avro_debezium_txn_roundtrip",
+    # r8: the executable Avro-decode path took a prefix slot so the
+    # CDC decode is under the driver's own hash gate.  r13: the
+    # EVOLVING-decode entry takes the S13 slot its fixed-schema twin
+    # held — strictly harder machinery under the same gate: per-row
+    # writer-version dispatch, resolution-by-name, primitive defaults,
+    # and this round's COMPOSITE record-default backfill (the Debezium
+    # ADD COLUMN struct DEFAULT {} shape), value-checked column by
+    # column.  avro_debezium_txn_roundtrip (nested envelope +
+    # decimal/timestamp logical types) stays oracle-checked in
+    # overflow + strict parity.
+    "avro_schema_evolution_decode",
     "dedup_keep_latest_events",
     "scd2_user_event_versions",
     # r12: the skew-aware SESSIONIZE DISPATCHER takes the slot its
@@ -231,6 +235,11 @@ _PRIORITY = [
     "filter_recent_window",
     "docs_repetition_stats",
     "events_value_anomalies",
+    # r13 ceded entry: the fixed-schema Avro decode ceded the S13 slot
+    # to the evolving-decode entry (writer dispatch + resolution +
+    # composite defaults); the nested-envelope + logical-type decode
+    # evidence stays oracle-checked here + strict parity
+    "avro_debezium_txn_roundtrip",
     # r12 ceded entries: the dispatchers they fed rotated into the
     # prefix (SAME oracles), and the boilerplate n-gram gate ceded to
     # the IVF recall audit; all stay oracle-checked here + strict parity
