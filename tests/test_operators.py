@@ -2527,6 +2527,71 @@ def test_bpe_segment_words_reproduces_training_vocab(spark):
     assert got == want
 
 
+def test_bpe_segment_words_deep_rule_chain(spark):
+    """Production-depth rule tables (r13): a 600-rule merge table
+    crosses the 512-rule localCheckpoint boundary and chains ~10
+    selects at the default 64-rules-per-select — the plan-depth
+    bounding machinery a 32k-merge production vocabulary rides, which
+    the 6-rule fixtures never execute.  The segmentation must equal a
+    pure-Python left-to-right scan-merge of the same ordered rules,
+    at the default chunking AND at a tight (16/select, checkpoint
+    every 64) setting that forces nine checkpoints."""
+    import random
+
+    from ultimate_data_engineering_project_spark.operators.text import (
+        bpe_segment_words,
+    )
+
+    rng = random.Random(42)
+    alphabet = list("abcdef")
+    pool = alphabet[:]
+    merges = []
+    for step in range(1, 601):
+        s1, s2 = rng.choice(pool), rng.choice(pool)
+        merged = s1 + s2
+        merges.append((step, s1, s2, merged, 1))
+        if len(merged) <= 8 and merged not in pool:
+            pool.append(merged)
+
+    words = sorted(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+            for _ in range(40)
+        }
+    )
+
+    def py_apply(word):
+        syms = list(word)
+        for _, s1, s2, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return tuple(syms)
+
+    want = {w: py_apply(w) for w in words}
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: tuple(r["__toks"])
+        for r in bpe_segment_words(wdf, merges).collect()
+    }
+    assert got == want
+    got_tight = {
+        r["word"]: tuple(r["__toks"])
+        for r in bpe_segment_words(
+            wdf, merges, rules_per_select=16, ckpt_every_rules=64
+        ).collect()
+    }
+    assert got_tight == want
+    # the chain genuinely merged something (not a vacuous identity)
+    assert any(len(t) < len(w) for w, t in got.items())
+
+
 def test_bpe_encode_oov_subword_vs_python(spark):
     """oov='subword' segments words a frozen tokenizer never saw by
     firing the learned rules in rank order — pinned against a
