@@ -501,7 +501,9 @@ def main() -> None:
         # r13: PARALLEL canary bracket (BLAS threads free, subprocess,
         # JVM stopped) — sees session-scoped parallel-throughput
         # states the serial pinned canary is blind to; feeds the same
-        # contended flag at the same 1.5x drift bound
+        # contended flag at the wider PAR_DRIFT_BOUND=2.5x bound (a
+        # free-threaded matmul's idle noise is ~1.3x; 1.5x would
+        # false-positive and disable the next round's reference)
         "canary_par_pre_sec": pre_canary_par,
         "canary_par_post_sec": post_canary_par,
         "contended": contended,

@@ -59,7 +59,9 @@ def test_band_retime_path_end_to_end(tmp_path):
     a fabricated tiny committed reference, and stubbed canaries: the
     line must flag, re-time in a fresh session, and land in
     suspect_lines as a regression_candidate with both samples.  The
-    real BENCH_FULL_LATEST.json is saved/restored around the run."""
+    real BENCH_FULL_LATEST.json is saved/restored by THIS process
+    (not the child — a timeout kill there would leave the committed
+    reference clobbered in the working tree)."""
     driver = tmp_path / "drive.py"
     driver.write_text(
         f"""
@@ -79,21 +81,20 @@ bench._committed_reference = lambda: {{
     "sf": 0.001,
 }}
 os.environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
-
-keep_path = os.path.join({REPO!r}, "BENCH_FULL_LATEST.json")
-with open(keep_path) as fh:
-    keep = fh.read()
-try:
-    bench.main()
-finally:
-    with open(keep_path, "w") as fh:
-        fh.write(keep)
+bench.main()
 """
     )
-    out = subprocess.run(
-        [sys.executable, str(driver)],
-        capture_output=True, text=True, timeout=600,
-    )
+    keep_path = os.path.join(REPO, "BENCH_FULL_LATEST.json")
+    with open(keep_path) as fh:
+        keep = fh.read()
+    try:
+        out = subprocess.run(
+            [sys.executable, str(driver)],
+            capture_output=True, text=True, timeout=600,
+        )
+    finally:
+        with open(keep_path, "w") as fh:
+            fh.write(keep)
     assert out.returncode == 0, out.stderr[-2000:]
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["regression_ref_ok"] is True

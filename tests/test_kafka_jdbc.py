@@ -821,6 +821,19 @@ def test_avro_composite_reader_defaults(spark):
     assert nrow["info"]["q"] == 11
     assert nrow["info"]["extra"].asDict() == {"n": 5}
 
+    # -- by-NAME record reference in a defaulted reader-added field
+    # (r13 review finding): the named type's own field defaults must
+    # resolve, which requires registration to recurse into record
+    # FIELD types — before the fix, b2 silently backfilled {"z": None}
+    byname = _json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "b1", "type": {"type": "record", "name": "B",
+            "fields": [{"name": "z", "type": "long", "default": 3}]},
+         "default": {}},
+        {"name": "b2", "type": "B", "default": {}}]})
+    _, bw = avro_py.build_writer_aligners({1: v1}, byname)
+    assert bw[1][1]([8]) == [8, {"z": 3}, {"z": 3}]
+
     # -- refusals, each at plan time ----------------------------------
     def refuse(match, field):
         with pytest.raises(ValueError, match=match):

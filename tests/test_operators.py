@@ -754,10 +754,18 @@ def test_manifest_stats_staleness_guard(spark, tmp_path):
     )
     assert dec2["stats_source"] == "manifest" and dec2["form"] == "plain"
 
-    # bound below 1.0 is a contract error, loudly
+    # bound below 1.0 is a contract error, loudly — even on a
+    # pointerless dir (validation is hoisted above the early returns,
+    # r13 review finding: the refusal must be deterministic, not
+    # dependent on the table happening to carry matching stats)
     with _pytest.raises(ValueError, match="max_staleness"):
         windows.stats_from_manifest(
             spark, table2, ["k"], max_staleness=0.5
+        )
+    with _pytest.raises(ValueError, match="max_staleness"):
+        windows.stats_from_manifest(
+            spark, str(tmp_path / "no_pointer_here"), ["k"],
+            max_staleness=0.5,
         )
 
 

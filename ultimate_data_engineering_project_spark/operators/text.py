@@ -1341,18 +1341,18 @@ BPE_TOKENIZER_SCHEMA_VERSION = 2
 
 
 def _merges_fingerprint(merges: list[tuple]) -> str:
-    """Content fingerprint of the ORDERED merge-rule table: md5 over a
-    canonical rendering of every (step, sym1, sym2, merged, pair_n)
-    row in step order.  \\x00/\\x01 separators cannot occur in symbols
-    (the trainer refuses corpora containing the \\x1f separator, and
-    merged symbols are concatenations of corpus characters), so the
-    rendering is injective — two different rule tables cannot collide
-    by field-boundary ambiguity."""
+    """Content fingerprint of the ORDERED merge-rule table: md5 over
+    the repr of every (step, sym1, sym2, merged, pair_n) row in step
+    order.  repr is injective for (int, str, str, str, int) tuples —
+    Python escapes quotes and control characters inside string repr —
+    so two different rule tables cannot collide by field-boundary
+    ambiguity even when symbols contain arbitrary control bytes (the
+    trainer only guards the \\x1f separator out of the corpus; a
+    plain separator-joined rendering would be forgeable with \\x00 in
+    a symbol — review finding)."""
     import hashlib
 
-    canon = "\x01".join(
-        f"{s}\x00{a}\x00{b}\x00{m}\x00{n}" for s, a, b, m, n in merges
-    )
+    canon = "\x01".join(repr(t) for t in merges)
     return hashlib.md5(canon.encode("utf-8")).hexdigest()
 
 

@@ -698,6 +698,14 @@ def stats_from_manifest(
     compactor."""
     from ultimate_data_engineering_project_spark.sources import manifest
 
+    # contract validation FIRST — before any early return — so an
+    # invalid bound refuses deterministically, not only on tables that
+    # happen to carry a pointer with matching stats (review finding)
+    if max_staleness is not None and max_staleness < 1.0:
+        raise ValueError(
+            f"max_staleness must be >= 1.0 (got {max_staleness!r}); "
+            "1.0 means 'refuse any drift at all'"
+        )
     ptr = manifest.read_pointer(spark, table_dir)
     if not ptr:
         return None
@@ -713,15 +721,18 @@ def stats_from_manifest(
     except (KeyError, TypeError, ValueError):
         return None  # malformed stats block: fall back to the probe
     if max_staleness is not None:
-        if max_staleness < 1.0:
-            raise ValueError(
-                f"max_staleness must be >= 1.0 (got {max_staleness!r}); "
-                "1.0 means 'refuse any drift at all'"
-            )
         snap = out["total_rows"]
-        live = spark.read.parquet(
-            manifest.join(table_dir, ptr["data"])
-        ).count()
+        try:
+            live = spark.read.parquet(
+                manifest.join(table_dir, ptr["data"])
+            ).count()
+        except Exception:
+            # racing compactor cleanup: the pointer we read named a
+            # generation a concurrent flip just deleted — every other
+            # unusable-stats path here falls back to the probe rather
+            # than crashing the window job, so this one must too (the
+            # probe re-resolves the table through read_current)
+            return None
         if snap <= 0 or live > max_staleness * snap or (
             live * max_staleness < snap
         ):

@@ -1200,6 +1200,15 @@ def _raw_record_fields(t, raw_defs: dict):
                 ns = t.get("namespace")
                 if ns:
                     raw_defs[f"{ns}.{name}"] = fields
+            # recurse into every FIELD type for registration side
+            # effects: a record defined inline in one field and
+            # referenced BY NAME in a later field (or in another
+            # reader-added field's default) must land in raw_defs, or
+            # the composite-default converter silently backfills None
+            # for the named reference's subfield defaults (r13 review
+            # finding — the same class as the r12 union-branch fix)
+            for f in fields:
+                _raw_record_fields(f.get("type"), raw_defs)
             return fields
         # container types: register any ELEMENT record definitions for
         # later by-name lookup (r12 container-element evolution — the
