@@ -2537,13 +2537,18 @@ def test_bpe_segment_words_reproduces_training_vocab(spark):
 
 def test_bpe_segment_words_deep_rule_chain(spark):
     """Production-depth rule tables (r13): a 600-rule merge table
-    crosses the 512-rule localCheckpoint boundary and chains ~10
-    selects at the default 64-rules-per-select — the plan-depth
+    crosses the localCheckpoint boundary four times at the default
+    chunking (64 rules/select, checkpoint every 128) — the plan-depth
     bounding machinery a 32k-merge production vocabulary rides, which
-    the 6-rule fixtures never execute.  The segmentation must equal a
-    pure-Python left-to-right scan-merge of the same ordered rules,
-    at the default chunking AND at a tight (16/select, checkpoint
-    every 64) setting that forces nine checkpoints."""
+    the 6-rule fixtures never execute.  (The first version of this
+    test, at the original 512-rule checkpoint default, caught a real
+    depth bug: ~512 un-truncated nested replace calls overflowed the
+    JVM analyzer stack in the long-lived suite session while passing
+    in a fresh one — the default now bounds lineage at 128.)  The
+    segmentation must equal a pure-Python left-to-right scan-merge of
+    the same ordered rules, at the default chunking AND at a tight
+    (16/select, checkpoint every 64) setting that forces nine
+    checkpoints."""
     import random
 
     from ultimate_data_engineering_project_spark.operators.text import (

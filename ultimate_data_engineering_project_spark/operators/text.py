@@ -1265,7 +1265,7 @@ def bpe_segment_words(
     word_col: str = "word",
     sep: str = "\x1f",
     rules_per_select: int = 64,
-    ckpt_every_rules: int = 512,
+    ckpt_every_rules: int = 128,
 ) -> DataFrame:
     """Subword-segment NEW words under a FROZEN merge table (r12 judge
     ask #5 — the merge-RULE apply a tokenizer service runs on
@@ -1283,7 +1283,14 @@ def bpe_segment_words(
     (``rules_per_select`` per select, localCheckpoint every
     ``ckpt_every_rules`` to bound plan depth at real 32k-vocab
     tables), so the corpus-side encode join stays one wave whatever
-    the depth (`bpe_encode_docs` pins jobs(6) == jobs(50)).
+    the depth (`bpe_encode_docs` pins jobs(6) == jobs(50)).  The
+    checkpoint interval defaults to 128 rules: the r13 deep-chain
+    test caught that ~512 un-truncated nested ``replace`` calls can
+    overflow the JVM analyzer stack in a long-lived session (the
+    failure is stack-state-dependent, i.e. flaky), while 128-deep
+    lineage sits safely inside it — each checkpoint materializes only
+    the vocab-cardinality frame, so the extra truncations are noise
+    even at 32k rules.
 
     Returns ``(word_col, __toks array<string>)`` — the same shape as
     the trained-vocab map, so the two union into one lookup side."""
