@@ -825,7 +825,8 @@ def _default_tree(draw, depth=0, name_seq=None):
     against an independently computed expectation."""
     if name_seq is None:
         name_seq = iter(range(10_000))
-    kinds = ["long", "string", "boolean", "enum"]
+    kinds = ["long", "string", "boolean", "enum",
+             "bytes", "decimal", "date"]
     if depth < 2:
         kinds += ["record", "array", "map"]
     kind = draw(st.sampled_from(kinds))
@@ -838,6 +839,33 @@ def _default_tree(draw, depth=0, name_seq=None):
     if kind == "boolean":
         v = draw(st.booleans())
         return "boolean", v, v
+    if kind == "bytes":
+        # r14: the spec's latin-1 default encoding — JSON string code
+        # points 0-255 map one-to-one to byte values
+        raw = draw(st.binary(max_size=8))
+        return "bytes", raw.decode("latin-1"), raw
+    if kind == "decimal":
+        # r14: decimal logical defaults are the latin-1 string of the
+        # two's-complement unscaled value (Debezium NUMERIC DEFAULT)
+        import decimal as _dec
+
+        scale = draw(st.integers(min_value=0, max_value=4))
+        unscaled = draw(
+            st.integers(min_value=-(2**30), max_value=2**30)
+        )
+        nbytes = ((unscaled + (1 if unscaled < 0 else 0)).bit_length()
+                  // 8) + 1
+        raw = unscaled.to_bytes(nbytes, "big", signed=True)
+        decl = {"type": "bytes", "logicalType": "decimal",
+                "precision": 15, "scale": scale}
+        want = _dec.Decimal(unscaled).scaleb(-scale)
+        return decl, raw.decode("latin-1"), want
+    if kind == "date":
+        import datetime as _dt
+
+        days = draw(st.integers(min_value=-30_000, max_value=60_000))
+        decl = {"type": "int", "logicalType": "date"}
+        return decl, days, _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
     if kind == "enum":
         syms = draw(
             st.lists(
