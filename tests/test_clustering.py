@@ -200,3 +200,25 @@ def test_ivf_recall_audit_floor_and_structure(spark, sf_dir):
     for r in rows:
         by_q.setdefault(r.query_id, set()).add(r.rank)
     assert all(v == {1, 2, 3, 4, 5} for v in by_q.values()), by_q
+
+
+def test_pq_recall_audit_floor_and_structure(spark, sf_dir):
+    """The int-PQ recall audit (r14 — the FOURTH audit-family member)
+    must carry the full exact top-5 truth (5 queries x 5 rows) and a
+    recall floor — PQ misses are structural like IVF's (a true
+    neighbor whose ADC distance lands past the rerank-pool boundary),
+    so the floor documents what m=4/n_codes=8/rerank=50 buys; at
+    least one captured AND one missed row exist at every fixture
+    scale, so the audit's miss-visibility is exercised, not vacuous."""
+    from ultimate_data_engineering_project_spark.plans.catalog import catalog
+
+    rows = catalog()["ann_pq_recall_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25, len(rows)
+    assert {r.query_id for r in rows} == set(range(5))
+    recall = sum(r.captured for r in rows) / len(rows)
+    assert recall >= 0.6, recall
+    assert any(r.captured == 0 for r in rows)  # misses stay visible
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.rank)
+    assert all(v == {1, 2, 3, 4, 5} for v in by_q.values()), by_q

@@ -334,12 +334,13 @@ def test_catalog_priority_prefix_covers_core_surface():
         # overflow + strict parity.
         "events_value_anomalies_auto",
         "docs_rare_gram_gate",
-        # r11 (late): the skew-aware dispatcher took the running-total
-        # slot — SAME oracle as both forms it picks between; the
-        # chunked algebra stays gated via events_value_anomalies_chunked
-        # (shared _prefix_sums_chunked core) and both siblings stay
-        # oracle-checked in overflow + strict parity
-        "running_total_by_customer_auto",
+        # r14: the PQ recall audit completed the four-member ANN audit
+        # family in the prefix; the running-total dispatcher ceded its
+        # slot (the ledger family keeps fakestream_ledger_clamped in
+        # the prefix and the dispatch machinery keeps two prefix rows
+        # via the anomaly + sessionize autos) and stays oracle-checked
+        # in overflow + strict parity
+        "ann_pq_recall_audit",
     }
     missing = must_have - prefix
     assert not missing, f"core queries fell out of the 50-entry prefix: {missing}"

