@@ -186,6 +186,7 @@ def nb_token_counts(
     dim: int = DEFAULT_DIM,
     text_col: str = "text",
     bigrams: bool = False,
+    features_col: str | None = None,
 ) -> DataFrame:
     """Per-feature class counts — the model's SUFFICIENT STATISTICS:
     (feature, c_pos, c_neg) with token MULTIPLICITY (multinomial NB).
@@ -194,12 +195,22 @@ def nb_token_counts(
     the full-corpus counts (merge_nb_counts), which is what makes the
     trained model a continuous aggregate rather than a retrain —
     with OR without bigram features (the widened stream is still a
-    per-doc map-side array, so merge invariance is unchanged)."""
+    per-doc map-side array, so merge invariance is unchanged).
+
+    ``features_col`` names a PRE-COMPUTED feature_stream() array column
+    (r14 ask #6: a train/score cycle that materializes the featurized
+    frame once — e.g. via localCheckpoint — hands it to both halves
+    instead of re-tokenizing the corpus per consumer); ``label_col``
+    should then reference a precomputed label column from the same
+    frame, or the tokenize this path exists to skip comes right back
+    through the label expression."""
+    stream = (
+        F.col(features_col)
+        if features_col is not None
+        else _feature_stream(text_col, dim, bigrams=bigrams)
+    )
     feat = docs.select(
-        label_col.alias("__y"),
-        F.explode(_feature_stream(text_col, dim, bigrams=bigrams)).alias(
-            "feature"
-        ),
+        label_col.alias("__y"), F.explode(stream).alias("feature")
     )
     return feat.groupBy("feature").agg(
         F.sum(F.col("__y")).alias("c_pos"),
@@ -248,6 +259,21 @@ def _feature_stream(
         )
         parts.insert(1, F.transform(pairs, lambda g: hashed_feature(g, dim)))
     return F.concat(*parts)
+
+
+def feature_stream(
+    text_col: str = "text", dim: int = DEFAULT_DIM, *, bigrams: bool = False
+) -> Column:
+    """Public face of the per-doc feature array (r14 ask #6): callers
+    that train AND score over overlapping corpus scans compute this
+    ONCE into a materialized frame (localCheckpoint / persisted
+    parquet) and pass ``features_col`` to nb_token_counts / nb_score —
+    tokenize+hash is the dominant map-side cost, and each lineage
+    re-evaluation repays it in full.  The checkpoint trades local
+    storage (~ the tokenized corpus) for those repeat passes; at
+    petabyte scale persist the featurized frame to the cluster store
+    instead — same contract, same columns."""
+    return _feature_stream(text_col, dim, bigrams=bigrams)
 
 
 def nb_doc_counts(docs: DataFrame, label_col: Column) -> DataFrame:
@@ -455,6 +481,7 @@ def nb_score(
     id_col: str = "doc_id",
     passthrough: dict[str, Column] | None = None,
     bigrams: bool = False,
+    features_col: str | None = None,
 ) -> DataFrame:
     """Score every document: exact BIGINT sum of micro-weights over
     token occurrences (+ bias), predicted = score > 0.  The model is
@@ -465,14 +492,21 @@ def nb_score(
     frame) are computed map-side in the SAME select as the feature
     explode and carried through the aggregate as grouping keys — NOT
     joined back afterwards, which would be a second corpus-scale
-    shuffle on doc_id."""
+    shuffle on doc_id.
+
+    ``features_col`` reads a PRE-COMPUTED feature_stream() array from
+    the input frame instead of tokenizing here (the nb_token_counts
+    contract — see feature_stream)."""
     extra = passthrough or {}
+    stream = (
+        F.col(features_col)
+        if features_col is not None
+        else _feature_stream(text_col, dim, bigrams=bigrams)
+    )
     tok = docs.select(
         F.col(id_col),
         *[c.alias(name) for name, c in extra.items()],
-        F.explode(_feature_stream(text_col, dim, bigrams=bigrams)).alias(
-            "feature"
-        ),
+        F.explode(stream).alias("feature"),
     )
     scored = (
         tok.join(F.broadcast(weights.select("feature", "weight_micro")),
