@@ -769,6 +769,76 @@ def test_manifest_stats_staleness_guard(spark, tmp_path):
         )
 
 
+def test_staleness_guard_exception_triage(spark, tmp_path):
+    """r14 (advisor): the guard's live-row count still degrades to the
+    probe on ANY failure (the probe recomputes truth), but only the
+    EXPECTED racing-compactor shapes (path gone) stay silent — an
+    unexpected failure (e.g. a corrupt footer) warns once per table so
+    a persistently broken manifest path is visible, not masked."""
+    import os
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from ultimate_data_engineering_project_spark.sources import (
+        manifest,
+        sinks,
+    )
+
+    def _mk(table):
+        spark.range(1000).select(
+            (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+        ).write.parquet(table)
+        sinks.compact_parquet(
+            spark, table, via_manifest=True, stats_keys=["k"]
+        )
+
+    # expected shape: the generation the pointer names is GONE (the
+    # racing-compactor cleanup) -> silent None
+    gone = str(tmp_path / "gone")
+    _mk(gone)
+    ptr = manifest.read_pointer(spark, gone)
+    gen = manifest.join(gone, ptr["data"])
+    import shutil
+
+    shutil.rmtree(gen)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning would fail the test
+        assert (
+            windows.stats_from_manifest(
+                spark, gone, ["k"], max_staleness=2.0
+            )
+            is None
+        )
+
+    # unexpected shape: generation present but its parquet is corrupt
+    # -> None (probe fallback) + ONE RuntimeWarning naming the table
+    corrupt = str(tmp_path / "corrupt")
+    _mk(corrupt)
+    ptr = manifest.read_pointer(spark, corrupt)
+    gen = manifest.join(corrupt, ptr["data"])
+    for f in os.listdir(gen):
+        if f.endswith(".parquet"):
+            with open(os.path.join(gen, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with _pytest.warns(RuntimeWarning, match="persistently broken"):
+        assert (
+            windows.stats_from_manifest(
+                spark, corrupt, ["k"], max_staleness=2.0
+            )
+            is None
+        )
+    # warn-once: the second call is silent
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert (
+            windows.stats_from_manifest(
+                spark, corrupt, ["k"], max_staleness=2.0
+            )
+            is None
+        )
+
+
 def test_rolling_sums_chunked_equals_plain(spark, sf_dir):
     """The skew-safe ROWS-bounded rolling sums (rolling = difference
     of two chunked prefix sums, lagged prefix fetched by a splittable

@@ -10,7 +10,15 @@ window plans: partition by the entity key, order by event time.
 
 from __future__ import annotations
 
+import warnings
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+#: tables whose staleness-guard row count already warned about an
+#: unexpected (non-path-race) failure — warn once per table, not per
+#: dispatch (stats_from_manifest).
+_STALENESS_GUARD_WARNED: set[str] = set()
 
 
 def dedup_keep_latest(
@@ -726,12 +734,39 @@ def stats_from_manifest(
             live = spark.read.parquet(
                 manifest.join(table_dir, ptr["data"])
             ).count()
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — triaged below
             # racing compactor cleanup: the pointer we read named a
             # generation a concurrent flip just deleted — every other
             # unusable-stats path here falls back to the probe rather
             # than crashing the window job, so this one must too (the
-            # probe re-resolves the table through read_current)
+            # probe re-resolves the table through read_current).
+            # r14 (advisor): only the path-gone shapes are EXPECTED
+            # here; anything else (auth failure, corrupt footer,
+            # misconfigured path) still degrades to the probe — the
+            # probe recomputes truth, so correctness never depends on
+            # this read — but is WARNED once per table so a
+            # persistently broken manifest path stops masquerading as
+            # a benign race.
+            msg = str(exc)
+            expected = isinstance(exc, AnalysisException) or any(
+                s in msg
+                for s in (
+                    "FileNotFoundException",
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                )
+            )
+            if not expected and table_dir not in _STALENESS_GUARD_WARNED:
+                _STALENESS_GUARD_WARNED.add(table_dir)
+                warnings.warn(
+                    f"stats_from_manifest: staleness-guard row count on "
+                    f"{table_dir!r} failed with an UNEXPECTED error "
+                    f"(falling back to the key probe, answer unaffected); "
+                    f"the manifest path may be persistently broken: "
+                    f"{type(exc).__name__}: {msg[:300]}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return None
         if snap <= 0 or live > max_staleness * snap or (
             live * max_staleness < snap
