@@ -158,6 +158,9 @@ NESTED_LOOP_ALLOWED = {
     # join, plan-tested in tests/test_classifier.py
     "docs_quality_model_weights",
     "docs_quality_model_holdout",
+    # r14: the partials-derived model shares the weights entry's 1-ROW
+    # broadcast crossJoins (token totals + priors)
+    "docs_quality_model_partials",
 }
 
 # fn() itself runs jobs — too heavy for a plan sweep: k-means training
@@ -173,6 +176,8 @@ PLAN_SWEEP_SKIP = {
     "ann_pq_recall_audit",
     "docs_quality_model_weights",
     "docs_quality_model_holdout",
+    # r14: writes its three batch partials eagerly inside fn()
+    "docs_quality_model_partials",
 }
 
 
