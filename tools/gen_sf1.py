@@ -40,15 +40,18 @@ Usage: python tools/gen_sf1.py [out_dir]   (default .scaling/sf1)
        python tools/gen_sf1.py --skew [out_dir]   (default .scaling/sf1skew)
        python tools/gen_sf1.py --sf10 [out_dir]   (default .scaling/sf10)
 
-``--sf10`` (r10 judge ask #8) writes a 100x-sf0.1 upscale of EVENTS
-and DOCUMENTS only — the spot-decade inputs for the two steepest
-final-decade entries (timeseries_similar_users reads events;
-incremental_near_dup_md5 reads documents).  Same construction as sf1
-with N_COPIES=100: events block-shift keys (100x users, per-user
-series lengths preserved), documents interleave ids and salt copies>0
-so near-dup work scales like a real corpus.  ~10M events / ~500k docs;
-the other tables are deliberately absent (generation is minutes, and
-no swept entry at sf10 reads them).
+``--sf10`` (r10 judge ask #8) writes a 100x-sf0.1 upscale of EVENTS,
+DOCUMENTS, and (r14, judge ask #5) ORDERS — the spot-decade inputs
+for the steepest final-decade entries (timeseries_similar_users reads
+events; incremental_near_dup_md5 reads documents; the
+running_total_by_customer_auto dispatcher reads orders).  Same
+construction as sf1 with N_COPIES=100: events/orders block-shift keys
+(100x users/customers, per-key series lengths preserved), documents
+interleave ids and salt copies>0 so near-dup work scales like a real
+corpus.  ~10M events / ~500k docs / ~15M orders; the other tables are
+deliberately absent (generation is minutes, and no swept entry at
+sf10 reads them — tests/oracle_utils.duck_connection registers views
+only for the tables present).
 
 ``--skew`` (r8 judge ask #3) writes the HOT-KEY variant: same row
 counts and FK consistency as sf1, but with the skew a 100 TB
@@ -121,8 +124,34 @@ def main(out_dir: str, skew: bool = False, sf10: bool = False,
         _write_tpch_facts(spark, write, skew)
     _write_events_documents(spark, write, skew, ncopies,
                             docs_only=sf100)
+    if sf10:
+        # r14 (judge ask #5): the THIRD auto dispatcher
+        # (running_total_by_customer_auto) reads orders, so the sf10
+        # strict-parity sweep needs an orders decade too.  Same
+        # construction as the sf1 upscale — keys block-shift by copy,
+        # so per-customer order-series lengths keep the sf0.1
+        # distribution while customer cardinality grows 100x (the
+        # regime the dispatcher's histogram probe must classify).
+        _write_orders_up(spark, write, ncopies)
     if not (sf10 or sf100):
         _write_embeddings(spark, write)
+
+
+def _write_orders_up(spark, write, ncopies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    orders = load_table(spark, SRC, "orders")
+    o_stride = _stride(orders, "o_orderkey")
+    c_stride = _stride(orders, "o_custkey")
+    write(
+        _copies(spark, orders, ncopies)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__copy") * o_stride)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("__copy") * c_stride)
+        .drop("__copy"),
+        "orders",
+    )
 
 
 def _write_tpch_facts(spark, write, skew: bool) -> None:
