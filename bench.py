@@ -312,13 +312,17 @@ def _flag_lines(
     timings: dict[str, float],
     ref_queries: dict[str, float],
     band: float,
-    floor: float = NOISE_FLOOR_SEC,
+    floor: float | None = None,
 ) -> list[str]:
     """Sweep lines slower than ``band`` x their committed value AND
     more than ``floor`` seconds over it (r14 ask #4: ratio-only bands
     on sub-2s lines flag scheduler noise around lucky-fast committed
     samples); lines the committed run never timed (new queries) can't
-    be banded."""
+    be banded.  ``floor`` defaults to the NOISE_FLOOR_SEC module
+    global AT CALL TIME (resolved inside, not a def-time default, so
+    monkeypatching the global works for default-arg callers too)."""
+    if floor is None:
+        floor = NOISE_FLOOR_SEC
     return [
         n for n, t in timings.items()
         if n in ref_queries and ref_queries[n] > 0
@@ -422,11 +426,7 @@ def main() -> None:
     suspect_lines: dict[str, dict] = {}
     if reference is not None and reference.get("sf") == sf:
         ref_q = reference["queries"]
-        # floor passed explicitly (module global at call time, so tests
-        # can neutralize it; the def-time default would be baked in)
-        flagged = _flag_lines(
-            timings, ref_q, REGRESSION_BAND, NOISE_FLOOR_SEC
-        )
+        flagged = _flag_lines(timings, ref_q, REGRESSION_BAND)
         if flagged:
             print(
                 f"# regression band: {len(flagged)} line(s) exceed "
@@ -643,16 +643,27 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
-            with open(os.path.join(here, "BENCH_FULL_LATEST.json"),
-                      "w") as fh:
-                json.dump(full, fh, indent=1)
-                fh.write("\n")
-            print(
-                "# --commit-reference: BENCH_FULL_LATEST.json updated "
-                "(clean run) — commit it to activate the new band "
-                "reference",
-                file=sys.stderr,
-            )
+            try:
+                with open(os.path.join(here, "BENCH_FULL_LATEST.json"),
+                          "w") as fh:
+                    json.dump(full, fh, indent=1)
+                    fh.write("\n")
+            except OSError as exc:
+                # read-only checkout: don't lose the multi-minute sweep
+                # — the stdout payload line below still carries it
+                print(
+                    f"# --commit-reference write FAILED ({exc}); "
+                    "payload still printed below and in "
+                    "BENCH_LAST_RUN.json if writable",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    "# --commit-reference: BENCH_FULL_LATEST.json "
+                    "updated (clean run) — commit it to activate the "
+                    "new band reference",
+                    file=sys.stderr,
+                )
     print(f"# comparability_note: {comparability_note}", file=sys.stderr)
     # stdout-line tail budget (~2 KB driver capture): a pathological
     # fully-contended run could carry dozens of suspect entries — cap

@@ -769,12 +769,16 @@ def test_manifest_stats_staleness_guard(spark, tmp_path):
         )
 
 
-def test_staleness_guard_exception_triage(spark, tmp_path):
+def test_staleness_guard_exception_triage(spark, tmp_path, monkeypatch):
     """r14 (advisor): the guard's live-row count still degrades to the
-    probe on ANY failure (the probe recomputes truth), but only the
-    EXPECTED racing-compactor shapes (path gone) stay silent — an
-    unexpected failure (e.g. a corrupt footer) warns once per table so
-    a persistently broken manifest path is visible, not masked."""
+    probe on ANY failure (the probe recomputes truth), but only a REAL
+    racing-compactor cleanup stays silent — discriminated by re-reading
+    the pointer after a path-gone failure (a racing compactor flips the
+    pointer to its new generation BEFORE deleting the old one, so
+    pointer-moved means race).  A pointer that still names the missing
+    path (corrupt pointer, wrong stats_dir) or any non-path failure
+    (e.g. a corrupt footer) warns once per table so a persistently
+    broken manifest path is visible, not masked."""
     import os
     import warnings as _w
 
@@ -793,8 +797,36 @@ def test_staleness_guard_exception_triage(spark, tmp_path):
             spark, table, via_manifest=True, stats_keys=["k"]
         )
 
-    # expected shape: the generation the pointer names is GONE (the
-    # racing-compactor cleanup) -> silent None
+    # REAL race shape: the guard's first pointer read saw generation A,
+    # a concurrent compactor flipped to B and deleted A before the row
+    # count ran.  Simulate with a stateful pointer fake: first call
+    # hands back a stale pointer naming a deleted generation, re-reads
+    # delegate to the real (flipped) pointer -> silent None
+    raced = str(tmp_path / "raced")
+    _mk(raced)
+    real_ptr = manifest.read_pointer(spark, raced)
+    stale_ptr = dict(real_ptr, data="gen-deleted-by-compactor")
+    real_read = manifest.read_pointer
+    calls = {"n": 0}
+
+    def _racing_read(sess, table):
+        calls["n"] += 1
+        return stale_ptr if calls["n"] == 1 else real_read(sess, table)
+
+    monkeypatch.setattr(manifest, "read_pointer", _racing_read)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning would fail the test
+        assert (
+            windows.stats_from_manifest(
+                spark, raced, ["k"], max_staleness=2.0
+            )
+            is None
+        )
+    assert calls["n"] >= 2  # the triage actually re-read the pointer
+    monkeypatch.setattr(manifest, "read_pointer", real_read)
+
+    # persistent shape: the generation the pointer names is GONE and
+    # the pointer has NOT moved -> None (probe fallback) + ONE warning
     gone = str(tmp_path / "gone")
     _mk(gone)
     ptr = manifest.read_pointer(spark, gone)
@@ -802,8 +834,7 @@ def test_staleness_guard_exception_triage(spark, tmp_path):
     import shutil
 
     shutil.rmtree(gen)
-    with _w.catch_warnings():
-        _w.simplefilter("error")  # any warning would fail the test
+    with _pytest.warns(RuntimeWarning, match="persistently broken"):
         assert (
             windows.stats_from_manifest(
                 spark, gone, ["k"], max_staleness=2.0

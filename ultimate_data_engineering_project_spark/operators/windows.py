@@ -740,15 +740,19 @@ def stats_from_manifest(
             # unusable-stats path here falls back to the probe rather
             # than crashing the window job, so this one must too (the
             # probe re-resolves the table through read_current).
-            # r14 (advisor): only the path-gone shapes are EXPECTED
-            # here; anything else (auth failure, corrupt footer,
-            # misconfigured path) still degrades to the probe — the
-            # probe recomputes truth, so correctness never depends on
-            # this read — but is WARNED once per table so a
-            # persistently broken manifest path stops masquerading as
-            # a benign race.
+            # r14 (advisor): only a REAL race stays silent; anything
+            # else still degrades to the probe — the probe recomputes
+            # truth, so correctness never depends on this read — but
+            # is WARNED once per table so a persistently broken
+            # manifest path stops masquerading as a benign race.  The
+            # discriminator: a racing compactor flips the pointer to
+            # its NEW generation before cleaning up the old one, so on
+            # a path-gone failure we re-read the pointer — moved means
+            # race (silent), unchanged means the pointer itself names
+            # a missing path (corrupt pointer, wrong stats_dir,
+            # mis-mounted storage: persistent, warn).
             msg = str(exc)
-            expected = isinstance(exc, AnalysisException) or any(
+            path_gone = isinstance(exc, AnalysisException) or any(
                 s in msg
                 for s in (
                     "FileNotFoundException",
@@ -756,6 +760,13 @@ def stats_from_manifest(
                     "Path does not exist",
                 )
             )
+            expected = False
+            if path_gone:
+                try:
+                    ptr2 = manifest.read_pointer(spark, table_dir)
+                except Exception:  # noqa: BLE001 — pointer unreadable
+                    ptr2 = None
+                expected = bool(ptr2) and ptr2.get("data") != ptr["data"]
             if not expected and table_dir not in _STALENESS_GUARD_WARNED:
                 _STALENESS_GUARD_WARNED.add(table_dir)
                 warnings.warn(

@@ -46,6 +46,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def staging_dir(kind: str, sf_dir: str) -> str:
+    """Session-unique scratch dir for catalog entries that stage
+    fixture data on local disk (manifest tables, model partials):
+    keyed by the md5 of the ABSOLUTE fixture path — two fixture trees
+    sharing a basename (``/a/sf0.1`` vs ``/b/sf0.1``) never collide —
+    plus this process id, so two concurrent sessions on one host (a
+    driver run beside a pytest sweep) never race each other's
+    overwrites.  Within one process the path is stable, so repeated
+    runs (bench best-of-2, parity sweeps) overwrite deterministically
+    instead of accumulating copies."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"udep_stage_{kind}", f"{tag}-pid{os.getpid()}"
+    )
+
+
 def _load() -> None:
     # import for side effect of registration; idempotent.  The core
     # relational/window modules import FIRST so that even a truncated

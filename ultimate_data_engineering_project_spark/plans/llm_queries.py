@@ -2938,17 +2938,17 @@ def docs_quality_model_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle capped at dim rows; the merge reads |batches| x <=dim
     partial rows — independent of corpus size."""
     import os
-    import tempfile
+
+    from ultimate_data_engineering_project_spark.plans.catalog import (
+        staging_dir,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     label = classifier.integer_quality_label()
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "udep_nb_partials",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
-    # three deterministic id-range batches (same rows every run; the
-    # per-fixture dir is overwritten so sweeps never accumulate)
+    base = staging_dir("nb_partials", sf_dir)
+    # three deterministic id-range batches (same rows every run within
+    # a process; the session-unique dir is overwritten so sweeps never
+    # accumulate and concurrent sessions never race — catalog.staging_dir)
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     cuts = [0, n // 3, 2 * n // 3, n]
     for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):

@@ -320,24 +320,22 @@ def sessionize_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer/stats/guard path turns into a red driver row, not a silent
     probe fallback."""
     import os
-    import tempfile
 
+    from ultimate_data_engineering_project_spark.plans.catalog import (
+        staging_dir,
+    )
     from ultimate_data_engineering_project_spark.sources import sinks
     from ultimate_data_engineering_project_spark.sources.readers import (
         read_current,
     )
 
     events = load_table(spark, sf_dir, "events")
-    # deterministic per-fixture staging dir (overwritten each run, so
-    # sweeps never accumulate copies); the flat write is then ADOPTED
-    # by the manifest compactor, which computes the key histogram
-    # while it is already rewriting every row
-    tbl = os.path.join(
-        tempfile.gettempdir(),
-        "udep_auto_stats",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-        "events",
-    )
+    # session-unique per-fixture staging dir (overwritten each run
+    # within a process, collision-free across processes and across
+    # same-basename fixture trees — see catalog.staging_dir); the flat
+    # write is then ADOPTED by the manifest compactor, which computes
+    # the key histogram while it is already rewriting every row
+    tbl = os.path.join(staging_dir("auto_stats", sf_dir), "events")
     events.write.mode("overwrite").parquet(tbl)
     sinks.compact_parquet(
         spark, tbl, via_manifest=True, stats_keys=["user_id"]
