@@ -564,7 +564,20 @@ def minhash_match_index_md5(
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
-    new_sets = _md5_shingle_sets(new_docs, id_col, text_col, shingle_n)
+    # r14 (optimization round, guide §5/§3.3): the new batch and the
+    # candidate set are BOUNDED by this operator's contract (per-batch
+    # cost is O(|batch| + |candidates|), never O(|corpus|)), so pinning
+    # them with eager localCheckpoints is scale-safe and removes the
+    # duplicated subtrees the lazy form paid: new_sets fed three
+    # consumers (new_sh twice via n_new/inter, new_bands once) and
+    # cand fed two (old-doc semi-join + inter), each re-running the
+    # whole shingle/band/index-join pipeline per reference — ~20
+    # parquet scans in one plan at r13.  The checkpoint materializes
+    # only batch-sized frames; the corpus-sized index side still
+    # streams through exactly one banded equi-join.
+    new_sets = _md5_shingle_sets(
+        new_docs, id_col, text_col, shingle_n
+    ).localCheckpoint(eager=True)
     new_sh = new_sets.select("__id", F.explode("__shs").alias("shingle"))
     new_bands = _md5_band_frame(new_sets, num_hashes=num_hashes, bands=bands)
     cand = (
@@ -584,13 +597,19 @@ def minhash_match_index_md5(
         # rows), drop trivial self-pairs instead of reporting jaccard 1.0
         .filter(F.col("new_id") != F.col("old_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # verify: shingle sets of the new batch (already built) + ONLY the
-    # candidate old docs (semi-join prune before the heavy re-shingle)
+    # candidate old docs (semi-join prune before the heavy re-shingle);
+    # the candidates' shingle rows are checkpointed too — they feed both
+    # n_old and the intersection join, and recomputing them would
+    # re-scan the old corpus once per consumer
     old_cand = old_docs.join(
         cand.select(F.col("old_id").alias(id_col)).distinct(), on=id_col, how="left_semi"
     )
-    old_sh = _md5_shingle_frame(old_cand, id_col, text_col, shingle_n)
+    old_sh = _md5_shingle_frame(
+        old_cand, id_col, text_col, shingle_n
+    ).localCheckpoint(eager=True)
     n_new = new_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_a"))
     n_old = old_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_b"))
     inter = (

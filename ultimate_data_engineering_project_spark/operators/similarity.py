@@ -786,6 +786,11 @@ def pq_train(
         raise ValueError(f"vector dim ({dim}) must be divisible by m ({m})")
     d_sub = dim // m
     k = min(n_codes, len(X))
+
+    # r14 note: a ThreadPoolExecutor over the m independent books was
+    # A/B-measured 2.6x SLOWER than this serial loop (0.23s -> 0.61s
+    # for 16 books): each book is many small numpy ops whose Python
+    # overhead holds the GIL, so threads serialize with extra contention.
     books: list[list[list[float]]] = []
     for j in range(m):
         sub = X[:, j * d_sub : (j + 1) * d_sub]

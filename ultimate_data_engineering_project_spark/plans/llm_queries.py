@@ -477,19 +477,19 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # df>1 prune behind a count window: shingles in exactly one doc can
-    # never produce a pair, so dropping them is exact (sizes above are
+    # never produce a pair, so dropping them is exact (sizes below are
     # taken BEFORE the prune).  The real win is structural — the window
     # materializes ONE hashpartitioning(shingle) exchange that both
     # self-join sides reuse, instead of re-shuffling (and re-computing
-    # the shingle pipeline for) each side: ~1.7x at sf0.1.
+    # the shingle pipeline for) each side: ~1.7x at sf0.1.  r14: sizes
+    # also derive from the SAME windowed frame (pre-prune), so the
+    # tokenize+shingle explode runs once instead of twice — the sizes
+    # subtree used to re-expand the whole corpus on its own.
     df_w = Window.partitionBy("shingle")
-    sh_indexed = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
-        .filter(F.col("__df") > 1)
-        .drop("__df")
-    )
+    shw = sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
+    sizes = shw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_indexed = shw.filter(F.col("__df") > 1).drop("__df")
     a, b = sh_indexed.alias("a"), sh_indexed.alias("b")
     inter = (
         a.join(
@@ -1071,8 +1071,18 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sets = dedup._md5_shingle_sets(docs, "doc_id", "text", 3)
     sh = sets.select("__id", F.explode("__shs").alias("shingle"))
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # r14 (guide §2.4): one count window over hashpartitioning(shingle)
+    # serves sizes AND both self-join sides from a single materialized
+    # exchange — the r13 form referenced the un-windowed exploded frame
+    # three times, re-running the tokenize+shingle+explode pipeline for
+    # sizes and for EACH join side.  The df>1 prune is exact (a shingle
+    # in one doc can never produce a pair; sizes are taken pre-prune).
+    shw = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    sizes = shw.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shj = shw.filter(F.col("__df") > 1).drop("__df")
+    a, b = shj.alias("a"), shj.alias("b")
     inter = (
         a.join(
             b,
@@ -1097,7 +1107,11 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_union").cast("long").alias("n_union"),
         )
     )
-    cand = dedup.minhash_lsh_candidates_md5(docs, "doc_id")
+    # r14: the candidate side reuses the SAME shingle-set subtree the
+    # truth side was built from (minhash_lsh_candidates_md5 would
+    # re-derive it from docs — one more full tokenize+shingle pass);
+    # identical parameters (shingle_n=3, num_hashes=16, bands=4)
+    cand = dedup._md5_band_candidates(sets, num_hashes=16, bands=4)
     return (
         truth.join(
             cand.withColumn("captured", F.lit(1).cast("long")),
