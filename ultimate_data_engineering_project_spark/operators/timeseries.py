@@ -516,13 +516,29 @@ def series_topk_similar(
         if blocked
         else series_pairs_euclidean(events, max_len)
     )
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("user_b").alias("user_a"),
-            F.col("user_a").alias("user_b"),
-            "euclidean",
-        )
-    )
+    # Symmetrize with ONE explode instead of unionByName(pairs.select(
+    # reversed)): Catalyst performs no cross-branch subtree reuse, so
+    # the union form re-derived the ENTIRE candidate+distance subtree
+    # (sketch explode, bucket-cap window, pair join, distinct, two
+    # series-attach joins) once per orientation — 2x every exchange and
+    # scan below this point (r14, guide §2.4/§7.2 duplicated-subtree
+    # check).  explode(array(fwd, rev)) emits the same multiset of rows
+    # from a single computation of the pair table and stays lazy — no
+    # checkpoint barrier needed.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("user_a"), F.col("user_b"), F.col("euclidean")
+                ),
+                F.struct(
+                    F.col("user_b").alias("user_a"),
+                    F.col("user_a").alias("user_b"),
+                    F.col("euclidean"),
+                ),
+            )
+        ).alias("__sym")
+    ).select("__sym.user_a", "__sym.user_b", "__sym.euclidean")
     w = Window.partitionBy("user_a").orderBy(F.col("euclidean"), F.col("user_b"))
     return (
         sym.withColumn("rank", F.row_number().over(w))
