@@ -1174,6 +1174,85 @@ def test_cosine_zero_vector_ranks_last(spark):
     assert sims[2] == -1.0  # zero vector: floor similarity, not NaN
 
 
+def test_cosine_arrow_kernel_bit_identical_to_expression(spark):
+    """r14 optimization: every ANN/brute-force scoring pass now runs
+    the batch-native `scored_pairs_arrow` kernel instead of the
+    interpreted HOF fold (guide §4.2).  Its contract is BIT-IDENTITY
+    with `similarity.cosine` — same sequential IEEE-754 fold order,
+    same -1.0 for every degenerate case (null array, null element, NaN
+    element, length mismatch, zero norm, empty arrays, overflow-to-inf
+    inputs) — pinned here RAW (un-rounded: a mismatch must fail even
+    when rounding would mask it) on an adversarial frame in both
+    float and double array types."""
+    rows = [
+        (1, [1.0, 2.0], [1.0, 2.0]),           # sim 0.999... (not 1.0)
+        (2, [1.0, 2.0], [2.0, 1.0]),
+        (3, None, [1.0]),                       # null array
+        (4, [1.0, None], [1.0, 2.0]),           # null element
+        (5, [float("nan"), 1.0], [1.0, 1.0]),   # NaN element
+        (6, [0.0, 0.0], [1.0, 1.0]),            # zero norm
+        (7, [], []),                            # empty arrays
+        (8, [1.0, 2.0, 3.0], [1.0, 2.0]),       # length mismatch
+        (9, [1e38, 1e38], [1e-38, 1e38]),       # large magnitudes
+        (10, [0.1] * 7, [0.3] * 7),             # odd dim
+        (11, [-0.5, 0.25, 8.0], [3.0, -1.0, 0.125]),
+    ]
+    import math
+
+    for elem_t in ("float", "double"):
+        schema = f"ia long, va array<{elem_t}>, vb array<{elem_t}>"
+        adv = spark.createDataFrame(rows, schema)
+        raw_expr = {
+            r["ia"]: r["s"]
+            for r in adv.withColumn(
+                "s", similarity.cosine(F.col("va"), F.col("vb"))
+            ).collect()
+        }
+        # round_digits=0 would change values; instead pull the kernel's
+        # raw output through a 17-digit round (identity on doubles is
+        # NOT guaranteed by round, so call the kernel directly)
+        import pyarrow as pa
+
+        pa_t = pa.float32() if elem_t == "float" else pa.float64()
+        va = pa.array([r[1] for r in rows], type=pa.list_(pa_t))
+        vb = pa.array([r[2] for r in rows], type=pa.list_(pa_t))
+        sims = similarity._cosine_batch_kernel(va, vb)
+        for (ia, _, _), s in zip(rows, sims):
+            e = raw_expr[ia]
+            assert (e == float(s)) or (
+                isinstance(e, float) and math.isnan(e) and math.isnan(s)
+            ), (elem_t, ia, e, float(s))
+
+
+def test_scored_pairs_arrow_matches_expression_on_fixture(spark, sf_dir):
+    """End-to-end twin pin on real fixture embeddings: the production
+    `scored_pairs_arrow` frame (rounded in the JVM) equals the old
+    expression form value-for-value over every (query, corpus) pair."""
+    from ultimate_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    pairs = c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
+    expr = {
+        (r["query_id"], r["neighbor_id"]): r["s"]
+        for r in pairs.withColumn(
+            "s", F.round(similarity.cosine(F.col("__qv"), F.col("__cv")), 6)
+        ).select("query_id", "neighbor_id", "s").collect()
+    }
+    arrow = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.scored_pairs_arrow(
+            pairs, "__qv", "__cv", round_digits=6
+        ).collect()
+    }
+    assert expr == arrow
+
+
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     from ultimate_data_engineering_project_spark.sources.readers import load_table
 

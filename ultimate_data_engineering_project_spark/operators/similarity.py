@@ -13,11 +13,20 @@ Two paths:
 All arithmetic in double precision with sequential array folds so
 results are bit-stable and match the DuckDB oracle
 (list_cosine_similarity over DOUBLE[]).
+
+r14 (optimization): every candidate-pair SCORING pass runs the
+batch-native Arrow kernel `scored_pairs_arrow` (guide §4.2) instead of
+the interpreted higher-order-function fold — ~100x less per-pair CPU
+at identical results (BIT-identical kernel, pinned raw-value-for-raw-
+value by tests/test_operators.py; rounding stays in the JVM).  The
+expression form `cosine()` remains the semantics reference and the
+oracle-equivalence twin.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -66,6 +75,112 @@ def norm(a: Column) -> Column:
     )
 
 
+def _cosine_batch_kernel(va, vb):
+    """numpy twin of :func:`cosine` over two pyarrow list arrays —
+    BIT-IDENTICAL by construction (tests/test_operators.py pins it on
+    adversarial inputs): the dot and both norm folds accumulate in the
+    SAME left-to-right element order as the JVM ``aggregate`` fold
+    (one vectorized ``acc = acc + x*y`` per dimension index — every
+    per-pair addition/multiplication is the identical IEEE-754 double
+    op in the identical order), sqrt/division are correctly-rounded on
+    both sides, and every degenerate case (null array, null element,
+    NaN element, length mismatch, zero norm, empty arrays) lands on
+    the same -1.0 the expression's try_divide/nanvl/coalesce chain
+    produces.  Null elements surface as NaN through ``to_numpy`` and
+    propagate to -1.0 exactly like the JVM's null-propagating fold.
+    Returns a float64 ndarray of raw (UNROUNDED) similarities."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(va)
+    out = np.full(n, -1.0)
+    if n == 0:
+        return out
+
+    def lens_starts_flat(arr):
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype("float64"), nan=-1.0).astype("int64")
+        nn = lens >= 0
+        starts = np.zeros(n, dtype="int64")
+        starts[nn] = np.concatenate(
+            ([0], np.cumsum(lens[nn])[:-1])
+        ) if nn.any() else starts[nn]
+        flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+        return lens, starts, np.asarray(flat, dtype="float64")
+
+    lens_a, starts_a, flat_a = lens_starts_flat(va)
+    lens_b, starts_b, flat_b = lens_starts_flat(vb)
+    valid = (lens_a >= 0) & (lens_b >= 0) & (lens_a == lens_b)
+    for d in np.unique(lens_a[valid]):
+        rows = np.nonzero(valid & (lens_a == d))[0]
+        if d == 0:
+            continue  # empty arrays: zero norms -> stays -1.0
+        ia = starts_a[rows, None] + np.arange(d)
+        ib = starts_b[rows, None] + np.arange(d)
+        X = flat_a[ia]
+        Y = flat_b[ib]
+        dot = np.zeros(len(rows))
+        na = np.zeros(len(rows))
+        nb = np.zeros(len(rows))
+        for i in range(int(d)):  # sequential fold order == the JVM's
+            x = X[:, i]
+            y = Y[:, i]
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        denom = np.sqrt(na) * np.sqrt(nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = dot / denom
+        sim = np.where(denom == 0.0, -1.0, sim)  # try_divide's null
+        sim[np.isnan(sim)] = -1.0  # nanvl (NaN inputs / 0-over-0)
+        out[rows] = sim
+    return out
+
+
+def scored_pairs_arrow(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    round_digits: int = 6,
+    out_col: str = "cosine_sim",
+) -> DataFrame:
+    """Exact cosine over a candidate-pair frame via ``mapInArrow`` —
+    the batch-native form of ``withColumn(out, round(cosine(a, b), r))``
+    (guide §4.2): the three sequential 64-element folds per pair cost
+    ~20µs in the interpreted higher-order-function evaluator vs ~50ns
+    in the vectorized kernel, and at 100 TB the per-candidate scoring
+    pass is the dominant map-side work of every ANN/brute-force path.
+    Only the id/pass-through columns and the two vectors cross the
+    Python boundary; the vectors are dropped on return so post-scoring
+    exchanges stay narrow.  ROUNDING STAYS IN THE JVM (same F.round as
+    before) — the kernel returns raw doubles bit-identical to the
+    expression fold (see `_cosine_batch_kernel`), so every oracle hash
+    is unchanged."""
+    raw = "__raw_" + out_col
+    passthrough = [f for f in pairs.schema.fields if f.name not in (a_col, b_col)]
+    names = [f.name for f in passthrough]
+    out_schema = T.StructType(
+        list(passthrough) + [T.StructField(raw, T.DoubleType())]
+    )
+
+    def score(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            sims = _cosine_batch_kernel(
+                rb.column(rb.schema.get_field_index(a_col)),
+                rb.column(rb.schema.get_field_index(b_col)),
+            )
+            cols = [
+                rb.column(rb.schema.get_field_index(nm)) for nm in names
+            ] + [pa.array(sims, type=pa.float64())]
+            yield pa.RecordBatch.from_arrays(cols, names=names + [raw])
+
+    scored = pairs.mapInArrow(score, schema=out_schema)
+    return scored.withColumn(out_col, F.round(F.col(raw), round_digits)).drop(raw)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,10 +203,11 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    scored = (
-        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits))
-        .drop("__qv", "__cv")
+    scored = scored_pairs_arrow(
+        c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id")),
+        "__qv",
+        "__cv",
+        round_digits=round_digits,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -295,7 +411,7 @@ def cosine_near_dup_pairs(
     ).select("__id", "__v", "__t.table_id", "__t.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             on=[
@@ -311,9 +427,9 @@ def cosine_near_dup_pairs(
             F.col("b.__v").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
-        )
+    )
+    return (
+        scored_pairs_arrow(pairs, "__va", "__vb", round_digits=round_digits)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -490,17 +606,17 @@ def ivf_probe_index(
     indexed = index.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cv"), "__cid"
     )
-    cand = (
+    cand = scored_pairs_arrow(
         (
             indexed.join(F.broadcast(probed), "__cid")
             if broadcast_queries
             else probed.join(indexed, "__cid")
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_sim",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits),
-        )
+        .select("query_id", "neighbor_id", "__qv", "__cv"),
+        "__qv",
+        "__cv",
+        round_digits=round_digits,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -570,14 +686,14 @@ def ivf_topk(
     # the corpus never shuffles for candidate generation, leaving ONE
     # exchange in the whole plan (the per-query top-k window).  Large
     # query sets keep the shuffled equi-join on the list id.
-    cand = (
+    cand = scored_pairs_arrow(
         (indexed.join(F.broadcast(probed), "__cid") if broadcast_queries
          else probed.join(indexed, "__cid"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_sim",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits),
-        )
+        .select("query_id", "neighbor_id", "__qv", "__cv"),
+        "__qv",
+        "__cv",
+        round_digits=round_digits,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -713,17 +829,15 @@ def ann_topk(
         # exchange — the two 64-float vectors never shuffle and never
         # pass through an array-typed aggregate.  Duplicates carry the
         # identical rounded sim, so first() is deterministic.
-        matched = (
+        matched = scored_pairs_arrow(
             cb.join(F.broadcast(qb), on=["table_id", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn(
-                "cosine_sim",
-                F.round(
-                    cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")),
-                    round_digits,
-                ),
-            )
-            .select("query_id", "neighbor_id", "cosine_sim")
+            .select(
+                "query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id"
+            ),
+            "__v_query_id",
+            "__v_neighbor_id",
+            round_digits=round_digits,
         )
         cand = (
             matched.repartition("query_id")
@@ -731,19 +845,16 @@ def ann_topk(
             .agg(F.first("cosine_sim").alias("cosine_sim"))
         )
     else:
-        cand = (
+        cand = scored_pairs_arrow(
             qb.join(cb, on=["table_id", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn(
-                "cosine_sim",
-                F.round(
-                    cosine(F.col("__v_query_id"), F.col("__v_neighbor_id")),
-                    round_digits,
-                ),
-            )
-            .select("query_id", "neighbor_id", "cosine_sim")
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
+            .select(
+                "query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id"
+            ),
+            "__v_query_id",
+            "__v_neighbor_id",
+            round_digits=round_digits,
+        ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
