@@ -1370,6 +1370,16 @@ def duplicated_spans(
         span_anchors(df, w=w, stride=stride, id_col=id_col, text_col=text_col),
         max_occ,
     )
+    # r14 (guide §2.4/§7.2 duplicated-subtree check): both sides of the
+    # h-keyed self-join consume `kept`, and Catalyst re-derives the
+    # whole subtree per side — the per-position md5 fold over EVERY
+    # character of the corpus (the dominant map cost of this operator)
+    # ran twice.  The eager localCheckpoint pins the capped anchor
+    # frame to one computation (the minhash_match_index pattern, same
+    # trade-offs documented at timeseries._blocked_candidate_pairs);
+    # the narrow (doc_id, p, h) rows re-shuffling for the join cost far
+    # less than a second corpus-wide hash pass.
+    kept = kept.localCheckpoint(eager=True)
     matches = (
         kept.alias("a")
         .join(kept.alias("b"), "h")
