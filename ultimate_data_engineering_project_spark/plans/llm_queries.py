@@ -1069,19 +1069,31 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production xxhash64 path (`minhash_near_dup_pairs`) shares the
     banding semantics; its recall floor is pinned in tests."""
     docs = load_table(spark, sf_dir, "documents")
-    sets = dedup._md5_shingle_sets(docs, "doc_id", "text", 3)
-    sh = sets.select("__id", F.explode("__shs").alias("shingle"))
-    # r14 (guide §2.4): one count window over hashpartitioning(shingle)
-    # serves sizes AND both self-join sides from a single materialized
-    # exchange — the r13 form referenced the un-windowed exploded frame
-    # three times, re-running the tokenize+shingle+explode pipeline for
-    # sizes and for EACH join side.  The df>1 prune is exact (a shingle
-    # in one doc can never produce a pair; sizes are taken pre-prune).
-    shw = sh.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    # r14 second pass (guide §2.4/§7.2): the r13→r14 window-sharing form
+    # still re-derived the tokenize+shingle pipeline per consumer — AQE
+    # does not exchange-reuse across these branches, and the executed
+    # plan showed 12 parquet scans of documents.  Now the per-doc
+    # shingle-SET frame is pinned once (eager localCheckpoint, the
+    # minhash_match_index pattern); sizes come from F.size over the
+    # checkpointed array (shingles() is array_distinct, so |array| ==
+    # the exploded count — NO explode and NO shuffle for sizes); and
+    # the pruned exploded frame is pinned once more so both self-join
+    # sides read narrow (__id, shingle) rows instead of re-exploding.
+    # The df>1 prune is exact (a shingle in one doc can never produce
+    # a pair; sizes are taken pre-prune).
+    sets = dedup._md5_shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=True
     )
-    sizes = shw.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shj = shw.filter(F.col("__df") > 1).drop("__df")
+    sizes = sets.select("__id", F.size("__shs").cast("long").alias("n_sh"))
+    sh = sets.select("__id", F.explode("__shs").alias("shingle"))
+    shj = (
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") > 1)
+        .drop("__df")
+        .localCheckpoint(eager=True)
+    )
     a, b = shj.alias("a"), shj.alias("b")
     inter = (
         a.join(
