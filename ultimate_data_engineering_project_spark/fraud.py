@@ -77,9 +77,15 @@ def fraud_training_frame(transactions: DataFrame) -> DataFrame:
         F.sum((F.col("amount") >= 5000).cast("long")).alias("n_big"),
     )
     pairs = circular_transfer_pairs(transactions)
+    # r14 (guide §2.4): one explode emits both account columns — the
+    # unionByName form re-derived the circular-pair SELF-JOIN subtree
+    # once per branch (no cross-branch reuse in Catalyst).
     circ = (
-        pairs.select(F.col("account_a").alias("account_id"))
-        .unionByName(pairs.select(F.col("account_b").alias("account_id")))
+        pairs.select(
+            F.explode(
+                F.array(F.col("account_a"), F.col("account_b"))
+            ).alias("account_id")
+        )
         .distinct()
         .withColumn("__circ", F.lit(1).cast("long"))
     )

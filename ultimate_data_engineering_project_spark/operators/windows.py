@@ -1055,23 +1055,35 @@ def _ledger_legs(transactions: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(0))
     )
-    outflow = t.select(
-        F.col("account_id"),
-        F.col("transaction_id"),
-        F.col("transaction_date"),
+    # r14 (guide §2.3/§2.4): ONE pass emits both legs via explode
+    # instead of unionByName(outflow, inflow) — the union form scanned
+    # the transactions source twice (once per branch; Catalyst performs
+    # no cross-branch scan reuse), doubling the ledger family's input
+    # I/O for the same multiset of leg rows.
+    out_leg = F.struct(
+        F.col("account_id").alias("account_id"),
+        F.col("transaction_id").alias("transaction_id"),
+        F.col("transaction_date").alias("transaction_date"),
         F.lit(0).alias("leg"),
         sign.alias("delta"),
     )
-    inflow = t.filter(
-        (F.col("transaction_type") == "Transfer") & F.col("related_account_id").isNotNull()
-    ).select(
+    in_leg = F.struct(
         F.col("related_account_id").alias("account_id"),
-        F.col("transaction_id"),
-        F.col("transaction_date"),
+        F.col("transaction_id").alias("transaction_id"),
+        F.col("transaction_date").alias("transaction_date"),
         F.lit(1).alias("leg"),
         F.col("amount").alias("delta"),
     )
-    return outflow.unionByName(inflow)
+    emits_credit = (
+        F.col("transaction_type") == "Transfer"
+    ) & F.col("related_account_id").isNotNull()
+    return t.select(
+        F.explode(
+            F.when(emits_credit, F.array(out_leg, in_leg)).otherwise(
+                F.array(out_leg)
+            )
+        ).alias("__leg")
+    ).select("__leg.*")
 
 
 def ledger_running_balance_clamped(transactions: DataFrame) -> DataFrame:
