@@ -947,11 +947,16 @@ def simhash_near_pairs_md5(
             "silently dropped; lower max_hamming or shrink block_bits"
         )
     mask = (1 << block_bits) - 1
-    # keyed repartition = materialization barrier (the minhash pattern):
-    # without it the self-join's two branches do NOT share the
-    # (q, block) exchange under AQE and the whole bit-vote sketch runs
-    # TWICE over the corpus — A/B-measured 1.8x slower at sf0.1
-    sh = simhash_md5(df, id_col, text_col, n_bits=n_bits).repartition(id_col)
+    # r14: eager localCheckpoint instead of the keyed-repartition
+    # barrier — the r14 plan dump showed the barrier no longer induces
+    # exchange reuse across the self-join branches under AQE (the
+    # branches' canonical forms diverge once AQEShuffleRead lands), so
+    # the whole bit-vote sketch ran TWICE over the corpus anyway.  The
+    # checkpoint pins the narrow (id, simhash) frame (16 bytes/row) to
+    # ONE computation; both join sides read it back.
+    sh = simhash_md5(df, id_col, text_col, n_bits=n_bits).localCheckpoint(
+        eager=True
+    )
     blocked = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",
@@ -1010,11 +1015,13 @@ def simhash_near_pairs(
     max_hamming up to 8 this is a high-recall blocking, standard
     practice) then exact hamming check via bit_count(xor).
 
-    The keyed repartition is a materialization barrier (the minhash
-    pattern): without it the self-join's two branches do not share the
-    (q, block) exchange under AQE and the sketch fold runs TWICE over
-    the corpus — A/B-measured 1.8x slower at sf0.1."""
-    sh = simhash(df, id_col, text_col).repartition(id_col)
+    r14: eager localCheckpoint on the (id, simhash) frame instead of
+    the r5 keyed-repartition barrier — the r14 plan dump showed the
+    barrier no longer induces exchange reuse across the self-join
+    branches under AQE (branch canonical forms diverge once
+    AQEShuffleRead lands), so the sketch fold ran TWICE over the
+    corpus anyway; the checkpoint pins it to one computation."""
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     blocked = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",
