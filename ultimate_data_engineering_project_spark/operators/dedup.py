@@ -337,6 +337,11 @@ def minhash_lsh_pairs(
     # shingle+signature pipeline on as few cores (width rationale in
     # _spread_width).
     n_spread = _spread_width(df)
+    # NOT checkpointed (r14, A/B-measured): materializing the heavy
+    # per-doc shingle-hash arrays costs more than re-deriving them for
+    # the verify sides — the expensive thing to pin is the SIGNATURE
+    # pipeline, checkpointed narrow at `banded` below (both-ck 3.06s /
+    # base-only 1.99s / banded-only 1.59s at sf0.1).
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .repartition(n_spread)
@@ -346,9 +351,6 @@ def minhash_lsh_pairs(
     # keyed repartition = materialization barrier: without it Catalyst's
     # projection collapse inlines the signature aggregate into each of
     # the `bands` band-hash expressions (recomputing it 8x per row).
-    # All three downstream consumers (banding, verify sh_a, verify sh_b)
-    # read this same exchange (ReusedExchange), so the shingle pipeline
-    # runs exactly once over the corpus.
     sig = _with_minhash_signature(base, kernel, num_hashes, seed).repartition("__id")
     # the band join carries ONLY (id, band_id, band_hash) — the shingle
     # arrays are re-attached after pair dedup, so heavy payloads cross
@@ -391,6 +393,13 @@ def minhash_lsh_pairs(
             .drop("__bn")
         )
 
+    # r14: pin the narrow (id, band_id, band_hash) frame so the
+    # signature pipeline (Arrow fold or HOF) runs ONCE — the r13 form
+    # relied on ReusedExchange, but the r14 plan dump showed both
+    # self-join sides fully re-deriving the MapInPandas signature
+    # branch (no cross-branch reuse under AQE).  1.99s -> 1.59s at
+    # sf0.1 (vs 3.06s when `base` is also checkpointed — see above).
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -407,12 +416,10 @@ def minhash_lsh_pairs(
     )
     # verify reads the PRE-signature frame: exact-Jaccard only needs the
     # shingle arrays, and keeping the Python map node out of these
-    # branches matters — in the AQE final plan the broadcast-side verify
-    # branches do NOT reuse the post-signature exchange (their canonical
-    # subtree differs once AQEShuffleRead is inserted), so routing them
-    # through `sig` re-ran the Arrow fold + an extra exchange per branch.
-    # Reading `base` re-derives shingles from the reused spread exchange
-    # with zero Python passes.
+    # branches matters — routing them through `sig` would serialize the
+    # arrays through the Arrow fold again.  Re-deriving shingles here is
+    # pure JVM map work and A/B-measured cheaper than materializing the
+    # heavy arrays (see the `base` comment above).
     sh_a = base.select(F.col("__id").alias("id_a"), F.col("__shh").alias("sh_a"))
     sh_b = base.select(F.col("__id").alias("id_b"), F.col("__shh").alias("sh_b"))
     verified = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
