@@ -653,6 +653,11 @@ def _md5_band_candidates(
     (__id, __shs) frame — the LSH half of the md5 twin, shared by the
     pairs path and the recall audit."""
     bands_df = _md5_band_frame(shingle_sets, num_hashes=num_hashes, bands=bands)
+    # r14: pin the narrow (id, band_id, band_key) frame — both self-join
+    # sides otherwise re-derive it, running the min-of-md5 signature
+    # (num_hashes md5 calls per shingle, the md5 twin's dominant map
+    # cost) twice over the corpus (no cross-branch subtree reuse).
+    bands_df = bands_df.localCheckpoint(eager=True)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
