@@ -461,35 +461,39 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).filter(F.size("toks") >= 3)
-    sh = base.select(
+    # r14 second pass (the minhash_recall_audit pattern): the windowed
+    # exchange-reuse the r13→r14 form relied on does not fire under AQE
+    # — the executed plan re-derived the tokenize+shingle pipeline for
+    # the sizes branch and BOTH self-join sides (4 corpus scans).  Pin
+    # the per-doc distinct shingle-SET frame once (eager
+    # localCheckpoint); sizes come from F.size over the distinct array
+    # (|array| == the exploded count — no explode, no shuffle); pin the
+    # df>1-pruned exploded frame once more so both join sides read
+    # narrow (doc_id, shingle) rows.  The prune is exact: a shingle in
+    # one doc can never produce a pair, and sizes are taken pre-prune.
+    sets = base.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("toks", i),
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
-                    ),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
             )
-        ).alias("shingle"),
-    )
-    # df>1 prune behind a count window: shingles in exactly one doc can
-    # never produce a pair, so dropping them is exact (sizes below are
-    # taken BEFORE the prune).  The real win is structural — the window
-    # materializes ONE hashpartitioning(shingle) exchange that both
-    # self-join sides reuse, instead of re-shuffling (and re-computing
-    # the shingle pipeline for) each side: ~1.7x at sf0.1.  r14: sizes
-    # also derive from the SAME windowed frame (pre-prune), so the
-    # tokenize+shingle explode runs once instead of twice — the sizes
-    # subtree used to re-expand the whole corpus on its own.
+        ).alias("__shs"),
+    ).localCheckpoint(eager=True)
+    sizes = sets.select("doc_id", F.size("__shs").cast("long").alias("n_sh"))
+    sh = sets.select("doc_id", F.explode("__shs").alias("shingle"))
     df_w = Window.partitionBy("shingle")
-    shw = sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
-    sizes = shw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_indexed = shw.filter(F.col("__df") > 1).drop("__df")
+    sh_indexed = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("__df") > 1)
+        .drop("__df")
+        .localCheckpoint(eager=True)
+    )
     a, b = sh_indexed.alias("a"), sh_indexed.alias("b")
     inter = (
         a.join(
