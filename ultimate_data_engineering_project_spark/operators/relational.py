@@ -174,6 +174,11 @@ def fuzzy_vocab_pairs(
         block_expr.alias("__block"),
         F.length(F.col(name_col)).alias("__len"),
     )
+    # r14 (guide §2.4): pin the tiny vocabulary frame — both self-join
+    # sides otherwise re-run the full-table distinct aggregate (no
+    # cross-branch subtree reuse), i.e. TWO table-wide shuffles for one
+    # vocabulary.
+    vocab = vocab.localCheckpoint(eager=True)
     a = vocab.alias("a")
     b = vocab.alias("b")
     return (
