@@ -14,13 +14,17 @@ All arithmetic in double precision with sequential array folds so
 results are bit-stable and match the DuckDB oracle
 (list_cosine_similarity over DOUBLE[]).
 
-r14 (optimization): every candidate-pair SCORING pass runs the
-batch-native Arrow kernel `scored_pairs_arrow` (guide §4.2) instead of
-the interpreted higher-order-function fold — ~100x less per-pair CPU
-at identical results (BIT-identical kernel, pinned raw-value-for-raw-
-value by tests/test_operators.py; rounding stays in the JVM).  The
-expression form `cosine()` remains the semantics reference and the
-oracle-equivalence twin.
+r14/r15 (optimization): every candidate-pair SCORING pass goes through
+`scored_pairs`, which dispatches by input scale between the JVM
+higher-order-function fold and the batch-native Arrow kernel
+`scored_pairs_arrow` (guide §4.2) — ~100x less per-pair CPU at
+identical results (BIT-identical kernel, pinned raw-value-for-raw-
+value by tests/test_operators.py; rounding stays in the JVM), but a
+fixed Python-worker fan-out cost that only amortizes over large
+candidate volumes (r14 drove every small-scale ANN line 10-40% slower
+by forcing the kernel unconditionally).  The expression form
+`cosine()` remains the semantics reference and the oracle-equivalence
+twin.
 """
 
 from __future__ import annotations
@@ -181,6 +185,67 @@ def scored_pairs_arrow(
     return scored.withColumn(out_col, F.round(F.col(raw), round_digits)).drop(raw)
 
 
+#: conf keys for the kernel dispatch (see tuning.py module docstring)
+KERNEL_CONF = "spark.udep.similarity.kernel"  # auto | arrow | jvm
+KERNEL_MIN_BYTES_CONF = "spark.udep.similarity.kernelMinInputBytes"
+
+#: Auto-dispatch threshold: use the Arrow kernel when the pair frame's
+#: SOURCE input exceeds this.  The kernel's per-pair cost is ~100x
+#: below the interpreted HOF fold's, but it pays a fixed Python-worker
+#: fan-out + Arrow transpose per stage — fresh-process A/B at sf0.1
+#: (~7 MB of vectors, 400k candidate pairs): kernel 8.5s vs expression
+#: <1s for brute-force cosine, and the driver's r14 cold sweep showed
+#: the same sign on all five ANN lines.  At 256 MiB of vector input
+#: (~10-100M candidate pairs after blocking) the fold's per-pair CPU
+#: is minutes and dwarfs any worker spin-up; below it the JVM path
+#: wins or ties.
+KERNEL_MIN_BYTES_DEFAULT = 256 << 20
+
+
+def scored_pairs(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    round_digits: int = 6,
+    out_col: str = "cosine_sim",
+) -> DataFrame:
+    """Exact cosine over a candidate-pair frame, dispatching between
+    the JVM expression fold (:func:`cosine`) and the batch-native
+    Arrow kernel (:func:`scored_pairs_arrow`) by input scale — the two
+    are BIT-IDENTICAL (pinned by tests/test_operators.py), so the
+    choice is pure performance: the kernel's fixed Python-boundary
+    cost only amortizes once the candidate volume is large (see
+    KERNEL_MIN_BYTES_DEFAULT).  ``spark.udep.similarity.kernel`` =
+    ``arrow``/``jvm`` forces a side; ``auto`` (default) sizes from the
+    pair frame's source files.  Frames with no file listing use the
+    JVM path (in-memory sources are bounded micro-batches or tests);
+    set the conf explicitly when serving from non-file sources at
+    scale.  Both forms drop the vector columns so post-scoring
+    exchanges stay narrow."""
+    from ultimate_data_engineering_project_spark import tuning
+
+    mode = tuning._conf(pairs, KERNEL_CONF, "auto")
+    if mode == "auto":
+        size = tuning.estimate_input_bytes(pairs)
+        try:
+            thresh = int(
+                tuning._conf(
+                    pairs, KERNEL_MIN_BYTES_CONF, str(KERNEL_MIN_BYTES_DEFAULT)
+                )
+            )
+        except ValueError:
+            thresh = KERNEL_MIN_BYTES_DEFAULT
+        mode = "arrow" if size is not None and size >= thresh else "jvm"
+    if mode == "arrow":
+        return scored_pairs_arrow(
+            pairs, a_col, b_col, round_digits=round_digits, out_col=out_col
+        )
+    return pairs.withColumn(
+        out_col, F.round(cosine(F.col(a_col), F.col(b_col)), round_digits)
+    ).drop(a_col, b_col)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,7 +268,7 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    scored = scored_pairs_arrow(
+    scored = scored_pairs(
         c.join(F.broadcast(q), on=F.col("query_id") != F.col("neighbor_id")),
         "__qv",
         "__cv",
@@ -429,7 +494,7 @@ def cosine_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        scored_pairs_arrow(pairs, "__va", "__vb", round_digits=round_digits)
+        scored_pairs(pairs, "__va", "__vb", round_digits=round_digits)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -606,7 +671,7 @@ def ivf_probe_index(
     indexed = index.select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cv"), "__cid"
     )
-    cand = scored_pairs_arrow(
+    cand = scored_pairs(
         (
             indexed.join(F.broadcast(probed), "__cid")
             if broadcast_queries
@@ -686,7 +751,7 @@ def ivf_topk(
     # the corpus never shuffles for candidate generation, leaving ONE
     # exchange in the whole plan (the per-query top-k window).  Large
     # query sets keep the shuffled equi-join on the list id.
-    cand = scored_pairs_arrow(
+    cand = scored_pairs(
         (indexed.join(F.broadcast(probed), "__cid") if broadcast_queries
          else probed.join(indexed, "__cid"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -829,7 +894,7 @@ def ann_topk(
         # exchange — the two 64-float vectors never shuffle and never
         # pass through an array-typed aggregate.  Duplicates carry the
         # identical rounded sim, so first() is deterministic.
-        matched = scored_pairs_arrow(
+        matched = scored_pairs(
             cb.join(F.broadcast(qb), on=["table_id", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
@@ -845,7 +910,7 @@ def ann_topk(
             .agg(F.first("cosine_sim").alias("cosine_sim"))
         )
     else:
-        cand = scored_pairs_arrow(
+        cand = scored_pairs(
             qb.join(cb, on=["table_id", "bucket"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
