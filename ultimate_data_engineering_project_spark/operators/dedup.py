@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ultimate_data_engineering_project_spark import tuning
+
 # Mersenne prime 2^31-1: universal-hash modulus for MinHash permutations.
 # 31-bit so a*x stays below 2^63 (Spark ANSI mode errors on long overflow).
 _MERSENNE31 = (1 << 31) - 1
@@ -293,25 +295,28 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     jaccard_threshold: float = 0.5,
-    kernel: str = "arrow",
+    kernel: str = "auto",
     max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding (X2),
     verified with exact shingle-set Jaccard.
 
-    ``kernel`` picks the signature implementation: ``'arrow'`` (default)
+    ``kernel`` picks the signature implementation: ``'arrow'``
     computes the (shingles × num_hashes) min-fold in one vectorized
     numpy batch per Arrow chunk; ``'sql'`` is the pure-Catalyst HOF
     fold.  Both use the same universal-hash coefficients and produce
-    bit-identical signatures (asserted in tests).  Measured at sf0.1
-    (5k short docs) the two kernels are within noise of each other
-    (~1.2s min either way): the pair search is stage-overhead-bound
-    there, not fold-bound.  The arrow kernel's payoff grows with
-    document length × num_hashes (the fold is the only per-row
-    superlinear term, and Catalyst interprets HOF lambdas per element
-    while numpy runs one (shingles × hashes) batch per Arrow chunk);
-    the sql kernel keeps everything JVM-side with zero Python workers —
-    pick it when Python worker memory is the scarce resource.
+    bit-identical signatures (asserted in tests), so the choice is
+    pure performance — ``'auto'`` (default, r15) sizes the input like
+    similarity.scored_pairs: the sql kernel below
+    spark.udep.similarity.kernelMinInputBytes (no Python workers, no
+    Arrow transpose — the fixed fan-out cost dominates small corpora,
+    and a duplicated JVM branch is cheap), the arrow kernel above it
+    (the fold is the only per-row superlinear term — Catalyst
+    interprets HOF lambdas per element while numpy runs one
+    (shingles × hashes) batch per Arrow chunk; its payoff grows with
+    document length × num_hashes).  The sql kernel also keeps
+    everything JVM-side with zero Python workers — pick it explicitly
+    when Python worker memory is the scarce resource.
 
     Plan shape: per-doc signature (map-only) -> explode to `bands` rows
     -> self equi-join on (band_id, band_hash) -> distinct pairs ->
@@ -337,6 +342,20 @@ def minhash_lsh_pairs(
     # shingle+signature pipeline on as few cores (width rationale in
     # _spread_width).
     n_spread = _spread_width(df)
+    if kernel == "auto":
+        from ultimate_data_engineering_project_spark.operators import similarity
+
+        size = tuning.estimate_input_bytes(df)
+        thresh = similarity.KERNEL_MIN_BYTES_DEFAULT
+        try:
+            thresh = int(
+                tuning._conf(
+                    df, similarity.KERNEL_MIN_BYTES_CONF, str(thresh)
+                )
+            )
+        except ValueError:
+            pass
+        kernel = "arrow" if size is not None and size >= thresh else "sql"
     # NOT checkpointed (r14, A/B-measured): materializing the heavy
     # per-doc shingle-hash arrays costs more than re-deriving them for
     # the verify sides — the expensive thing to pin is the SIGNATURE
@@ -393,13 +412,16 @@ def minhash_lsh_pairs(
             .drop("__bn")
         )
 
-    # r14: pin the narrow (id, band_id, band_hash) frame so the
-    # signature pipeline (Arrow fold or HOF) runs ONCE — the r13 form
-    # relied on ReusedExchange, but the r14 plan dump showed both
-    # self-join sides fully re-deriving the MapInPandas signature
-    # branch (no cross-branch reuse under AQE).  1.99s -> 1.59s at
-    # sf0.1 (vs 3.06s when `base` is also checkpointed — see above).
-    banded = banded.localCheckpoint(eager=True)
+    # r15: pin the narrow (id, band_id, band_hash) frame only at
+    # SCALE (tuning.pin, input-size gated) — both self-join sides
+    # re-derive the signature pipeline without it (no cross-branch
+    # reuse under AQE), but on small inputs the duplicated branch
+    # overlaps on idle cores and the r14 unconditional eager
+    # localCheckpoint here measured SLOWER on the driver's cold sweep
+    # (minhash_near_dup_pairs 1.23s -> 1.64s); over a 100 TB corpus
+    # the second signature pass dwarfs the materialization and the
+    # pin wins.
+    banded = tuning.pin(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -653,11 +675,14 @@ def _md5_band_candidates(
     (__id, __shs) frame — the LSH half of the md5 twin, shared by the
     pairs path and the recall audit."""
     bands_df = _md5_band_frame(shingle_sets, num_hashes=num_hashes, bands=bands)
-    # r14: pin the narrow (id, band_id, band_key) frame — both self-join
-    # sides otherwise re-derive it, running the min-of-md5 signature
-    # (num_hashes md5 calls per shingle, the md5 twin's dominant map
-    # cost) twice over the corpus (no cross-branch subtree reuse).
-    bands_df = bands_df.localCheckpoint(eager=True)
+    # r15: scale-gated pin of the narrow (id, band_id, band_key) frame
+    # (tuning.pin) — both self-join sides otherwise re-derive it,
+    # running the min-of-md5 signature (num_hashes md5 calls per
+    # shingle, the md5 twin's dominant map cost) twice over the
+    # corpus, which only outweighs a full materialization on a large
+    # input (the r14 unconditional eager checkpoint here was part of
+    # minhash_recall_audit's 2x driver-sweep regression).
+    bands_df = tuning.pin(bands_df)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -959,15 +984,17 @@ def simhash_near_pairs_md5(
             "silently dropped; lower max_hamming or shrink block_bits"
         )
     mask = (1 << block_bits) - 1
-    # r14: eager localCheckpoint instead of the keyed-repartition
-    # barrier — the r14 plan dump showed the barrier no longer induces
-    # exchange reuse across the self-join branches under AQE (the
-    # branches' canonical forms diverge once AQEShuffleRead lands), so
-    # the whole bit-vote sketch ran TWICE over the corpus anyway.  The
-    # checkpoint pins the narrow (id, simhash) frame (16 bytes/row) to
-    # ONE computation; both join sides read it back.
-    sh = simhash_md5(df, id_col, text_col, n_bits=n_bits).localCheckpoint(
-        eager=True
+    # Keyed repartition = materialization barrier (stops projection
+    # collapse from inlining the bit-vote sketch into every per-block
+    # expression); the r15 scale-gated pin (tuning.pin) additionally
+    # materializes the narrow (id, simhash) frame on LARGE inputs so
+    # both self-join sides read one computation — r14's unconditional
+    # eager localCheckpoint here cost more than the duplicated sketch
+    # on the driver's cold sweep (simhash_near_dup_pairs 0.83s ->
+    # 1.56s at sf0.1), while at 100 TB the second corpus-wide sketch
+    # pass is the thing to avoid.
+    sh = tuning.pin(
+        simhash_md5(df, id_col, text_col, n_bits=n_bits).repartition(id_col)
     )
     blocked = sh.select(
         F.col(id_col).alias("__id"),
@@ -1027,13 +1054,12 @@ def simhash_near_pairs(
     max_hamming up to 8 this is a high-recall blocking, standard
     practice) then exact hamming check via bit_count(xor).
 
-    r14: eager localCheckpoint on the (id, simhash) frame instead of
-    the r5 keyed-repartition barrier — the r14 plan dump showed the
-    barrier no longer induces exchange reuse across the self-join
-    branches under AQE (branch canonical forms diverge once
-    AQEShuffleRead lands), so the sketch fold ran TWICE over the
-    corpus anyway; the checkpoint pins it to one computation."""
-    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    r15: keyed-repartition barrier (anti-projection-collapse) plus a
+    scale-gated pin (tuning.pin) — the sketch fold runs twice across
+    the self-join branches without a pin (no cross-branch reuse under
+    AQE), which is the cheaper side of the trade below the pin
+    threshold and the wrong one over a 100 TB corpus."""
+    sh = tuning.pin(simhash(df, id_col, text_col).repartition(id_col))
     blocked = sh.select(
         F.col(id_col).alias("__id"),
         "simhash",
@@ -1389,16 +1415,18 @@ def duplicated_spans(
         span_anchors(df, w=w, stride=stride, id_col=id_col, text_col=text_col),
         max_occ,
     )
-    # r14 (guide §2.4/§7.2 duplicated-subtree check): both sides of the
-    # h-keyed self-join consume `kept`, and Catalyst re-derives the
-    # whole subtree per side — the per-position md5 fold over EVERY
-    # character of the corpus (the dominant map cost of this operator)
-    # ran twice.  The eager localCheckpoint pins the capped anchor
-    # frame to one computation (the minhash_match_index pattern, same
-    # trade-offs documented at timeseries._blocked_candidate_pairs);
-    # the narrow (doc_id, p, h) rows re-shuffling for the join cost far
-    # less than a second corpus-wide hash pass.
-    kept = kept.localCheckpoint(eager=True)
+    # r15 (guide §2.4/§7.2 duplicated-subtree check): both sides of
+    # the h-keyed self-join consume `kept`.  At runtime the second
+    # branch rides a ReusedExchange of the first on small inputs
+    # (pinned by tests/test_physical_plans.py), so no materialization
+    # is needed there — r14's unconditional eager localCheckpoint
+    # replaced that reuse with a blocking job and measured SLOWER on
+    # the driver's cold sweep (1.68s -> 2.48s at sf0.1) besides
+    # breaking the plan test.  Over a large corpus the scale-gated pin
+    # (tuning.pin) materializes the capped anchor frame once so the
+    # per-position md5 fold over every character (the dominant map
+    # cost) cannot run twice even where exchange reuse fails to fire.
+    kept = tuning.pin(kept)
     matches = (
         kept.alias("a")
         .join(kept.alias("b"), "h")

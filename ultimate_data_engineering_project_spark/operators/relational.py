@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ultimate_data_engineering_project_spark import tuning
+
 
 def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:
     """Rows of ``left`` with a match in ``right`` (J1/J2 — the
@@ -174,11 +176,14 @@ def fuzzy_vocab_pairs(
         block_expr.alias("__block"),
         F.length(F.col(name_col)).alias("__len"),
     )
-    # r14 (guide §2.4): pin the tiny vocabulary frame — both self-join
-    # sides otherwise re-run the full-table distinct aggregate (no
-    # cross-branch subtree reuse), i.e. TWO table-wide shuffles for one
-    # vocabulary.
-    vocab = vocab.localCheckpoint(eager=True)
+    # r15 (guide §2.4): scale-gated pin of the vocabulary frame —
+    # both self-join sides otherwise re-run the full-table distinct
+    # aggregate (no cross-branch subtree reuse), i.e. two table-wide
+    # shuffles for one vocabulary.  Worth materializing only when the
+    # table is large (tuning.pin): the r14 unconditional eager
+    # checkpoint cost more than the duplicated aggregate at sf0.1
+    # (driver: 0.29s -> 0.46s).
+    vocab = tuning.pin(vocab)
     a = vocab.alias("a")
     b = vocab.alias("b")
     return (

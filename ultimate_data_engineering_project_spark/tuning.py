@@ -95,7 +95,7 @@ def _conf(df: DataFrame, key: str, default: str) -> str:
         return default
 
 
-def pin(df: DataFrame, *, eager: bool = False) -> DataFrame:
+def pin(df: DataFrame, *, eager: bool = False, force: bool = False) -> DataFrame:
     """Materialize ``df`` once for multi-branch consumption — IF the
     input is big enough that recomputing the subtree per branch costs
     more than materializing it (see module docstring).
@@ -120,11 +120,18 @@ def pin(df: DataFrame, *, eager: bool = False) -> DataFrame:
     ``eager`` controls localCheckpoint eagerness only; the default
     False avoids blocking jobs at DataFrame-construction time (the
     r14 cold-sweep cost: every ``explain``/plan build ran the jobs).
+
+    ``force=True`` skips the size gate — for frames A/B-measured worth
+    materializing even on small inputs (e.g. the recall audit's shared
+    shingle frames: every no-pin variant was 1.5-3x slower AND
+    unstable at sf0.1); only the storage mechanism stays
+    scale/cluster-dependent.  ``spark.udep.pin.mode=never`` still
+    wins, as the global escape hatch.
     """
     mode = _conf(df, PIN_MODE_CONF, "auto")
     if mode == "never":
         return df
-    if mode != "always":
+    if mode != "always" and not force:
         size = estimate_input_bytes(df)
         try:
             thresh = int(_conf(df, PIN_MIN_BYTES_CONF, str(PIN_MIN_BYTES_DEFAULT)))
