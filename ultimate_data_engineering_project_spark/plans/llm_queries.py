@@ -23,6 +23,7 @@ from ultimate_data_engineering_project_spark.operators import (
     similarity,
     text,
 )
+from ultimate_data_engineering_project_spark import tuning
 from ultimate_data_engineering_project_spark.plans.catalog import register
 from ultimate_data_engineering_project_spark.sources.readers import load_table
 
@@ -461,16 +462,17 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).filter(F.size("toks") >= 3)
-    # r14 second pass (the minhash_recall_audit pattern): the windowed
-    # exchange-reuse the r13→r14 form relied on does not fire under AQE
-    # — the executed plan re-derived the tokenize+shingle pipeline for
-    # the sizes branch and BOTH self-join sides (4 corpus scans).  Pin
-    # the per-doc distinct shingle-SET frame once (eager
-    # localCheckpoint); sizes come from F.size over the distinct array
-    # (|array| == the exploded count — no explode, no shuffle); pin the
-    # df>1-pruned exploded frame once more so both join sides read
-    # narrow (doc_id, shingle) rows.  The prune is exact: a shingle in
-    # one doc can never produce a pair, and sizes are taken pre-prune.
+    # r15 (the minhash_recall_audit pattern): both shared frames are
+    # materialized LAZILY (tuning.pin force=True) — A/B at sf0.1
+    # showed no-pin variants slower and unstable (the duplicated
+    # tokenize+shingle+window subtrees thrash), while r14's EAGER
+    # checkpoints ran blocking construction-time jobs the driver's
+    # cold sweep punished (dedup_clusters 2.32s -> 2.87s).  Kept from
+    # r14: sizes from F.size over the distinct array (|array| == the
+    # exploded count — no explode, no shuffle) and both join sides
+    # reading the df>1-pruned narrow (doc_id, shingle) rows.  The
+    # prune is exact: a shingle in one doc can never produce a pair,
+    # and sizes are taken pre-prune.
     sets = base.select(
         "doc_id",
         F.array_distinct(
@@ -484,15 +486,16 @@ def near_dup_pairs_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("__shs"),
-    ).localCheckpoint(eager=True)
+    )
+    sets = tuning.pin(sets, force=True)
     sizes = sets.select("doc_id", F.size("__shs").cast("long").alias("n_sh"))
     sh = sets.select("doc_id", F.explode("__shs").alias("shingle"))
     df_w = Window.partitionBy("shingle")
-    sh_indexed = (
+    sh_indexed = tuning.pin(
         sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("__df") > 1)
-        .drop("__df")
-        .localCheckpoint(eager=True)
+        .drop("__df"),
+        force=True,
     )
     a, b = sh_indexed.alias("a"), sh_indexed.alias("b")
     inter = (
@@ -1073,30 +1076,34 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production xxhash64 path (`minhash_near_dup_pairs`) shares the
     banding semantics; its recall floor is pinned in tests."""
     docs = load_table(spark, sf_dir, "documents")
-    # r14 second pass (guide §2.4/§7.2): the r13→r14 window-sharing form
-    # still re-derived the tokenize+shingle pipeline per consumer — AQE
-    # does not exchange-reuse across these branches, and the executed
-    # plan showed 12 parquet scans of documents.  Now the per-doc
-    # shingle-SET frame is pinned once (eager localCheckpoint, the
-    # minhash_match_index pattern); sizes come from F.size over the
-    # checkpointed array (shingles() is array_distinct, so |array| ==
-    # the exploded count — NO explode and NO shuffle for sizes); and
-    # the pruned exploded frame is pinned once more so both self-join
-    # sides read narrow (__id, shingle) rows instead of re-exploding.
-    # The df>1 prune is exact (a shingle in one doc can never produce
-    # a pair; sizes are taken pre-prune).
-    sets = dedup._md5_shingle_sets(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=True
+    # r15 (guide §2.4/§7.2): the shared per-doc shingle-SET frame
+    # feeds sizes, both truth-join sides (via the pruned exploded
+    # frame) and the band-candidate side; Catalyst re-derives it per
+    # consumer (no cross-branch reuse under AQE).  Materializing both
+    # shared frames is A/B-measured the right call even at sf0.1 —
+    # every no-pin variant was 1.5-3x slower and unstable (full-lazy
+    # 4.7-19.7s, narrow-only 5.7-8.6s, vs ~3s pinned) — but LAZILY
+    # (tuning.pin force=True, eager=False): r14's EAGER checkpoints
+    # ran blocking jobs at DataFrame-construction time, which the
+    # driver's cold sweep punished 2.2x (4.78s -> 10.43s).  Structural
+    # wins kept from r14: sizes come from F.size over the distinct
+    # array (shingles() is array_distinct, so |array| == the exploded
+    # count — no explode and no shuffle for sizes), and both
+    # self-join sides read the df>1-pruned narrow (__id, shingle)
+    # rows.  The prune is exact (a shingle in one doc can never
+    # produce a pair; sizes are taken pre-prune).
+    sets = tuning.pin(
+        dedup._md5_shingle_sets(docs, "doc_id", "text", 3), force=True
     )
     sizes = sets.select("__id", F.size("__shs").cast("long").alias("n_sh"))
     sh = sets.select("__id", F.explode("__shs").alias("shingle"))
-    shj = (
+    shj = tuning.pin(
         sh.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
         .filter(F.col("__df") > 1)
-        .drop("__df")
-        .localCheckpoint(eager=True)
+        .drop("__df"),
+        force=True,
     )
     a, b = shj.alias("a"), shj.alias("b")
     inter = (
