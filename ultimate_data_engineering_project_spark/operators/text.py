@@ -510,20 +510,29 @@ def boilerplate_ngrams(
     is_boilerplate)``; a doc shorter than n tokens has 0 grams and
     fraction 0.0.
 
-    Scale shape (r14 optimization round, guide §2.3/§2.4): every
+    Scale shape (r14/r15 optimization rounds, guide §2.3/§2.4): every
     shuffle is keyed on a fixed-width md5 gram fingerprint or the doc
     id — raw n-gram text never transits an exchange (the r6/r7
-    fingerprint-dedup rule).  ONE tokenize+explode corpus pass feeds a
-    single partially-aggregated ``groupBy(gid, id)`` (per-doc gram
-    multiplicities); gram document-frequency is a count window over
-    the pre-aggregated pairs (duplicate-free by construction, so no
-    distinct-expand shuffle), and the per-doc boilerplate totals are
-    one more groupBy over the same pairs.  The r13 form exploded the
-    corpus twice (doc-frequency pass + hit-count pass) and paid a
-    countDistinct expansion; at sf0.1 this one-pass shape is 0.62x its
-    wall time with identical output, and at 100 TB it halves the gram
-    scan volume.  Nothing is all-pairs; candidate volume is O(total
-    grams).
+    fingerprint-dedup rule).  UNSCOPED: ONE tokenize+explode corpus
+    pass feeds a single partially-aggregated ``groupBy(gid, id)``
+    (per-doc gram multiplicities); gram document-frequency is a count
+    window over the pre-aggregated pairs (duplicate-free by
+    construction, so no distinct-expand shuffle), and the per-doc
+    boilerplate totals are one more groupBy over the same pairs.  The
+    r13 form exploded the corpus twice (doc-frequency pass +
+    hit-count pass) and paid a countDistinct expansion; at sf0.1 the
+    one-pass shape is 0.62x its wall time with identical output, and
+    at 100 TB it halves the gram scan volume.  SCOPED: the r14 window
+    form was a regression for scoped callers (docs_search_pipeline
+    2.5s -> 5.2s on the driver's sweep) because the full-corpus sort
+    window ran BEFORE the candidate prune — the whole point of scope
+    is that per-doc work happens only for the candidates.  r15
+    restores scope-first shape: gram document-frequency is a hash
+    aggregate over the corpus-wide pairs (a corpus fact, unavoidable),
+    the scope semi-join prunes pairs FIRST, and the surviving (tiny)
+    pair set joins the frequency frame on gid — no corpus-wide window,
+    no per-doc work outside the scope.  Nothing is all-pairs;
+    candidate volume is O(total grams).
     """
     tv = tokens(F.col(text_col))
     base = df.select(
@@ -541,9 +550,21 @@ def boilerplate_ngrams(
     # distinct on (gid, id) so the document-frequency window below
     # counts documents without a countDistinct expansion
     pairs = occ.groupBy("__gid", id_col).agg(F.count(F.lit(1)).alias("__c"))
-    pairs = pairs.withColumn(
-        "__nd", F.count(F.lit(1)).over(Window.partitionBy("__gid"))
-    )
+    if scope is None:
+        # one-pass: document-frequency as a count window over the
+        # (gid, id) pairs — every pair row is needed downstream anyway
+        pairs = pairs.withColumn(
+            "__nd", F.count(F.lit(1)).over(Window.partitionBy("__gid"))
+        )
+    else:
+        # scope-first: prune pairs to the candidates BEFORE any
+        # per-doc work, then attach the corpus-global gram frequency
+        # (hash aggregate, map-side partials — pairs is duplicate-free
+        # on (gid, id), so count(1) IS the distinct-document count)
+        dfreq = pairs.groupBy("__gid").agg(F.count(F.lit(1)).alias("__nd"))
+        pairs = pairs.join(
+            F.broadcast(scope.select(id_col)), id_col, "left_semi"
+        ).join(dfreq, "__gid")
     if min_docs_per_10k is None:
         thr = F.lit(int(min_docs)).cast("long")
     else:
@@ -554,10 +575,6 @@ def boilerplate_ngrams(
             F.expr(
                 f"(__ncorpus * {int(min_docs_per_10k)} + 9999) div 10000"
             ),
-        )
-    if scope is not None:
-        pairs = pairs.join(
-            F.broadcast(scope.select(id_col)), id_col, "left_semi"
         )
     hits = pairs.groupBy(id_col).agg(
         F.sum(F.when(F.col("__nd") >= thr, F.col("__c")).otherwise(F.lit(0)))
