@@ -1272,7 +1272,11 @@ def test_bpe_segment_words_rejects_separator_in_word(spark):
     words = spark.createDataFrame(
         [("ok",), ("bad\x1fword",)], "word string"
     )
-    with _pytest.raises(ValueError, match="separator"):
+    # r15: the guard is a row-level raise_error inside the plan (no
+    # construction-time probe job), so it surfaces as Spark's
+    # USER_RAISED_EXCEPTION at execution — same loud refusal, same
+    # message, different exception class.
+    with _pytest.raises(Exception, match="separator"):
         bpe_segment_words(words, [(1, "a", "b", "ab", 2)]).collect()
 
 

@@ -2594,7 +2594,10 @@ def test_bpe_merges_vs_python_reference(spark):
     assert got == want
 
     bad = spark.createDataFrame([(0, "has\x1fsep")], "doc_id long, text string")
-    with _pytest.raises(ValueError, match="separator"):
+    # r15: the guard raises from the first vocabulary job inside the
+    # trainer (row-level raise_error, no up-front corpus probe) — the
+    # call still fails loudly with the same message.
+    with _pytest.raises(Exception, match="separator"):
         bpe_merges(bad, 1)
     tiny = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="exhausted"):

@@ -1194,15 +1194,27 @@ def _bpe_loop(
     replaces over the vocabulary-cardinality frame), cutting the
     budget to ~1 job per merge + 1/ckpt_every — values are untouched
     by construction, pinned by the serial/batched equality test."""
-    if df.where(F.col(text_col).contains(sep)).limit(1).count():
-        raise ValueError(
-            "bpe_merges separator occurs in the corpus; pass a sep "
-            "character absent from the text"
-        )
     sep2 = sep + sep
+    # r15: the sep-in-corpus guard is a ROW-LEVEL raise inside the
+    # vocabulary build instead of an up-front scan job — the old
+    # `df.where(contains).count()` ran one full corpus pass at
+    # CONSTRUCTION time before any training work.  Filters are never
+    # column-pruned, so the guard fires on the first round's
+    # vocabulary job regardless of which columns are consumed; the
+    # refusal is as loud, just surfaced at execution (tests pin it).
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .where(F.length("word") > 0)
+        .filter(
+            F.when(~F.col("word").contains(sep), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "bpe_merges separator occurs in the corpus; pass "
+                        "a sep character absent from the text"
+                    )
+                ).cast("boolean")
+            )
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -1329,15 +1341,24 @@ def bpe_segment_words(
     # The trainer's sep-in-corpus guard only protects the TRAINING
     # frame; an OOV word carrying the separator would conflate in-word
     # bytes with token boundaries and silently mis-segment — refuse
-    # loudly here exactly like the trainer does (the frame is
-    # vocab-cardinality, so the probe is cheap).
-    if words.where(F.col(word_col).contains(sep)).limit(1).count():
-        raise ValueError(
-            "bpe_segment_words separator occurs inside a word to "
-            "segment; pass a sep character absent from the corpus"
-        )
+    # loudly here exactly like the trainer does.  r15: the guard is a
+    # row-level raise folded into the wrap select rather than an
+    # up-front count job — when ``words`` is a derived frame (the OOV
+    # path: corpus tokenize + distinct + vocab anti-join) the old
+    # probe executed that whole subtree once at CONSTRUCTION time and
+    # again in the real query.  Filters are never column-pruned, so
+    # the raise fires wherever the segmentation is actually computed.
     sep2 = sep + sep
-    out = words.select(
+    out = words.filter(
+        F.when(~F.col(word_col).contains(sep), F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "bpe_segment_words separator occurs inside a word to "
+                    "segment; pass a sep character absent from the corpus"
+                )
+            ).cast("boolean")
+        )
+    ).select(
         F.col(word_col),
         F.concat(
             F.lit(sep),
