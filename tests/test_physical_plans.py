@@ -410,3 +410,79 @@ def test_duplicated_spans_plan_properties(spark, sf_dir):
     assert sum(1 for k in keys if "diag" in k) == 1, keys
     df.collect()  # AQE: reuse only visible in the executed plan
     assert "ReusedExchange" in plan(df)
+
+
+def test_scored_pairs_dispatch_is_scale_adaptive(spark, sf_dir):
+    """r15 kernel dispatch: below the input-size threshold the scoring
+    pass is the pure-JVM expression fold (no Python boundary in the
+    plan); forcing spark.udep.similarity.kernel=arrow routes the SAME
+    call through the mapInArrow kernel.  Both forms are bit-identical
+    (pinned by test_operators), so this is purely about which engine
+    executes — the r14 regression was the kernel forced at all scales."""
+    from ultimate_data_engineering_project_spark.plans.catalog import catalog
+
+    fn = catalog()["cosine_topk_bruteforce"].fn
+    p = plan(fn(spark, sf_dir))
+    assert "MapInArrow" not in p, "small input must use the JVM fold"
+    assert "aggregate(" in p or "Project" in p
+    spark.conf.set("spark.udep.similarity.kernel", "arrow")
+    try:
+        p2 = plan(fn(spark, sf_dir))
+        assert "MapInArrow" in p2, "forced arrow mode must use the kernel"
+    finally:
+        spark.conf.unset("spark.udep.similarity.kernel")
+    # and a forced-jvm override is honored even above any threshold
+    spark.conf.set("spark.udep.similarity.kernel", "jvm")
+    try:
+        p3 = plan(fn(spark, sf_dir))
+        assert "MapInArrow" not in p3
+    finally:
+        spark.conf.unset("spark.udep.similarity.kernel")
+
+
+def test_minhash_kernel_auto_dispatch(spark, sf_dir):
+    """r15: minhash_lsh_pairs kernel='auto' picks the sql (JVM) fold on
+    a small file-backed corpus — no Python eval node in the plan — and
+    the arrow kernel when forced by the conf threshold."""
+    from ultimate_data_engineering_project_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(dedup.minhash_lsh_pairs(docs, "doc_id"))
+    assert "MapInPandas" not in p and "ArrowEval" not in p, p[:500]
+    spark.conf.set("spark.udep.similarity.kernelMinInputBytes", "1")
+    try:
+        p2 = plan(dedup.minhash_lsh_pairs(docs, "doc_id"))
+        assert "MapInPandas" in p2
+    finally:
+        spark.conf.unset("spark.udep.similarity.kernelMinInputBytes")
+
+
+def test_tuning_pin_modes(spark, sf_dir):
+    """r15 pin helper: auto mode is a no-op below the input threshold
+    (plan keeps the parquet scan — no RDD scan), pins above it (conf
+    override), and mode=never wins over force=True."""
+    from ultimate_data_engineering_project_spark import tuning
+
+    docs = load_table(spark, sf_dir, "documents")
+    # auto, small input: no-op
+    assert "Scan ExistingRDD" not in plan(tuning.pin(docs))
+    # auto with a 1-byte threshold: materializes (lazy checkpoint on a
+    # local master -> the plan source becomes the checkpointed RDD)
+    spark.conf.set("spark.udep.pin.minInputBytes", "1")
+    try:
+        assert "Scan ExistingRDD" in plan(tuning.pin(docs))
+    finally:
+        spark.conf.unset("spark.udep.pin.minInputBytes")
+    # force=True materializes regardless of size...
+    assert "Scan ExistingRDD" in plan(tuning.pin(docs, force=True))
+    # ...unless the global escape hatch is set
+    spark.conf.set("spark.udep.pin.mode", "never")
+    try:
+        assert "Scan ExistingRDD" not in plan(tuning.pin(docs, force=True))
+    finally:
+        spark.conf.unset("spark.udep.pin.mode")
+    # in-memory frames (no file listing) are not pinned in auto mode —
+    # pin() returns the input unchanged (identity; a local-collection
+    # frame already plans as an RDD scan, so assert on the object)
+    mem = spark.createDataFrame([(1,)], "x long")
+    assert tuning.pin(mem) is mem
