@@ -486,3 +486,17 @@ def test_tuning_pin_modes(spark, sf_dir):
     # frame already plans as an RDD scan, so assert on the object)
     mem = spark.createDataFrame([(1,)], "x long")
     assert tuning.pin(mem) is mem
+    # cluster storage form (the non-local default, forced here by
+    # conf): persist(DISK_ONLY) — lineage kept, so executor loss
+    # recomputes instead of failing (the r14 fault-tolerance advice)
+    spark.conf.set("spark.udep.pin.storage", "diskPersist")
+    try:
+        pinned = tuning.pin(docs, force=True)
+        # the returned frame's own queryExecution was memoized before
+        # persist(); any downstream consumer re-plans through the
+        # cache manager and reads the persisted relation
+        assert "InMemoryTableScan" in plan(pinned.select("*"))
+        assert pinned.storageLevel.useDisk and not pinned.storageLevel.useMemory
+        pinned.unpersist()
+    finally:
+        spark.conf.unset("spark.udep.pin.storage")
